@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` has one entry per implemented operator (SURVEY.md §2 inventory);
+  * `oracleSql` holds the DuckDB twin for every SQL-expressible one (same
+  * column names — the driver hash-compares by name). Queries without an
+  * oracle (heuristic/bit-level ops) get the driver's rows-only check and are
+  * pinned by ScalaTest goldens instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.configure(spark)
+    assess.StarQueries.q5NationRevenue(spark, "/root/testdata/sf0.001")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (assess.Assessments.queries ++
+      assess.StarQueries.queries ++
+      capture.CaptureDemo.queries ++
+      ext.TextOps.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries)
+      .map { case (k, f) =>
+        // Ensure graft read-path configs even on a driver-created session.
+        k -> ((s: SparkSession, dir: String) => { Graft.configure(s); f(s, dir) })
+      }
+
+  def oracleSql: Map[String, String] =
+    assess.Assessments.oracles ++
+      assess.StarQueries.oracles ++
+      capture.CaptureDemo.oracles ++
+      ext.TextOps.oracles ++
+      ext.Dedup.oracles ++
+      ext.Similarity.oracles
 }

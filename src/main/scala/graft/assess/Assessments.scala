@@ -1,0 +1,349 @@
+package graft.assess
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The assessment analytics surface (SURVEY.md §2.2, A1–A14) — the workload
+  * questions the reference's event log exists to answer, expressed over the
+  * driver test tables (`events` stands in for the hook stream, FIXTURES.md §B).
+  *
+  * Every query here is a declarative DataFrame plan: Catalyst gets predicate
+  * pushdown / column pruning / join selection for free, and each query's
+  * shuffle structure is noted where it matters for 100 TB.
+  *
+  * Each query has a DuckDB oracle twin in [[Assessments.oracles]]; aliases are
+  * kept identical on both sides (driver hash-compares by column name).
+  */
+object Assessments {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** A1 — lifecycle pairing: first `signup` joined to first `purchase` per
+    * user. Two partial aggregations shrink both sides *before* the join
+    * (shuffle carries one row per user, not per event); at scale the join is
+    * co-partitioned on the groupBy key so no extra exchange. */
+  def a1LifecyclePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val sub = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("st"))
+    val fin = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("ft"))
+    sub.join(fin, Seq("user_id"))
+      .filter(col("ft") >= col("st"))
+      .select(
+        col("user_id"),
+        (unix_millis(col("ft")) - unix_millis(col("st"))).as("ms_to_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** A1 — never-completed analog: signed-up users with no purchase
+    * (left-anti join). */
+  def a1AbandonedUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val sub = e.filter(col("event_type") === "signup").select("user_id").distinct()
+    val fin = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+    sub.join(fin, Seq("user_id"), "left_anti").orderBy("user_id")
+  }
+
+  /** A2 — per-user workload rollup (partial+final hash aggregate). */
+  def a2UserRollup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("user_id")
+
+  /** A3 — multi-granularity rollup (event_type × day hierarchy). */
+  def a3TypeDailyRollup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  /** A4 — heat map via explode: token frequencies over `documents`
+    * (the TablesRead/PartitionsRead analog). Top-50, fully tiebroken. */
+  def a4TokenHeatmap(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(50)
+
+  /** A5 — latency/value distribution: exact percentiles per event type.
+    * (`percentile_approx` is the 100 TB path; the exact variant is used here
+    * because the DuckDB oracle must agree bit-for-bit.) */
+  def a5ValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99D)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A6 — top-K heaviest per group via ranking window. */
+  def a6TopkByType(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    ev(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** A7 — tumbling-window traffic (Spark `window()`; oracle uses the
+    * equivalent `date_trunc`). */
+  def a7HourlyTraffic(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** A7 — sessionization as gaps-and-islands (30-min inactivity gap): a pure
+    * window-function formulation that needs exactly one shuffle on user_id
+    * (the streaming variant with `session_window` lives in the streaming
+    * suite — this is the batch/oracle-checkable twin). */
+  def a7Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 1800000L
+    ev(s, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("dur_ms"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** A8 — daily counts with running total and day-over-day delta. */
+  def a8DailyRunning(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("running",
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("delta", col("n") - lag("n", 1).over(w))
+      .orderBy("day")
+  }
+
+  /** A9 — JSON counter mining: `get_json_object` + bucketed aggregate. */
+  def a9JsonProps(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("k_bucket",
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** A10 — parse JSON to a native map and explode its entries. */
+  def a10PropsMapExplode(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .orderBy("key")
+
+  /** A11 — failure analysis: error events bucketed by user cohort. */
+  def a11ErrorCohorts(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy((col("user_id") % 20).as("cohort"))
+      .agg(count(lit(1)).as("n_errors"), round(sum("value"), 2).as("impact"))
+      .orderBy("cohort")
+
+  /** A11 — string/regex extraction over `documents.source`. */
+  def a11SourceParse(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(
+        regexp_extract(col("source"), "([0-9]+)", 1).as("src_num"),
+        col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("src_num", "lang")
+
+  /** A12 — day-over-day set ops: churned (EXCEPT) and retained (INTERSECT)
+    * users between the first two days. */
+  def a12ChurnRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    def users(day: String) =
+      e.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+        .select("user_id").distinct()
+    val d1 = users("2024-01-01")
+    val d2 = users("2024-01-02")
+    d1.except(d2).withColumn("cohort", lit("churned"))
+      .unionByName(d2.intersect(d1).withColumn("cohort", lit("retained")))
+      .select("cohort", "user_id")
+      .orderBy("cohort", "user_id")
+  }
+
+  /** A13 — as-of join: each purchase attributed to the user's most recent
+    * prior (or same-instant) click. Formulated as union + `last(ignoreNulls)`
+    * over an ordered window — ONE shuffle on user_id, no range join blowup;
+    * this is the shape that survives 100 TB (vs. a theta join). */
+  def a13AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("cv",
+        when(col("event_type") === "click", col("value")))
+      .withColumn("lcv", last(col("cv"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("lcv"), 2).as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  /** A14 — dedup of replayed events: deterministic first event per
+    * (user, type) via ranking (NOT `dropDuplicates`, whose survivor is
+    * partition-order dependent). */
+  def a14DedupFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        unix_millis(col("ts")).as("first_ts_ms"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a1_lifecycle_pairs" -> a1LifecyclePairs,
+    "a1_abandoned_users" -> a1AbandonedUsers,
+    "a2_user_rollup" -> a2UserRollup,
+    "a3_type_daily_rollup" -> a3TypeDailyRollup,
+    "a4_token_heatmap" -> a4TokenHeatmap,
+    "a5_value_percentiles" -> a5ValuePercentiles,
+    "a6_topk_by_type" -> a6TopkByType,
+    "a7_hourly_traffic" -> a7HourlyTraffic,
+    "a7_sessionize" -> a7Sessionize,
+    "a8_daily_running" -> a8DailyRunning,
+    "a9_json_props" -> a9JsonProps,
+    "a10_props_map_explode" -> a10PropsMapExplode,
+    "a11_error_cohorts" -> a11ErrorCohorts,
+    "a11_source_parse" -> a11SourceParse,
+    "a12_churn_retention" -> a12ChurnRetention,
+    "a13_asof_attribution" -> a13AsofAttribution,
+    "a14_dedup_first" -> a14DedupFirst
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_lifecycle_pairs" ->
+      """WITH s AS (SELECT user_id, min(ts) st FROM events WHERE event_type='signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) ft FROM events WHERE event_type='purchase' GROUP BY 1)
+        |SELECT s.user_id, epoch_ms(p.ft) - epoch_ms(s.st) AS ms_to_purchase
+        |FROM s JOIN p ON s.user_id = p.user_id WHERE p.ft >= s.st ORDER BY s.user_id""".stripMargin,
+    "a1_abandoned_users" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='signup'
+        |AND user_id NOT IN (SELECT user_id FROM events WHERE event_type='purchase')
+        |ORDER BY user_id""".stripMargin,
+    "a2_user_rollup" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value,
+        |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_type_daily_rollup" ->
+      """SELECT event_type, day, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, value FROM events)
+        |GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "a4_token_heatmap" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "a5_value_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50,
+        |round(quantile_cont(value,0.9),4) AS p90, round(quantile_cont(value,0.99),4) AS p99,
+        |count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a6_topk_by_type" ->
+      """SELECT event_type, rnk, event_id, round(value,2) AS value FROM (
+        |SELECT event_type, event_id, value,
+        |row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        |FROM events) WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "a7_hourly_traffic" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "a7_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |  THEN 1 ELSE 0 END AS new_sess FROM events),
+        |s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM x)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur_ms
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "a8_daily_running" ->
+      """WITH d AS (SELECT strftime(ts,'%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n, CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
+        |n - lag(n,1) OVER (ORDER BY day) AS delta FROM d ORDER BY day""".stripMargin,
+    "a9_json_props" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket,
+        |count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a10_props_map_explode" ->
+      """SELECT key, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS total
+        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "a11_error_cohorts" ->
+      """SELECT user_id % 20 AS cohort, count(*) AS n_errors, round(sum(value),2) AS impact
+        |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a11_source_parse" ->
+      """SELECT regexp_extract(source, '([0-9]+)', 1) AS src_num, lang,
+        |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "a12_churn_retention" ->
+      """SELECT 'churned' AS cohort, user_id FROM (
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')
+        |  EXCEPT SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02'))
+        |UNION ALL
+        |SELECT 'retained' AS cohort, user_id FROM (
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
+        |  INTERSECT SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'))
+        |ORDER BY cohort, user_id""".stripMargin,
+    "a13_asof_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, ts, event_type, value,
+        |  CASE WHEN event_type='click' THEN value END AS cv
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |f AS (SELECT event_id, user_id, event_type, value,
+        |  last_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcv FROM t)
+        |SELECT event_id, user_id, round(value,2) AS purchase_value,
+        |round(lcv,2) AS last_click_value
+        |FROM f WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
+    "a14_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ts_ms
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}

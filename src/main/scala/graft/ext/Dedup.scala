@@ -1,0 +1,146 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.3): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Designed shuffle-light for 100 TB:
+  *
+  *  - exact dedup groups on a 128-bit content hash, never on the document
+  *    body (the shuffle carries 16 bytes + ids, not text);
+  *  - MinHash signatures are computed map-side from shingles; the LSH
+  *    band-join shuffles only `(band_signature, doc_id, token_set)` and the
+  *    quadratic Jaccard work happens strictly within a band bucket;
+  *  - SimHash is a 64-bit fingerprint foldable into a band join the same way.
+  *
+  * All hashing is md5-based so the DuckDB oracle can reproduce it
+  * byte-for-byte (murmur/xxhash would be faster but unverifiable).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 3-word shingles of a whitespace-tokenized text (1-based `element_at`). */
+  def shingles(toks: Column): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** MinHash value for one band seed: min over shingle md5s, keyed so each
+    * band is an independent hash family member. */
+  def minhash(shingleCol: Column, band: Int): Column =
+    array_min(transform(shingleCol, sh => md5(concat(lit(s"b$band#"), sh))))
+
+  /** Jaccard similarity of two (multi)sets, on distinct elements. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
+      size(array_union(a, b))
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("sh", shingles(col("toks")))
+
+  // ---- queries ----------------------------------------------------------
+
+  /** Exact dedup via content hash: keeper = min doc id per fingerprint. */
+  def xDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+      .orderBy("fp")
+
+  /** Per-doc MinHash signature (4 bands) — the sketch that downstream LSH
+    * passes shuffle instead of text. */
+  def xMinhashSignatures(s: SparkSession, dir: String): DataFrame =
+    docsWithShingles(s, dir)
+      .select(
+        col("doc_id"),
+        minhash(col("sh"), 0).as("sig0"),
+        minhash(col("sh"), 1).as("sig1"),
+        minhash(col("sh"), 2).as("sig2"),
+        minhash(col("sh"), 3).as("sig3"))
+      .orderBy("doc_id")
+
+  /** MinHash-LSH near-dup candidates: docs sharing the band-0 min-shingle
+    * hash, scored with n-gram (shingle-set) Jaccard. The self-join key is the
+    * band signature, so candidate generation is an equi-join (one shuffle on
+    * a 32-char key) and the O(bucket²) comparison never leaves a bucket. */
+  def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = docsWithShingles(s, dir)
+      .select(col("doc_id"), col("sh"), minhash(col("sh"), 0).as("band"))
+    val a = sig.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (64-bit, emitted as 16 hex chars): per token take the top 64
+    * bits of its md5; per bit position sum ±1 over tokens; sign → fingerprint
+    * bit. Near-dups have small Hamming distance; at scale the fingerprint
+    * joins on band substrings exactly like MinHash. One explode + one
+    * aggregate — shuffle carries (doc_id, 64 small ints). */
+  def xSimhash(s: SparkSession, dir: String): DataFrame = {
+    val hex = md5(col("tok"))
+    // Bit i lives in hex nibble i/4 at in-nibble position 3-(i%4) (MSB first).
+    val bitCols = (0 until 64).map { i =>
+      val nib = conv(substring(hex, i / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, 3 - (i % 4)).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val perDoc = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+    val nibbles = (0 until 16).map { j =>
+      val v = (0 until 4)
+        .map(k => when(col(s"b${4 * j + k}") > 0, lit(8 >> k)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lower(conv(v.cast("string"), 10, 16))
+    }
+    perDoc.select(col("doc_id"), concat(nibbles: _*).as("simhash_hex"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_dedup_exact" -> xDedupExact,
+    "x_minhash_signatures" -> xMinhashSignatures,
+    "x_minhash_pairs" -> xMinhashPairs,
+    "x_simhash" -> xSimhash
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_minhash_signatures" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
+        |SELECT doc_id,
+        |list_min(list_transform(sh, x -> md5('b0#' || x))) AS sig0,
+        |list_min(list_transform(sh, x -> md5('b1#' || x))) AS sig1,
+        |list_min(list_transform(sh, x -> md5('b2#' || x))) AS sig2,
+        |list_min(list_transform(sh, x -> md5('b3#' || x))) AS sig3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "x_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(sh, x -> md5('b0#' || x))) AS band FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+        |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
+    // x_simhash: bit-level fold — driver records rows-only; pinned by
+    // DedupSpec golden values instead.
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, the
+  * corpus streams through a single map stage (score) + one shuffle (per-query
+  * top-k). Scale path: LSH bucketing by hyperplane sign bits cuts the
+  * candidate set from N to ~N/2^bits per query *before* any scoring, the IVF
+  * idea expressed as a Spark equi-join.
+  *
+  * Dot products use `zip_with`+`aggregate` higher-order functions in double
+  * precision — sequential left-fold element order, which is what makes the
+  * DuckDB oracle (`list_dot_product`) agree exactly.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fused dot product of two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+
+  // ---- queries ----------------------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 10 vectors as the query set.
+    * The tiny query side is broadcast so the corpus is scanned exactly once
+    * with no shuffle before the per-query top-k. */
+  def xAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Centroid of each label class — the "coarse quantizer" side of an IVF
+    * index: per-dimension mean via explode+groupBy (shuffles (label, dim,
+    * partial-sum) triples, never whole vectors). */
+  def xLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
+  /** LSH-bucketed ANN: 8 deterministic pseudo-hyperplanes (sign of a
+    * hash-seeded ±1 projection); vectors sharing a query's bucket are the
+    * only candidates scored. Rows-only check (bucketing is heuristic); the
+    * recall-vs-brute-force property is pinned in SimilaritySpec. */
+  def xAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // Deterministic ±1 projection component for (plane p, dim i):
+    // sign of bit p of md5(i). crc32-free, oracle-reproducible if needed.
+    val planes = 8
+    val sig = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(0), size(col("v")) - 1),
+            i => when(conv(substring(md5(concat(lit(s"$p#"), i)), 1, 4), 16, 10)
+              .cast("long") % 2 === 0, 1.0).otherwise(-1.0)),
+          (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }.reduce(concat(_, _))
+    e.select(col("vec_id"), sig.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_ann_cosine_topk" -> xAnnCosineTopk,
+    "x_label_centroids" -> xLabelCentroids,
+    "x_ann_lsh_buckets" -> xAnnLshBuckets
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (SELECT q_id, vec_id,
+        |  list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM p)
+        |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "x_label_centroids" ->
+      """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |  unnest(range(len(embedding))) AS dim FROM embeddings)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    // x_ann_lsh_buckets: heuristic bucketing — rows-only.
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.3): language stats, quality scoring, token counting,
+  * fingerprinting. All narrow, codegen-friendly column expressions over
+  * `documents` — at 100 TB these run as pure map stages with the single
+  * aggregate shuffle at the end where one exists.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenization: letter runs | digit runs | single
+    * non-alphanumeric glyph (so CJK text counts per-character, roughly how a
+    * byte-level BPE fragments it). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality metrics per document: whitespace token count, chars/token,
+    * stopword ratio. */
+  def qualityMetrics(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    df.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"),
+      round(
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks),
+        4).as("stopword_ratio"))
+  }
+
+  /** Rolling-hash-style document fingerprint: md5 of the full text (content
+    * address; exact-dup key). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Heuristic language ID from character classes — a stand-in for an n-gram
+    * profile model: CJK chars → zh, accented Latin split by marker chars,
+    * else en. Deterministic and cheap (one regexp pass per class). */
+  def langGuess(text: Column): Column = {
+    def has(re: String) = length(regexp_extract(text, re, 0)) > 0
+    when(has("[\\u4e00-\\u9fff]"), "zh")
+      .when(has("[ñ¿¡]"), "es")
+      .when(has("[äöüß]"), "de")
+      .when(has("[àâçèêëîïôùûœ]"), "fr")
+      .otherwise("en")
+  }
+
+  // ---- oracle-checked queries ------------------------------------------
+
+  def xLangStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(size(tokens(col("text")))).as("total_tokens"))
+      .orderBy("lang")
+
+  def xTextQuality(s: SparkSession, dir: String): DataFrame =
+    qualityMetrics(Tables.load(s, dir, "documents")).orderBy("doc_id")
+
+  def xTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Language-ID accuracy vs. the labeled `lang` column — exercises the
+    * heuristic classifier end-to-end and aggregates a confusion summary. */
+  def xLangIdConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), langGuess(col("text")).as("guess"))
+      .groupBy("lang", "guess")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+
+  val queries: Map[String, Q] = Map(
+    "x_lang_stats" -> xLangStats,
+    "x_text_quality" -> xTextQuality,
+    "x_token_count" -> xTokenCount,
+    "x_langid_confusion" -> xLangIdConfusion
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+        |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_text_quality" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |round(CAST(n_chars AS DOUBLE)/len(string_split(text,' ')),4) AS chars_per_token,
+        |round(CAST(len(list_filter(string_split(text,' '),
+        |  t -> t IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+        |  / len(string_split(text,' ')),4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
+        |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // x_langid_confusion: heuristic classifier — driver records rows-only.
+  )
+}

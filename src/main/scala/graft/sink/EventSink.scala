@@ -1,0 +1,67 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Date-partitioned event-log sink (SURVEY.md §2.1 O23–O25).
+  *
+  * The reference writes one Avro container file per (day, rollover-window)
+  * with a single daemon thread and a flush per record
+  * (DatePartitionedRecordsWriterFactory.java:99-133, RecordsWriter.java:35-60)
+  * — ~10²-10³ events/s. Here the same layout semantics are expressed
+  * Spark-natively and run embarrassingly parallel:
+  *
+  *  - per-day directories        → `partitionBy(EventDate)` (partition pruning
+  *    for downstream readers comes free via PruneFileSourcePartitions);
+  *  - time-based file rollover   → streaming trigger interval (one file set
+  *    per epoch) + `maxRecordsPerFile` as the size bound;
+  *  - flush-per-record durability→ per-epoch atomic commit via the checkpoint
+  *    + file-sink manifest (strictly better: exactly-once vs at-least-once).
+  *
+  * Physical format is Parquet with the exact QueryEvents column set — this
+  * environment has no spark-avro module (SURVEY.md §7.4); layout, not bytes,
+  * is the contract.
+  */
+object EventSink {
+
+  /** Partition column derived from the event's effective time: EndTime for
+    * completed events, StartTime otherwise — matching the reference's "date
+    * of the record being written" (DatePartitionedRecordsWriterFactory.java:188-190),
+    * formatted ISO_LOCAL_DATE in UTC. */
+  def withEventDate(events: DataFrame): DataFrame =
+    events.withColumn(
+      "EventDate",
+      date_format(coalesce(col("EndTime"), col("StartTime")), "yyyy-MM-dd")
+    )
+
+  /** Batch write. `maxRecordsPerFile` bounds file size the way the
+    * reference's hourly rollover bounds it (O24). */
+  def writeBatch(events: DataFrame, path: String,
+                 maxRecordsPerFile: Long = 1000000L): Unit =
+    withEventDate(events).write
+      .mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("EventDate")
+      .parquet(path)
+
+  /** Streaming write: trigger interval plays the rollover-interval role
+    * (reference default 1 h, LoggingHookConstants.java:33); checkpointed file
+    * sink gives exactly-once. */
+  def writeStream(events: DataFrame, path: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 hour"))
+      : StreamingQuery =
+    withEventDate(events).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("EventDate")
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** Read the log back (O26). Partition pruning on EventDate applies to any
+    * `filter($"EventDate" === ...)` a caller adds. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
