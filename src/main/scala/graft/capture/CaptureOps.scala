@@ -17,8 +17,14 @@ object CaptureOps {
     * Reference: utils/VersionValidator.java:43-55.
     */
   def supportedVersion(version: Column): Column = {
-    val major = regexp_extract(version, "^(\\d+)\\.(\\d+)", 1).cast("int")
-    val minor = regexp_extract(version, "^(\\d+)\\.(\\d+)", 2).cast("int")
+    // regexp_extract yields "" on no match; nullify before the cast so the
+    // ANSI-mode cast can't throw on malformed versions (they must filter,
+    // not fail — reference behavior for "unexpected", "5", "3.abc1").
+    def part(i: Int): Column = {
+      val m = regexp_extract(version, "^(\\d+)\\.(\\d+)", i)
+      when(m === "", lit(null)).otherwise(m).cast("int")
+    }
+    val (major, minor) = (part(1), part(2))
     val inRange = (major > 2 || (major === 2 && minor >= 2)) && major < 4
     coalesce(inRange, lit(false))
   }

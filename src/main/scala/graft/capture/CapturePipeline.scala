@@ -124,7 +124,7 @@ object CapturePipeline {
         nullStr.as("HiveAddress"),
         nullStr.as("HiveHostName"),
         nullStr.as("HiveInstanceType"),
-        yarnApplicationId(element_at(col("jobIds"), 1)) // O18: first job id
+        yarnApplicationId(try_element_at(col("jobIds"), lit(1))) // O18: first job id
           .as("YarnApplicationId"),
         emptyArr.as("DatabasesRead"),
         emptyArr.as("DatabasesWritten"),

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the live event log (SURVEY.md §2.2 A7/A14 and
+  * §2.1 O1/O21): the capture stream consumed incrementally with bounded
+  * state. All state here is watermark-capped — the property that keeps a
+  * 100 TB/day stream from accreting unbounded executor state:
+  *
+  *  - late events beyond the watermark are dropped (the reference's
+  *    bounded-queue load-shed, O21, re-expressed as event-time bounds);
+  *  - dedup keys expire with `dropDuplicatesWithinWatermark` (A14) instead
+  *    of living forever;
+  *  - windows/sessions emit and evict on watermark passage.
+  *
+  * Inputs are any streaming DataFrame with the `events` shape
+  * (`ts timestamp, event_id long, user_id long, event_type string,
+  * value double`); production would use `spark.readStream.parquet` over the
+  * capture sink or a Kafka source — same plan either way.
+  */
+object EventStream {
+
+  /** A14 — at-least-once capture dedup with expiring state. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** A7 — tumbling-window traffic with late-data drop. */
+  def hourlyCounts(events: DataFrame, watermark: String = "30 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** A7 — native session windows (30-min gap), the streaming twin of the
+    * batch gaps-and-islands `a7_sessionize`. State per open session only. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("n_events"))
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.TestSpark
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, event_id: Long, user_id: Long,
+              event_type: String, value: Double)
+
+/** MemoryStream-driven streaming tests: watermark windows, session windows,
+  * within-watermark dedup (SURVEY.md §5 — streaming via MemoryStream +
+  * watermark late-data cases). */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(min: Int) = new Timestamp(min * 60000L)
+
+  private def runToMemory(name: String, df: org.apache.spark.sql.DataFrame,
+                          mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("A14 dropDuplicatesWithinWatermark removes replayed events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t(0), 1L, 10L, "click", 1.0),
+      Ev(t(1), 1L, 10L, "click", 1.0), // replay of event 1
+      Ev(t(2), 2L, 10L, "view", 2.0))
+    runToMemory("dedup_out",
+      EventStream.dedupWithinWatermark(in.toDF(), "10 minutes"),
+      OutputMode.Append)
+    val got = spark.table("dedup_out").collect()
+    assert(got.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("A7 windowed counts drop late data beyond watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = EventStream.hourlyCounts(in.toDF(), "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(t(10), 1L, 1L, "click", 1.0), Ev(t(20), 2L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first hour...
+      in.addData(Ev(t(200), 3L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // ...then replay something ancient: must be dropped, not re-emitted
+      in.addData(Ev(t(5), 4L, 1L, "click", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hourly_out").collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").getTime / 60000, r.getAs[Long]("n")))
+      .toSet
+    assert(rows.contains((0L, 2L))) // hour 0 closed with exactly 2 events
+    assert(!rows.contains((0L, 3L)))
+  }
+
+  test("A7 session_window groups by inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = EventStream.sessionStats(in.toDF(), "30 minutes", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 2 h apart → two sessions once the watermark passes
+      in.addData(Ev(t(0), 1L, 7L, "click", 1.0), Ev(t(10), 2L, 7L, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(120), 3L, 7L, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(500), 99L, 8L, "click", 1.0)) // push watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_out").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Timestamp]("sess_start").getTime / 60000,
+        r.getAs[Long]("n_events"))).toSet
+    assert(rows == Set((0L, 2L), (120L, 1L)))
+  }
+}
