@@ -5,6 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Graft.session("graft-bench", cpus.toInt)
+    // Warm up codegen/scheduler/parquet-footer paths so the first measured
+    // query isn't charged ~5 s of one-time session cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

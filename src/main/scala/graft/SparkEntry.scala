@@ -24,7 +24,8 @@ object SparkEntry {
       capture.CaptureDemo.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
-      ext.Similarity.queries)
+      ext.Similarity.queries ++
+      ext.Multimodal.queries)
       .map { case (k, f) =>
         // Ensure graft read-path configs even on a driver-created session.
         k -> ((s: SparkSession, dir: String) => { Graft.configure(s); f(s, dir) })
@@ -36,5 +37,6 @@ object SparkEntry {
       capture.CaptureDemo.oracles ++
       ext.TextOps.oracles ++
       ext.Dedup.oracles ++
-      ext.Similarity.oracles
+      ext.Similarity.oracles ++
+      ext.Multimodal.oracles
 }

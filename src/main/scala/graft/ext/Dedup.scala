@@ -68,16 +68,26 @@ object Dedup {
   /** MinHash-LSH near-dup candidates: docs sharing the band-0 min-shingle
     * hash, scored with n-gram (shingle-set) Jaccard. The self-join key is the
     * band signature, so candidate generation is an equi-join (one shuffle on
-    * a 32-char key) and the O(bucket²) comparison never leaves a bucket. */
+    * a 32-char key) and the O(bucket²) comparison never leaves a bucket.
+    *
+    * Plan notes for scale: both join branches are the *identical* plan
+    * (aliased, not re-projected), so Catalyst's ReuseExchange computes the
+    * shingling+md5 once and replays the shuffle for the other side; the
+    * distinct shingle set + its size are precomputed per doc (map-side), and
+    * |A∪B| is derived as |A|+|B|−|A∩B| instead of materializing the union
+    * array per pair. */
   def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = docsWithShingles(s, dir)
-      .select(col("doc_id"), col("sh"), minhash(col("sh"), 0).as("band"))
-    val a = sig.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sig.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
+        minhash(col("sh"), 0).as("band"))
+      .withColumn("n_sh", size(col("shd")))
+      .repartition(col("band")) // explicit exchange → reused across branches
+    val joined = sig.as("a").join(sig.as("b"),
+      col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+    val inter = size(array_intersect(col("a.shd"), col("b.shd"))).cast("double")
+    joined
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter / (col("a.n_sh") + col("b.n_sh") - inter), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.3): image/audio/video handled as opaque
+  * `binary` payloads + typed metadata, with decode / feature-extract /
+  * resize / frame-sample implemented batch-wise over `Dataset.mapPartitions`
+  * — the Scala-native analog of `mapInPandas` (one iterator per partition,
+  * codec state amortized across the batch, nothing collected to the driver).
+  *
+  * No media codecs exist in this container, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (bytes → fake "pixels"); everything
+  * around it — schema, encoders, partition batching, the feature query — is
+  * real and tested. At 100 TB the payload column stays opaque until the one
+  * mapPartitions stage that needs it; metadata-only queries never touch it
+  * (parquet column pruning drops the blob at the scan).
+  */
+object Multimodal {
+
+  /** Binary asset + typed metadata. `content` is the opaque media payload. */
+  case class MediaAsset(asset_id: Long, kind: String, format: String,
+                        content: Array[Byte])
+
+  case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
+                           n_frames: Int, mean_byte: Double,
+                           histogram: Seq[Long], fingerprint: String)
+
+  val FrameBytes = 256
+
+  /** Deterministic synthetic corpus: each document's UTF-8 bytes as a fake
+    * media payload, kind round-robined by id. Stands in for a real
+    * `binary`-column table; shape and encoders are production-identical. */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        element_at(typedLit(Seq("png", "wav", "mkv")),
+          (col("doc_id") % 3).cast("int") + 1).as("format"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaAsset]
+  }
+
+  // ---- STUBS (no codecs in this environment) ---------------------------
+  // A real deployment swaps these bodies for the actual codec calls; the
+  // signatures and the surrounding Spark plumbing are the contract.
+
+  /** STUB decode: media bytes → "pixel" intensities (unsigned byte values).
+    * Real impl: image decode / audio PCM samples / video frame luma. */
+  def decodeStub(content: Array[Byte]): Array[Int] =
+    content.map(_ & 0xff)
+
+  /** STUB resize: keep every `factor`-th sample (nearest-neighbor analog). */
+  def resizeStub(pixels: Array[Int], factor: Int): Array[Int] =
+    Array.tabulate((pixels.length + factor - 1) / factor)(i => pixels(i * factor))
+
+  /** STUB frame sampling: fixed-size byte windows standing in for container
+    * frames; returns (frameCount, first/middle/last frame checksums). */
+  def frameSampleStub(content: Array[Byte]): (Int, Seq[Long]) = {
+    val frames = content.grouped(FrameBytes).toArray
+    val picks = Seq(0, frames.length / 2, frames.length - 1).distinct
+      .filter(frames.isDefinedAt)
+    (frames.length, picks.map(i => frames(i).map(_ & 0xffL).sum))
+  }
+
+  /** Batch feature extraction — ONE pass per partition, the mapInPandas
+    * shape: iterator in, iterator out, per-batch state (digest instance)
+    * reused. */
+  def features(in: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      batch.map { a =>
+        val px = decodeStub(a.content)
+        val hist = Array.fill(16)(0L)
+        var sum = 0L
+        px.foreach { v => hist(v / 16) += 1; sum += v }
+        digest.reset()
+        val fp = digest.digest(a.content).map("%02x".format(_)).mkString
+        MediaFeatures(a.asset_id, a.kind, a.content.length.toLong,
+          frameSampleStub(a.content)._1,
+          if (px.isEmpty) 0.0 else sum.toDouble / px.length,
+          hist.toSeq, fp)
+      }
+    }
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  /** Oracle-checked slice of the feature pipeline (byte counts, frame
+    * counts, content fingerprint — all DuckDB-reproducible). */
+  def xMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    features(assets(s, dir))
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("n_frames"),
+        col("fingerprint"))
+      .orderBy("asset_id")
+
+  /** Rows-only: full decoded-feature set incl. histogram/mean (stub-decode
+    * outputs, pinned by MultimodalSpec goldens). */
+  def xMediaHistograms(s: SparkSession, dir: String): DataFrame =
+    features(assets(s, dir))
+      .select(col("asset_id"), round(col("mean_byte"), 4).as("mean_byte"),
+        col("histogram"))
+      .orderBy("asset_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_media_features" -> xMediaFeatures,
+    "x_media_histograms" -> xMediaHistograms
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_media_features" ->
+      """SELECT doc_id AS asset_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames,
+        |md5(text) AS fingerprint
+        |FROM documents ORDER BY asset_id""".stripMargin
+    // x_media_histograms: stub-decode output — rows-only, MultimodalSpec.
+  )
+}

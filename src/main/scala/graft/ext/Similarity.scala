@@ -66,23 +66,27 @@ object Similarity {
       .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** Deterministic ±1 hyperplane component for (plane p, dim i): parity of
+    * the first 16 bits of md5("p#i"). Computed once on the driver and shipped
+    * as a literal — the executors do pure arithmetic, no per-row hashing. */
+  private[ext] def planeSign(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p#$i".getBytes("UTF-8"))
+    val first16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    if (first16 % 2 == 0) 1.0 else -1.0
+  }
+
   /** LSH-bucketed ANN: 8 deterministic pseudo-hyperplanes (sign of a
     * hash-seeded ±1 projection); vectors sharing a query's bucket are the
-    * only candidates scored. Rows-only check (bucketing is heuristic); the
-    * recall-vs-brute-force property is pinned in SimilaritySpec. */
-  def xAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    * only candidates scored. The random-projection matrix is a broadcast
+    * literal (the IVF coarse-quantizer pattern: tiny model to every
+    * executor, single map stage over the corpus). Rows-only check
+    * (bucketing is heuristic); properties pinned in ExtSpec. */
+  def xAnnLshBuckets(s: SparkSession, dir: String, dims: Int = 64): DataFrame = {
     val e = emb(s, dir)
-    // Deterministic ±1 projection component for (plane p, dim i):
-    // sign of bit p of md5(i). crc32-free, oracle-reproducible if needed.
-    val planes = 8
-    val sig = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"),
-          transform(sequence(lit(0), size(col("v")) - 1),
-            i => when(conv(substring(md5(concat(lit(s"$p#"), i)), 1, 4), 16, 10)
-              .cast("long") % 2 === 0, 1.0).otherwise(-1.0)),
-          (x, r) => x * r),
-        lit(0.0), (acc, x) => acc + x)
+    val sig = (0 until 8).map { p =>
+      val plane = typedLit((0 until dims).map(planeSign(p, _)))
+      val proj = dot(col("v"), plane)
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }.reduce(concat(_, _))
     e.select(col("vec_id"), sig.as("bucket"))
@@ -94,7 +98,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "x_ann_cosine_topk" -> xAnnCosineTopk,
     "x_label_centroids" -> xLabelCentroids,
-    "x_ann_lsh_buckets" -> xAnnLshBuckets
+    "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
