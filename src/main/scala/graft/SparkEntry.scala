@@ -38,5 +38,6 @@ object SparkEntry {
       ext.TextOps.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
-      ext.Multimodal.oracles
+      ext.Multimodal.oracles +
+      ext.Similarity.fusedOracle
 }

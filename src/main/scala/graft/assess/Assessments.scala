@@ -93,6 +93,22 @@ object Assessments {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** A5 — the 100 TB path: mergeable sketches instead of exact state.
+    * `percentile_approx` (KLL-style) and `approx_count_distinct` (HLL++) keep
+    * fixed-size state per group regardless of cardinality. Exact twins ride
+    * along so the error contract is testable (AssessmentsSpec); rows-only at
+    * the driver (sketch internals differ from DuckDB's). */
+  def a5ApproxSketches(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
+          .as("p50_approx"),
+        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"),
+        approx_count_distinct(col("user_id")).as("users_approx"),
+        countDistinct(col("user_id")).as("users_exact"))
+      .orderBy("event_type")
+
   /** A6 — top-K heaviest per group via ranking window. */
   def a6TopkByType(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -242,6 +258,7 @@ object Assessments {
     "a3_type_daily_rollup" -> a3TypeDailyRollup,
     "a4_token_heatmap" -> a4TokenHeatmap,
     "a5_value_percentiles" -> a5ValuePercentiles,
+    "a5_approx_sketches" -> a5ApproxSketches,
     "a6_topk_by_type" -> a6TopkByType,
     "a7_hourly_traffic" -> a7HourlyTraffic,
     "a7_sessionize" -> a7Sessionize,

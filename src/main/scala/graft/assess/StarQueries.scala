@@ -108,12 +108,31 @@ object StarQueries {
       .agg(round(avg("p_retailprice"), 4).as("avg_price"), count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("p_type"))
 
+  /** CUBE over segment × nation (A3 at full granularity lattice); the
+    * nation dimension is broadcast. */
+  def qCubeCustNation(s: SparkSession, dir: String): DataFrame = {
+    // Expressed in SQL: Spark 4.1's DetectAmbiguousSelfJoin false-positives
+    // on DataFrame `.cube` over post-join columns (dataset-id tags survive
+    // aliasing); SQL builds the identical Catalyst plan without the
+    // Dataset-lineage bookkeeping.
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(nation) */
+        |  c_mktsegment AS segment, n_name AS nation, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY segment ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q4_order_priority" -> q4OrderPriority,
     "q5_nation_revenue" -> q5NationRevenue,
-    "q_part_rollup" -> qPartRollup
+    "q_part_rollup" -> qPartRollup,
+    "q_cube_custnation" -> qCubeCustNation
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +168,12 @@ object StarQueries {
     "q_part_rollup" ->
       """SELECT p_brand, p_type, round(avg(p_retailprice),4) AS avg_price, count(*) AS n
         |FROM part GROUP BY ROLLUP(p_brand, p_type)
-        |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin
+        |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin,
+    "q_cube_custnation" ->
+      """SELECT c_mktsegment AS segment, n_name AS nation, count(*) AS n_cust,
+        |round(sum(c_acctbal),2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY segment NULLS FIRST, nation NULLS FIRST""".stripMargin
   )
 }

@@ -56,6 +56,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Brute-force top-k scored by the fused native `cosine_sim` Catalyst
+    * expression ([[graft.functions.CosineSimilarity]]) — one vector pass, no
+    * intermediate arrays, whole-stage codegen. Bit-identical to the HOF
+    * variant, so it shares that oracle's SQL. */
+  def xAnnCosineFused(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr("cosine_sim(v, qv)").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Centroid of each label class — the "coarse quantizer" side of an IVF
     * index: per-dimension mean via explode+groupBy (shuffles (label, dim,
     * partial-sum) triples, never whole vectors). */
@@ -95,9 +117,36 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** IVF assignment step: every vector assigned to its nearest label
+    * centroid. The centroid "index" is tiny and broadcast; the corpus makes
+    * one pass — at 100 TB this is the partition-the-corpus-by-cell stage
+    * that makes subsequent ANN probes touch 1/k of the data. */
+  def xIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("mx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+        t => t.getField("mx")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label").asc)
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_ann_cosine_topk" -> xAnnCosineTopk,
+    "x_ann_cosine_fused" -> xAnnCosineFused,
     "x_label_centroids" -> xLabelCentroids,
+    "x_ivf_assign" -> xIvfAssign,
     "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir))
   )
 
@@ -116,7 +165,24 @@ object Similarity {
       """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
         |  unnest(range(len(embedding))) AS dim FROM embeddings)
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "x_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
+        |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
+        |p AS (SELECT vec_id, e.label, c_label,
+        |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, label, c_label, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
+        |SELECT vec_id, label, c_label AS assigned_label, round(sim, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
     // x_ann_lsh_buckets: heuristic bucketing — rows-only.
   )
+
+  /** The fused expression is bit-identical to the HOF formulation, so it
+    * shares the brute-force oracle. */
+  def fusedOracle: (String, String) =
+    "x_ann_cosine_fused" -> oracles("x_ann_cosine_topk")
 }

@@ -1,0 +1,110 @@
+package graft.assess
+
+import graft.{SparkEntry, TestSpark}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the properties that decide whether these plans
+  * survive a 1000-executor / 100 TB scale-up: filters reach the parquet
+  * scan, scans prune columns, small dimensions broadcast, hot paths stay in
+  * whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan; columns pruned") {
+    val plan = StarQueries.q1PricingSummary(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$plan")
+    // projection needs 7 columns; the scan must not read the other 4
+    assert(plan.contains("ReadSchema") && !plan.contains("l_orderkey"),
+      s"unused columns not pruned:\n$plan")
+  }
+
+  test("q5: all four dimension joins broadcast; fact shuffles at most once") {
+    val plan = planOf(StarQueries.q5NationRevenue(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+    assert(shuffles <= 2, s"fact side should shuffle <=2x (agg), got $shuffles:\n$plan")
+  }
+
+  test("a2: aggregate is partial+final (map-side combine before shuffle)") {
+    val plan = planOf(Assessments.a2UserRollup(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("a1: pre-aggregated join keeps shuffle payload at one row per user") {
+    val plan = planOf(Assessments.a1LifecyclePairs(spark, dir))
+    // both sides aggregate BEFORE the join — look for partial aggregates
+    // upstream of the join, and event_type filters pushed to the scans
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)")
+      || plan.contains("EqualTo(event_type,signup)"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan)
+  }
+
+  test("capture pipeline is one narrow codegen stage (no shuffle)") {
+    // Parquet-backed input (a literal relation would constant-fold away the
+    // whole pipeline into a LocalTableScan and leave nothing to assert on).
+    val raw = graft.Tables.events(spark, dir)
+      .selectExpr("'PRE' hookType", "cast(event_id as string) queryId",
+        "'2.2.0' hiveVersion", "cast(user_id as string) ugiUserName",
+        "true isHs2", "unix_millis(ts) startTimeMs")
+      .selectExpr("hookType", "queryId", "cast(null as string) queryText",
+        "cast(null as string) queryType", "cast(null as string) operationId",
+        "cast(null as string) sessionId", "cast(null as string) threadName",
+        "hiveVersion", "cast(null as string) clientIp",
+        "cast(null as string) hiveInstanceAddress",
+        "cast(null as string) defaultDatabase", "cast(null as string) errorMessage",
+        "cast(null as string) userName", "ugiUserName", "isHs2",
+        "startTimeMs", "cast(0 as long) endTimeMs",
+        "cast(null as string) executionEngine",
+        "cast(array() as array<struct<type:string,name:string>>) entities",
+        "cast(array() as array<struct<engine:string,llap:boolean,ddl:boolean>>) tasks",
+        "map('a','b') conf", "map('k', cast(1 as long)) perf",
+        "cast(null as array<array<map<string,map<string,bigint>>>>) tezCounters",
+        "cast(null as array<array<map<string,map<string,bigint>>>>) mrCounters",
+        "cast(array() as array<string>) jobIds")
+    val out = graft.capture.CapturePipeline.events(raw)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"capture pipeline must not shuffle:\n$plan")
+    // scan + base projection codegen ("*(1)"); the final projection holds
+    // higher-order array functions, which Spark evaluates outside
+    // whole-stage codegen by design — still a single narrow stage.
+    assert(plan.contains("*(1)"), s"capture scan should codegen:\n$plan")
+  }
+
+  test("fused cosine_sim runs inside whole-stage codegen over a real scan") {
+    graft.functions.CosineSimilarity.register(spark)
+    // parquet-backed input — literals would constant-fold the expression away
+    val df = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("cast(embedding as array<double>) v")
+      .selectExpr("cosine_sim(v, v) as sim")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
+    val sims = df.collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9)) // self-similarity
+  }
+
+  test("every oracle-checked query stays under 200 shuffles budget sanity") {
+    // cheap guard against accidental quadratic plans sneaking in
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan.toString
+      val joins = "Join".r.findAllIn(plan).length
+      assert(joins <= 12, s"$name has suspicious join count $joins")
+    }
+  }
+}
