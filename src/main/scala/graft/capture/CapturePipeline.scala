@@ -46,6 +46,7 @@ object CapturePipeline {
   def submittedEvents(raw: DataFrame, localHost: String = "localhost"): DataFrame =
     raw
       .filter(col("hookType") === "PRE")
+      .filter(col("queryId").isNotNull) // O3 null-plan filter (EventLogger.java:138-142)
       .filter(supportedVersion(col("hiveVersion"))) // O2 gate
       .select(
         col("queryId").as("QueryId"),
@@ -89,6 +90,7 @@ object CapturePipeline {
   def completedEvents(raw: DataFrame): DataFrame =
     raw
       .filter(col("hookType").isin("POST", "FAILURE"))
+      .filter(col("queryId").isNotNull) // O3
       .filter(supportedVersion(col("hiveVersion")))
       .select(
         col("queryId").as("QueryId"),

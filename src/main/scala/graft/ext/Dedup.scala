@@ -118,11 +118,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** KMV bottom-k sketch per document via the custom typed aggregator
+    * ([[graft.functions.BottomKSketch]]): mergeable bounded-state sketch —
+    * the shuffle carries at most k hashes per doc however long the text. */
+  def xKmvSketch(s: SparkSession, dir: String): DataFrame =
+    docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(md5(col("shingle")))
+        .as("kmv"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> xDedupExact,
     "x_minhash_signatures" -> xMinhashSignatures,
     "x_minhash_pairs" -> xMinhashPairs,
-    "x_simhash" -> xSimhash
+    "x_simhash" -> xSimhash,
+    "x_kmv_sketch" -> xKmvSketch
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,8 +161,15 @@ object Dedup {
         |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_kmv_sketch" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
+        |SELECT doc_id,
+        |list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8] AS kmv
+        |FROM sh ORDER BY doc_id""".stripMargin
     // x_simhash: bit-level fold — driver records rows-only; pinned by
-    // DedupSpec golden values instead.
+    // ExtSpec golden values instead.
   )
 }

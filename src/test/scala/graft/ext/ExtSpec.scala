@@ -67,6 +67,22 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("bucket").matches("[01]{8}")))
   }
 
+  test("KMV sketch: sorted, distinct, capped at k, merge-consistent") {
+    import spark.implicits._
+    // 20 values into a k=8 sketch across multiple partitions — the result
+    // must equal the global bottom-8 regardless of partial-merge order.
+    val hashes = (1 to 20).map(i => f"$i%02d-hash")
+    val got = spark.sparkContext.parallelize(hashes, 5).toDF("h")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(col("h")).as("kmv"))
+      .head().getSeq[String](0).toList
+    assert(got == hashes.sorted.take(8).toList)
+    // duplicates collapse (set semantics)
+    val dup = Seq("a", "a", "b").toDF("h")
+      .agg(graft.functions.BottomKSketch.bottomK(8)(col("h")).as("kmv"))
+      .head().getSeq[String](0).toList
+    assert(dup == List("a", "b"))
+  }
+
   test("language guess is deterministic and total over the corpus") {
     // NB: the synthetic corpus uses one shared English vocabulary for every
     // lang label, so no text-based classifier can recover the label; the

@@ -66,6 +66,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(!rows.contains((0L, 3L)))
   }
 
+  test("O23/O24 streaming file sink: checkpointed, date-partitioned, resumable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val (out, ckpt) = (s"$base/data", s"$base/ckpt")
+    def ev(id: Long, dayOffset: Int) = graft.model.QueryEvent(
+      QueryId = Some(s"q$id"), EventType = Some("QUERY_COMPLETED"),
+      EndTime = Some(new Timestamp(1671969622334L + dayOffset * 86400000L)))
+    val in = MemoryStream[graft.model.QueryEvent]
+    in.addData(ev(1, 0), ev(2, 1))
+    val q1 = graft.sink.EventSink.writeStream(in.toDF(), out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    // restart from the same checkpoint — exactly-once across restarts
+    in.addData(ev(3, 0))
+    val q2 = graft.sink.EventSink.writeStream(in.toDF(), out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val back = graft.sink.EventSink.read(spark, out)
+    assert(back.count() == 3)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_ == "_spark_metadata").toSet
+    assert(dirs == Set("EventDate=2022-12-25", "EventDate=2022-12-26"))
+  }
+
   test("A7 session_window groups by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
