@@ -236,6 +236,49 @@ object Assessments {
       .orderBy("event_id")
   }
 
+  /** A13 — range join done scale-safe: "clicks in the 10 minutes before
+    * each error, per user". A naive theta join (`c.ts BETWEEN e.ts-10m AND
+    * e.ts`) is a broadcast-nested-loop at scale; instead each click is
+    * tagged into its 10-minute bucket and the one following (explode ×2),
+    * the join is an equi-join on (user_id, bucket), and the exact range
+    * predicate filters the small candidate set. Shuffle is hash-partitioned,
+    * candidates per row are bounded by bucket width — this survives 100 TB
+    * where the theta join cannot. */
+  def a13RangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val win = 600000L // 10 min in ms
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ems"))
+      .withColumn("bucket", (col("ems") / win).cast("long"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("cms"))
+      .withColumn("bucket",
+        explode(array((col("cms") / win).cast("long"),
+          (col("cms") / win).cast("long") + 1)))
+    errors.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        col("cms").isNotNull &&
+          col("cms") >= col("ems") - win && col("cms") < col("ems"))
+      .groupBy("event_id")
+      .agg(sum(when(col("hit"), 1).otherwise(0)).cast("long")
+        .as("clicks_before"))
+      .orderBy("event_id")
+  }
+
+  /** A2 at skew — two-stage salted aggregation: keys are salted into 16
+    * shards for the partial aggregate, then combined. Same result as a
+    * direct groupBy (the oracle proves it); the pattern is what keeps one
+    * hot user from pinning a single reducer at 100 TB. */
+  def a2SaltedRollup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("salt", (col("event_id") % 16).cast("int"))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .groupBy("user_id")
+      .agg(sum("pn").cast("long").as("n_events"),
+        round(sum("pv"), 2).as("sum_value"))
+      .orderBy("user_id")
+
   /** A14 — dedup of replayed events: deterministic first event per
     * (user, type) via ranking (NOT `dropDuplicates`, whose survivor is
     * partition-order dependent). */
@@ -269,6 +312,8 @@ object Assessments {
     "a11_source_parse" -> a11SourceParse,
     "a12_churn_retention" -> a12ChurnRetention,
     "a13_asof_attribution" -> a13AsofAttribution,
+    "a13_range_join" -> a13RangeJoinBucketed,
+    "a2_salted_rollup" -> a2SaltedRollup,
     "a14_dedup_first" -> a14DedupFirst
   )
 
@@ -357,6 +402,16 @@ object Assessments {
         |SELECT event_id, user_id, round(value,2) AS purchase_value,
         |round(lcv,2) AS last_click_value
         |FROM f WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
+    "a13_range_join" ->
+      """SELECT e.event_id,
+        |CAST(count(c.cms) AS BIGINT) AS clicks_before
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ems FROM events WHERE event_type='error') e
+        |LEFT JOIN (SELECT user_id, epoch_ms(ts) AS cms FROM events WHERE event_type='click') c
+        |  ON c.user_id = e.user_id AND c.cms >= e.ems - 600000 AND c.cms < e.ems
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "a2_salted_rollup" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a14_dedup_first" ->
       """SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ts_ms
         |FROM (SELECT user_id, event_type, event_id, ts,

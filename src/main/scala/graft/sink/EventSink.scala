@@ -64,4 +64,28 @@ object EventSink {
     * `filter($"EventDate" === ...)` a caller adds. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** O23/O25 — reference file-naming convention:
+    * `dwhassessment_<ISO-compact-timestamp>_<loggerId>` (reference
+    * DatePartitionedRecordsWriterFactory.java:208-214, prefix
+    * LoggingHookConstants.java:29). Applied as a post-commit rename of the
+    * part files inside each date partition — naming is metadata, so it stays
+    * out of the write hot path; per-file suffix index keeps names unique
+    * within a (timestamp, logger) pair. Returns renamed count. */
+  def applyReferenceNaming(path: String, loggerId: String,
+                           nowMs: Long = System.currentTimeMillis()): Int = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HHmmss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val stamp = fmt.format(java.time.Instant.ofEpochMilli(nowMs))
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("EventDate="))
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getPath)
+    parts.zipWithIndex.count { case (f, i) =>
+      f.renameTo(new java.io.File(f.getParentFile,
+        s"dwhassessment_${stamp}_${loggerId}_$i.parquet"))
+    }
+  }
 }

@@ -51,6 +51,18 @@ class EventSinkSpec extends AnyFunSuite {
     assert(EventSink.read(spark, dir).count() == 10)
   }
 
+  test("O25 reference file naming: dwhassessment_<ts>_<loggerId> (:208-214)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink4").toString
+    EventSink.writeBatch(Seq(ev("q1", 1671969622334L)).toDF().coalesce(1), dir)
+    val n = EventSink.applyReferenceNaming(dir, "a665f132ab", 1671969622334L)
+    assert(n == 1)
+    val names = new java.io.File(s"$dir/EventDate=2022-12-25")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(names.toSeq == Seq("dwhassessment_2022-12-25T120022.334_a665f132ab_0.parquet"))
+    assert(EventSink.read(spark, dir).count() == 1) // still readable
+  }
+
   test("empty partitions produce no directories (no-empty-file golden :86-97)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink3").toString
