@@ -101,6 +101,17 @@ object StarQueries {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-style: highly selective scan-and-sum — lives or dies on
+    * predicate pushdown (all four predicates reach the parquet reader;
+    * zero shuffle, single partial+final agg). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   /** Rollup over the part dimension (A3 at report granularity). */
   def qPartRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -143,6 +154,7 @@ object StarQueries {
     "q3_top_orders" -> q3TopOrders,
     "q4_order_priority" -> q4OrderPriority,
     "q5_nation_revenue" -> q5NationRevenue,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
     "q_part_rollup" -> qPartRollup,
     "q_cube_custnation" -> qCubeCustNation
   )
@@ -183,6 +195,11 @@ object StarQueries {
         |AND r_name = 'ASIA'
         |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_part_rollup" ->
       """SELECT p_brand, p_type, round(avg(p_retailprice),4) AS avg_price, count(*) AS n
         |FROM part GROUP BY ROLLUP(p_brand, p_type)
