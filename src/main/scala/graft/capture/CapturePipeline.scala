@@ -156,6 +156,6 @@ object CapturePipeline {
       .withColumn("Queue", coalesce(col("__yarn_queue"), col("Queue")))
       .withColumn("HiveHostName", coalesce(col("__yarn_host"), col("HiveHostName")))
       .drop("__yarn_host", "__yarn_queue")
-      .select(graft.model.QueryEvent.schema.fieldNames.map(col): _*)
+      .select(graft.model.QueryEvent.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 }

@@ -1,0 +1,52 @@
+package graft.assess
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pinned beyond the DuckDB oracle: sketch error bounds and
+  * cross-query consistency invariants. */
+class AssessmentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  test("A5 sketches: approx within documented error of exact") {
+    val rows = Assessments.a5ApproxSketches(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50a, p50e) = (r.getDouble(1), r.getDouble(2))
+      val (ua, ue) = (r.getLong(3), r.getLong(4))
+      // percentile_approx with accuracy=10000 on 1k rows is near-exact
+      assert(math.abs(p50a - p50e) <= math.max(0.05 * math.abs(p50e), 0.5),
+        s"p50 approx $p50a vs exact $p50e")
+      // HLL++ default rsd = 5%
+      assert(math.abs(ua - ue).toDouble / ue <= 0.15,
+        s"distinct approx $ua vs exact $ue")
+    }
+  }
+
+  test("salted rollup equals direct rollup exactly") {
+    val direct = Assessments.a2UserRollup(spark, dir)
+      .select("user_id", "n_events", "sum_value").collect().map(_.toSeq)
+    val salted = Assessments.a2SaltedRollup(spark, dir).collect().map(_.toSeq)
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("bucketed range join equals naive per-row scan on a sample") {
+    import org.apache.spark.sql.functions._
+    val got = Assessments.a13RangeJoinBucketed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive recomputation for 20 sampled error events
+    val e = graft.Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts").limit(20).collect()
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    errors.foreach { r =>
+      val (id, uid, ts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      val want = clicks.count { case (u, c) => u == uid && c >= ts - 600000 && c < ts }
+      assert(got(id) == want.toLong, s"event $id")
+    }
+  }
+}
