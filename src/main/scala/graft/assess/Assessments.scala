@@ -236,6 +236,28 @@ object Assessments {
       .orderBy("event_id")
   }
 
+  /** A13 via the native [[graft.plans.AsOfJoin]] operator (custom
+    * LogicalPlan + SparkStrategy + SparkPlan): purchases joined to the
+    * user's latest prior-or-equal click with a linear co-partitioned merge —
+    * one shuffle per side, O(1) merge state, vs. the window formulation's
+    * full union sort. Same semantics as `a13_asof_attribution`, different
+    * physical engine; its own oracle hash-checks it. */
+  def a13AsofCustom(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pus"),
+        round(col("value"), 2).as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), unix_micros(col("ts")).as("cus"),
+        col("value").as("click_value"))
+    graft.plans.AsOfJoin.asofJoin(purchases, clicks,
+        "user_id", "c_uid", "pus", "cus")
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        round(col("click_value"), 2).as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   /** A13 — range join done scale-safe: "clicks in the 10 minutes before
     * each error, per user". A naive theta join (`c.ts BETWEEN e.ts-10m AND
     * e.ts`) is a broadcast-nested-loop at scale; instead each click is
@@ -312,6 +334,7 @@ object Assessments {
     "a11_source_parse" -> a11SourceParse,
     "a12_churn_retention" -> a12ChurnRetention,
     "a13_asof_attribution" -> a13AsofAttribution,
+    "a13_asof_custom" -> a13AsofCustom,
     "a13_range_join" -> a13RangeJoinBucketed,
     "a2_salted_rollup" -> a2SaltedRollup,
     "a14_dedup_first" -> a14DedupFirst
@@ -402,6 +425,16 @@ object Assessments {
         |SELECT event_id, user_id, round(value,2) AS purchase_value,
         |round(lcv,2) AS last_click_value
         |FROM f WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
+    "a13_asof_custom" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, round(value,2) AS purchase_value
+        |  FROM events WHERE event_type='purchase'),
+        |c AS (SELECT user_id AS c_uid, epoch_us(ts) AS cus, value AS click_value
+        |  FROM events WHERE event_type='click'),
+        |j AS (SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cus DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.c_uid = p.user_id AND c.cus <= p.pus)
+        |SELECT event_id, user_id, purchase_value, round(click_value,2) AS last_click_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "a13_range_join" ->
       """SELECT e.event_id,
         |CAST(count(c.cms) AS BIGINT) AS clicks_before

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join — the whole-operator custom path (SURVEY.md §7.3 /
+  * builder contract "(c) custom LogicalPlan + Rule + SparkStrategy +
+  * SparkPlan registered via SparkSessionExtensions").
+  *
+  * Semantics: for every left row, attach the latest right row with the same
+  * key whose time is <= the left row's time (nulls if none) — the "config
+  * state as of query time" shape of SURVEY §2.2 A13, and the standard
+  * point-in-time join of feature-store pipelines.
+  *
+  * Physical strategy: both sides hash-partition on the key and sort by
+  * (key, time); each co-partition is merged with one forward walk holding
+  * exactly ONE buffered right row. Compare with the usual alternatives at
+  * 100 TB: a theta join is O(n·m) nested-loop; the union+window trick
+  * (a13_asof_attribution) carries both streams through one giant sort. This
+  * operator does the minimal work: one shuffle each side, linear merge,
+  * O(1) state.
+  *
+  * v1 constraint: key and time expressions must be LongType (the capture
+  * schema's user ids and epoch-millis).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val schema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val toUnsafe = UnsafeProjection.create(schema, schema)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val buffered = rIter.buffered
+      // One buffered right row: the latest right row at or before the
+      // current left row's time for the current key.
+      var heldKey = 0L
+      var held: InternalRow = null
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow).asInstanceOf[Long]
+        val t = lTime.eval(lRow).asInstanceOf[Long]
+        if (held != null && heldKey != k) held = null
+        // advance the right side through every row (key', t') <= (k, t)
+        var advancing = true
+        while (advancing && buffered.hasNext) {
+          val rRow = buffered.head
+          val rk = rKey.eval(rRow).asInstanceOf[Long]
+          val rt = rTime.eval(rRow).asInstanceOf[Long]
+          if (rk < k || (rk == k && rt <= t)) {
+            buffered.next()
+            if (rk == k) { held = rRow.copy(); heldKey = k }
+          } else advancing = false
+        }
+        toUnsafe(joined(lRow, if (held != null) held else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOfJoin {
+  /** Ensure the planner strategy is present on an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val ss = spark.sessionState
+    if (!ss.planner.extraPlanningStrategies.exists(_ eq AsOfJoinStrategy)
+      && !ss.experimentalMethods.extraStrategies.exists(_ eq AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+  }
+
+  /** DataFrame-level entry point: as-of join `left` with `right`, matching
+    * each left row to the latest right row with equal key and
+    * `rightTimeCol <= leftTimeCol`. All four columns must be LongType; give
+    * the right side distinct column names (the joined output is
+    * left.output ++ right.output). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKeyCol: String, rightKeyCol: String,
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def longAttr(p: LogicalPlan, n: String): Attribute = {
+      val a = p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+      require(a.dataType == LongType, s"$n must be LongType, is ${a.dataType}")
+      a
+    }
+    val node = AsOfJoin(lPlan, rPlan,
+      longAttr(lPlan, leftKeyCol), longAttr(rPlan, rightKeyCol),
+      longAttr(lPlan, leftTimeCol), longAttr(rPlan, rightTimeCol))
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, node)
+  }
+}

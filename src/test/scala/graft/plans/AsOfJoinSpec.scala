@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics + plan shape for the custom as-of join operator. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("as-of semantics: latest <= match, key isolation, null when none") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"), (3L, 50L, "t4")
+    ).toDF("key", "t_time", "trade")
+    val quotes = Seq(
+      (1L, 90L, 1.0), (1L, 150L, 2.0), (1L, 201L, 9.0), // 201 is after t2
+      (2L, 150L, 5.0) // exactly-equal time matches
+    ).toDF("q_key", "q_time", "px")
+    val got = AsOfJoin.asofJoin(trades, quotes, "key", "q_key", "t_time", "q_time")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      "t1" -> Some(1.0), // quote@90 is latest <= 100
+      "t2" -> Some(2.0), // quote@150; quote@201 is in the future
+      "t3" -> Some(5.0), // equal timestamps match
+      "t4" -> None)) // key 3 has no quotes
+  }
+
+  test("plan uses AsOfJoinExec with one exchange per side") {
+    import spark.implicits._
+    val l = spark.range(100).selectExpr("id as key", "id * 10 as lt")
+    val r = spark.range(50).selectExpr("id as rkey", "id * 10 as rt")
+    val df = AsOfJoin.asofJoin(l.toDF(), r.toDF(), "key", "rkey", "lt", "rt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // Exec nodes render without suffix
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("agrees with the window-function formulation on the events table") {
+    val a = graft.assess.Assessments
+      .a13AsofAttribution(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    val b = graft.assess.Assessments
+      .a13AsofCustom(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
