@@ -29,10 +29,19 @@ object Dedup {
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
 
-  /** MinHash value for one band seed: min over shingle md5s, keyed so each
-    * band is an independent hash family member. */
+  /** One md5 per distinct shingle; all hash-family members derive from it. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(array_distinct(shingleCol), sh => md5(sh))
+
+  /** MinHash value for band `i`: min over the i-th 8-hex-char chunk of each
+    * shingle's single md5. One digest serves every band (vs. re-hashing with
+    * a per-band salt, which doubles-or-worse the dominant md5 cost — the
+    * 32-bit chunks are independent enough for candidate generation). */
   def minhash(shingleCol: Column, band: Int): Column =
-    array_min(transform(shingleCol, sh => md5(concat(lit(s"b$band#"), sh))))
+    minhashOfHashes(shingleHashes(shingleCol), band)
+
+  def minhashOfHashes(hashes: Column, band: Int): Column =
+    array_min(transform(hashes, h => substring(h, 1 + 8 * band, 8)))
 
   /** Jaccard similarity of two (multi)sets, on distinct elements. */
   def jaccard(a: Column, b: Column): Column =
@@ -43,6 +52,25 @@ object Dedup {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("sh", shingles(col("toks")))
+
+  /** Per-doc signatures via explode + aggregate: md5 evaluated exactly once
+    * per shingle occurrence, band minima as partial aggregates (map-side
+    * combine), the distinct shingle set rebuilt with collect_set. The
+    * array-expression formulation looks cheaper but is not: CollapseProject
+    * inlines the aliased hash-array into every band expression and the whole
+    * shingle+md5 pipeline re-evaluates per band. This shape also carries the
+    * smallest possible shuffle payload at scale. */
+  private def docSignatures(s: SparkSession, dir: String,
+                            bands: Int): DataFrame = {
+    val aggs = collect_set(col("shingle")).as("shd") +:
+      (0 until bands).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"b$i"))
+    docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", md5(col("shingle")))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_sh", size(col("shd")))
+  }
 
   // ---- queries ----------------------------------------------------------
 
@@ -55,15 +83,18 @@ object Dedup {
 
   /** Per-doc MinHash signature (4 bands) — the sketch that downstream LSH
     * passes shuffle instead of text. */
-  def xMinhashSignatures(s: SparkSession, dir: String): DataFrame =
+  def xMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingleHashes(col("sh"))
     docsWithShingles(s, dir)
+      .withColumn("hs", hs)
       .select(
         col("doc_id"),
-        minhash(col("sh"), 0).as("sig0"),
-        minhash(col("sh"), 1).as("sig1"),
-        minhash(col("sh"), 2).as("sig2"),
-        minhash(col("sh"), 3).as("sig3"))
+        minhashOfHashes(col("hs"), 0).as("sig0"),
+        minhashOfHashes(col("hs"), 1).as("sig1"),
+        minhashOfHashes(col("hs"), 2).as("sig2"),
+        minhashOfHashes(col("hs"), 3).as("sig3"))
       .orderBy("doc_id")
+  }
 
   /** MinHash-LSH near-dup candidates: docs sharing the band-0 min-shingle
     * hash, scored with n-gram (shingle-set) Jaccard. The self-join key is the
@@ -124,10 +155,7 @@ object Dedup {
     * near-dup candidate generation sub-linear in corpus pairs at 100 TB
     * (tune bands/rows for the target Jaccard threshold). */
   def xMinhashPairs2Band(s: SparkSession, dir: String): DataFrame = {
-    val sig = docsWithShingles(s, dir)
-      .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
-        minhash(col("sh"), 0).as("b0"), minhash(col("sh"), 1).as("b1"))
-      .withColumn("n_sh", size(col("shd")))
+    val sig = docSignatures(s, dir, 2)
       .repartition(col("b0"), col("b1"))
     val joined = sig.as("a").join(sig.as("b"),
       col("a.b0") === col("b.b0") && col("a.b1") === col("b.b1") &&
@@ -168,17 +196,17 @@ object Dedup {
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
         |SELECT doc_id,
-        |list_min(list_transform(sh, x -> md5('b0#' || x))) AS sig0,
-        |list_min(list_transform(sh, x -> md5('b1#' || x))) AS sig1,
-        |list_min(list_transform(sh, x -> md5('b2#' || x))) AS sig2,
-        |list_min(list_transform(sh, x -> md5('b3#' || x))) AS sig3
+        |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS sig0,
+        |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 9, 8))) AS sig1,
+        |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 17, 8))) AS sig2,
+        |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 25, 8))) AS sig3
         |FROM sh ORDER BY doc_id""".stripMargin,
     "x_minhash_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
         |sig AS (SELECT doc_id, sh,
-        |  list_min(list_transform(sh, x -> md5('b0#' || x))) AS band FROM sh)
+        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
@@ -189,8 +217,8 @@ object Dedup {
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
         |sig AS (SELECT doc_id, sh,
-        |  list_min(list_transform(sh, x -> md5('b0#' || x))) AS b0,
-        |  list_min(list_transform(sh, x -> md5('b1#' || x))) AS b1 FROM sh)
+        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS b0,
+        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 9, 8))) AS b1 FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
