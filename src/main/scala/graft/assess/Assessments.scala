@@ -121,6 +121,18 @@ object Assessments {
       .orderBy("event_type", "rnk")
   }
 
+  /** A6 — distribution ranking: per-user totals bucketed into quartiles
+    * with `ntile` + `percent_rank` (fully tiebroken for determinism). */
+  def a6ValueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("total"), col("user_id"))
+    ev(s, dir)
+      .groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .orderBy("user_id")
+  }
+
   /** A7 — tumbling-window traffic (Spark `window()`; oracle uses the
     * equivalent `date_trunc`). */
   def a7HourlyTraffic(s: SparkSession, dir: String): DataFrame =
@@ -325,6 +337,7 @@ object Assessments {
     "a5_value_percentiles" -> a5ValuePercentiles,
     "a5_approx_sketches" -> a5ApproxSketches,
     "a6_topk_by_type" -> a6TopkByType,
+    "a6_value_quartiles" -> a6ValueQuartiles,
     "a7_hourly_traffic" -> a7HourlyTraffic,
     "a7_sessionize" -> a7Sessionize,
     "a8_daily_running" -> a8DailyRunning,
@@ -372,6 +385,11 @@ object Assessments {
         |SELECT event_type, event_id, value,
         |row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
         |FROM events) WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "a6_value_quartiles" ->
+      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM events GROUP BY 1)
+        |SELECT user_id, total, ntile(4) OVER (ORDER BY total, user_id) AS quartile,
+        |round(percent_rank() OVER (ORDER BY total, user_id), 4) AS pct_rank
+        |FROM t ORDER BY user_id""".stripMargin,
     "a7_hourly_traffic" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |count(*) AS n, round(sum(value),2) AS sum_value

@@ -78,6 +78,25 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding-cosine near-dup detection (the dedup modality for vector
+    * corpora): all pairs above a cosine threshold via the fused native
+    * expression. The corpus side streams, the (small) compare side is
+    * broadcast; at real scale the LSH/IVF bucketing above prunes the
+    * candidate pairs first — this is the in-bucket scorer. */
+  def xEmbeddingNeardup(s: SparkSession, dir: String,
+                        threshold: Double = 0.45): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = emb(s, dir)
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    e.crossJoin(broadcast(b))
+      .filter(col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
+        expr("cosine_sim(v, bv)").as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Centroid of each label class — the "coarse quantizer" side of an IVF
     * index: per-dimension mean via explode+groupBy (shuffles (label, dim,
     * partial-sum) triples, never whole vectors). */
@@ -145,6 +164,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "x_ann_cosine_topk" -> xAnnCosineTopk,
     "x_ann_cosine_fused" -> xAnnCosineFused,
+    "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
     "x_label_centroids" -> xLabelCentroids,
     "x_ivf_assign" -> xIvfAssign,
     "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir))
@@ -161,6 +181,13 @@ object Similarity {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM p)
         |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "x_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 6) AS cosine
+        |FROM p WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
     "x_label_centroids" ->
       """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
