@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.TestSpark
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit semantics + plan shape for the custom as-of join operator. */
@@ -37,6 +38,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan) // Exec nodes render without suffix
     assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("left-only filters push through AsOfJoin; results unchanged") {
+    import spark.implicits._
+    val l = spark.range(1000).selectExpr("id % 10 as key", "id as lt")
+    val r = spark.range(100).selectExpr("id % 10 as rkey", "id as rt")
+    val base = AsOfJoin.asofJoin(l.toDF(), r.toDF(), "key", "rkey", "lt", "rt")
+    val filtered = base.filter(col("lt") < 100)
+    val opt = filtered.queryExecution.optimizedPlan
+    // after PushFilterThroughAsOfJoin the top node is the join, not Filter
+    assert(opt.isInstanceOf[AsOfJoin], s"filter not pushed:\n$opt")
+    val direct = AsOfJoin.asofJoin(
+      l.toDF().filter(col("lt") < 100), r.toDF(), "key", "rkey", "lt", "rt")
+    assert(filtered.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
   test("agrees with the window-function formulation on the events table") {
