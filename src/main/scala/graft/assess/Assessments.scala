@@ -58,7 +58,12 @@ object Assessments {
         count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
         round(sum("value"), 2).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"),
+        // +1e-9 nudge before rounding: sum/count of 2-dp values lands
+        // exactly on x.xxxx5 half-boundaries, where Spark (HALF_UP on the
+        // decimal string) and DuckDB (exact binary) disagree by design. The
+        // nudge is 10^4 larger than any cross-engine float noise, so both
+        // engines consistently round boundary cases up.
+        round(avg("value") + lit(1e-9), 4).as("avg_value"),
         round(max("value"), 2).as("max_value"))
       .orderBy("user_id")
 
@@ -365,7 +370,8 @@ object Assessments {
         |ORDER BY user_id""".stripMargin,
     "a2_user_rollup" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
-        |round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value,
+        |round(sum(value),2) AS sum_value,
+        |round(avg(value) + 1e-9, 4) AS avg_value,
         |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a3_type_daily_rollup" ->
       """SELECT event_type, day, count(*) AS n, round(sum(value),2) AS sum_value

@@ -35,9 +35,10 @@ object StarQueries {
           .as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // +1e-9 nudge before rounding — see a2_user_rollup note
+        round(avg("l_quantity") + lit(1e-9), 4).as("avg_qty"),
+        round(avg("l_extendedprice") + lit(1e-9), 4).as("avg_price"),
+        round(avg("l_discount") + lit(1e-9), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -116,7 +117,8 @@ object StarQueries {
   def qPartRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
       .rollup("p_brand", "p_type")
-      .agg(round(avg("p_retailprice"), 4).as("avg_price"), count(lit(1)).as("n"))
+      .agg(round(avg("p_retailprice") + lit(1e-9), 4).as("avg_price"),
+        count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("p_type"))
 
   /** CUBE over segment × nation (A3 at full granularity lattice); the
@@ -171,8 +173,9 @@ object StarQueries {
         |round(sum(l_extendedprice),2) AS sum_base_price,
         |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
         |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        |round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price,
-        |round(avg(l_discount),4) AS avg_disc, count(*) AS count_order
+        |round(avg(l_quantity) + 1e-9,4) AS avg_qty,
+        |round(avg(l_extendedprice) + 1e-9,4) AS avg_price,
+        |round(avg(l_discount) + 1e-9,4) AS avg_disc, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q3_top_orders" ->
@@ -201,7 +204,8 @@ object StarQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_part_rollup" ->
-      """SELECT p_brand, p_type, round(avg(p_retailprice),4) AS avg_price, count(*) AS n
+      """SELECT p_brand, p_type,
+        |round(avg(p_retailprice) + 1e-9,4) AS avg_price, count(*) AS n
         |FROM part GROUP BY ROLLUP(p_brand, p_type)
         |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin,
     "q_cube_custnation" ->

