@@ -113,6 +113,25 @@ object StarQueries {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
 
+  /** TPC-H Q10-style: top returned-revenue customers with nation attached —
+    * fact⋈fact shuffle plus two broadcast dimensions. */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** Rollup over the part dimension (A3 at report granularity). */
   def qPartRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -157,6 +176,7 @@ object StarQueries {
     "q4_order_priority" -> q4OrderPriority,
     "q5_nation_revenue" -> q5NationRevenue,
     "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q10_returned_revenue" -> q10ReturnedRevenue,
     "q_part_rollup" -> qPartRollup,
     "q_cube_custnation" -> qCubeCustNation
   )
@@ -203,6 +223,13 @@ object StarQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_part_rollup" ->
       """SELECT p_brand, p_type,
         |round(avg(p_retailprice) + 1e-9,4) AS avg_price, count(*) AS n
