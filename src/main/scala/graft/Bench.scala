@@ -9,6 +9,7 @@ object Bench {
     // query isn't charged ~5 s of one-time session cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
+    Tables.events(spark, sfDir).count() // events incl. nanos->ts conversion
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
