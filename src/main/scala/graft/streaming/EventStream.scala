@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming analytics over the live event log (SURVEY.md §2.2 A7/A14 and
   * §2.1 O1/O21): the capture stream consumed incrementally with bounded
@@ -19,6 +20,13 @@ import org.apache.spark.sql.functions._
   * value double`); production would use `spark.readStream.parquet` over the
   * capture sink or a Kafka source — same plan either way.
   */
+/** Typed row for stateful operators. */
+case class EventRow(ts: java.sql.Timestamp, event_id: Long, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Accumulated per-user state/output of [[EventStream.runningUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
 object EventStream {
 
   /** A14 — at-least-once capture dedup with expiring state. */
@@ -37,6 +45,36 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Per-user lifetime counters via `mapGroupsWithState` — the custom-state
+    * escape hatch for logic windows can't express (here: monotone running
+    * totals emitted once per micro-batch per active user). State is one
+    * `UserTotals` per user and is dropped after `idleTimeout` of processing-
+    * time inactivity, so the state store stays bounded by the active-user
+    * working set, not lifetime cardinality. */
+  def runningUserTotals(events: Dataset[EventRow],
+                        idleTimeout: String = "1 hour"): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[EventRow], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+            val evs = batch.toSeq
+            val next = UserTotals(uid, prev.n_events + evs.size,
+              math.rint((prev.sum_value + evs.map(_.value).sum) * 100) / 100)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            next
+          }
+      }
+  }
 
   /** A7 — native session windows (30-min gap), the streaming twin of the
     * batch gaps-and-islands `a7_sessionize`. State per open session only. */

@@ -66,6 +66,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(!rows.contains((0L, 3L)))
   }
 
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // In this environment stateful queries schedule no-data micro-batches
+    // continuously, which livelocks processAllAvailable — disable them.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val in = MemoryStream[EventRow]
+    val q = EventStream.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+    try {
+      in.addData(EventRow(t(0), 1L, 7L, "click", 1.5),
+        EventRow(t(1), 2L, 7L, "view", 2.5))
+      q.processAllAvailable()
+      in.addData(EventRow(t(2), 3L, 7L, "click", 4.0),
+        EventRow(t(3), 4L, 8L, "click", 1.0))
+      q.processAllAvailable()
+    } finally { q.stop(); spark.conf.set(key, prev) }
+    val rows = spark.table("totals_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 7: first batch (2, 4.0), second batch accumulates to (3, 8.0)
+    assert(rows.contains((7L, 2L, 4.0)))
+    assert(rows.contains((7L, 3L, 8.0)))
+    assert(rows.contains((8L, 1L, 1.0)))
+  }
+
   test("O23/O24 streaming file sink: checkpointed, date-partitioned, resumable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
