@@ -253,6 +253,18 @@ object Assessments {
       .orderBy("event_id")
   }
 
+  /** A12 — multiset set-op: per-type event surplus of day 1 over day 2
+    * (`exceptAll` keeps multiplicity; the grouped count makes the result
+    * deterministic). */
+  def a12ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    def day(d: String) =
+      e.filter(date_format(col("ts"), "yyyy-MM-dd") === d).select("event_type")
+    day("2024-01-01").exceptAll(day("2024-01-02"))
+      .groupBy("event_type").agg(count(lit(1)).as("surplus"))
+      .orderBy("event_type")
+  }
+
   /** A13 via the native [[graft.plans.AsOfJoin]] operator (custom
     * LogicalPlan + SparkStrategy + SparkPlan): purchases joined to the
     * user's latest prior-or-equal click with a linear co-partitioned merge —
@@ -351,6 +363,7 @@ object Assessments {
     "a11_error_cohorts" -> a11ErrorCohorts,
     "a11_source_parse" -> a11SourceParse,
     "a12_churn_retention" -> a12ChurnRetention,
+    "a12_except_all" -> a12ExceptAll,
     "a13_asof_attribution" -> a13AsofAttribution,
     "a13_asof_custom" -> a13AsofCustom,
     "a13_range_join" -> a13RangeJoinBucketed,
@@ -449,6 +462,12 @@ object Assessments {
         |SELECT event_id, user_id, round(value,2) AS purchase_value,
         |round(lcv,2) AS last_click_value
         |FROM f WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
+    "a12_except_all" ->
+      """SELECT event_type, count(*) AS surplus FROM (
+        |  SELECT event_type FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'
+        |  EXCEPT ALL
+        |  SELECT event_type FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a13_asof_custom" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, round(value,2) AS purchase_value
         |  FROM events WHERE event_type='purchase'),

@@ -77,6 +77,18 @@ object TextOps {
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Normalization pipeline (the canonicalization step before exact dedup):
+    * lowercase → strip non-alphanumerics → collapse whitespace → trim, plus
+    * the content hash of the normal form. */
+  def xDocNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), length(norm).as("norm_len"),
+        md5(norm).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID accuracy vs. the labeled `lang` column — exercises the
     * heuristic classifier end-to-end and aggregates a confusion summary. */
   def xLangIdConfusion(s: SparkSession, dir: String): DataFrame =
@@ -90,6 +102,7 @@ object TextOps {
     "x_lang_stats" -> xLangStats,
     "x_text_quality" -> xTextQuality,
     "x_token_count" -> xTokenCount,
+    "x_doc_normalize" -> xDocNormalize,
     "x_langid_confusion" -> xLangIdConfusion
   )
 
@@ -108,6 +121,11 @@ object TextOps {
     "x_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
         |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_doc_normalize" ->
+      """SELECT doc_id,
+        |length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len,
+        |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin
     // x_langid_confusion: heuristic classifier — driver records rows-only.
   )
