@@ -10,15 +10,31 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
     Tables.events(spark, sfDir).count() // events incl. nanos->ts conversion
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // toRdd.count() materializes every output column of the final plan
+      // (unlike df.count(), which lets Catalyst prune the projection and
+      // under-measure); errors surface in the JSON instead of vanishing.
+      val err =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e.toString.linesIterator.next())
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -169,13 +169,16 @@ object Dedup {
 
   /** KMV bottom-k sketch per document via the custom typed aggregator
     * ([[graft.functions.BottomKSketch]]): mergeable bounded-state sketch —
-    * the shuffle carries at most k hashes per doc however long the text. */
+    * the shuffle carries at most k hashes per doc however long the text.
+    * Emitted as a comma-joined scalar so the driver compare (pandas sort)
+    * can hash it — array-typed output columns crash lexsort. */
   def xKmvSketch(s: SparkSession, dir: String): DataFrame =
     docsWithShingles(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
       .groupBy("doc_id")
       .agg(graft.functions.BottomKSketch.bottomK(8)(md5(col("shingle")))
-        .as("kmv"))
+        .as("kmv_arr"))
+      .select(col("doc_id"), array_join(col("kmv_arr"), ",").as("kmv"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
@@ -229,7 +232,7 @@ object Dedup {
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
         |SELECT doc_id,
-        |list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8] AS kmv
+        |array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS kmv
         |FROM sh ORDER BY doc_id""".stripMargin
     // x_simhash: bit-level fold — driver records rows-only; pinned by
     // ExtSpec golden values instead.

@@ -100,12 +100,17 @@ object Multimodal {
         col("fingerprint"))
       .orderBy("asset_id")
 
-  /** Rows-only: full decoded-feature set incl. histogram/mean (stub-decode
-    * outputs, pinned by MultimodalSpec goldens). */
+  /** Full decoded-feature set incl. histogram/mean. The stub decode is
+    * byte-value identity, so DuckDB can reproduce it from hex(encode(text));
+    * the histogram is comma-joined to a scalar (array columns crash the
+    * driver's pandas sort) and the mean gets the +1e-9 half-boundary nudge
+    * on both sides. */
   def xMediaHistograms(s: SparkSession, dir: String): DataFrame =
     features(assets(s, dir))
-      .select(col("asset_id"), round(col("mean_byte"), 4).as("mean_byte"),
-        col("histogram"))
+      .select(col("asset_id"),
+        round(col("mean_byte") + lit(1e-9), 4).as("mean_byte"),
+        array_join(col("histogram").cast("array<string>"), ",")
+          .as("histogram"))
       .orderBy("asset_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,7 +125,22 @@ object Multimodal {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames,
         |md5(text) AS fingerprint
-        |FROM documents ORDER BY asset_id""".stripMargin
-    // x_media_histograms: stub-decode output — rows-only, MultimodalSpec.
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // Stub decode = unsigned byte values of the UTF-8 text, so the mean is
+    // the byte average and bucket v/16 is the high hex nibble of each byte.
+    "x_media_histograms" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |nib AS (SELECT doc_id, n,
+        |  list_transform(range(1, n + 1),
+        |    i -> strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) AS hi,
+        |  list_transform(range(1, n + 1),
+        |    i -> strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS lo
+        |  FROM h)
+        |SELECT doc_id AS asset_id,
+        |round((16.0 * list_sum(hi) + list_sum(lo)) / n + 1e-9, 4) AS mean_byte,
+        |array_to_string(list_transform(range(0, 16),
+        |  j -> CAST(len(list_filter(hi, x -> x = j)) AS VARCHAR)), ',') AS histogram
+        |FROM nib ORDER BY asset_id""".stripMargin
   )
 }

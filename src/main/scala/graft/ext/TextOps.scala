@@ -126,7 +126,16 @@ object TextOps {
       """SELECT doc_id,
         |length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len,
         |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // x_langid_confusion: heuristic classifier — driver records rows-only.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same CASE chain as langGuess; RE2 spells the CJK range \x{..}-\x{..}.
+    "x_langid_confusion" ->
+      """SELECT lang,
+        |CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |     WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+        |     WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |     WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+        |     ELSE 'en' END AS guess,
+        |count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -72,20 +72,30 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val buffered = rIter.buffered
+      // A null key/time would otherwise unbox to 0L and silently join the
+      // row as key/time 0 — fail loudly instead (merge order is undefined
+      // for nulls).
+      def evalLong(e: Expression, row: InternalRow, what: String): Long =
+        e.eval(row) match {
+          case null =>
+            throw new NullPointerException(
+              s"as-of join: null $what value (expr: ${e.sql})")
+          case v => v.asInstanceOf[Long]
+        }
       // One buffered right row: the latest right row at or before the
       // current left row's time for the current key.
       var heldKey = 0L
       var held: InternalRow = null
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
+        val k = evalLong(lKey, lRow, "left key")
+        val t = evalLong(lTime, lRow, "left time")
         if (held != null && heldKey != k) held = null
         // advance the right side through every row (key', t') <= (k, t)
         var advancing = true
         while (advancing && buffered.hasNext) {
           val rRow = buffered.head
-          val rk = rKey.eval(rRow).asInstanceOf[Long]
-          val rt = rTime.eval(rRow).asInstanceOf[Long]
+          val rk = evalLong(rKey, rRow, "right key")
+          val rt = evalLong(rTime, rRow, "right time")
           if (rk < k || (rk == k && rt <= t)) {
             buffered.next()
             if (rk == k) { held = rRow.copy(); heldKey = k }

@@ -99,6 +99,18 @@ class PlanSpec extends AnyFunSuite {
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9)) // self-similarity
   }
 
+  test("cosine_sim rejects length-mismatched vectors") {
+    graft.functions.CosineSimilarity.register(spark)
+    // parquet-backed so it exercises the codegen path, not just eval
+    val df = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("cast(embedding as array<double>) v")
+      .selectExpr("cosine_sim(v, slice(v, 1, 3)) as sim")
+    val e = intercept[Throwable] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length mismatch")), e.toString)
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

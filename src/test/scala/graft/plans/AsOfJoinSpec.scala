@@ -55,6 +55,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("null key/time fails loudly instead of joining as 0") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L)), (None, Some(200L)))
+      .toDF("key", "lt")
+    val r = Seq((1L, 90L, 1.0)).toDF("rkey", "rt", "px")
+    val e = intercept[org.apache.spark.SparkException] {
+      AsOfJoin.asofJoin(l, r, "key", "rkey", "lt", "rt").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null left key")), e.getMessage)
+  }
+
   test("agrees with the window-function formulation on the events table") {
     val a = graft.assess.Assessments
       .a13AsofAttribution(spark, TestSpark.Sf0001).collect().map(_.toSeq)
