@@ -2,6 +2,11 @@ package graft.sink
 
 import java.io.File
 import java.sql.Timestamp
+import java.time.{Clock, Duration, Instant, ZoneOffset}
+import java.time.format.DateTimeFormatterBuilder
+import java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+import java.time.temporal.ChronoField.{HOUR_OF_DAY, MINUTE_OF_HOUR, NANO_OF_SECOND, SECOND_OF_MINUTE}
+import java.time.temporal.ChronoUnit
 
 import scala.jdk.CollectionConverters._
 
@@ -11,7 +16,6 @@ import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
 
 /** True Avro object-container output for the event log — byte-level parity
   * with the reference sink's format (RecordsWriter.java:35-60 writes Avro
@@ -24,12 +28,34 @@ import org.apache.spark.sql.functions._
   * files `dwhassessment_<ISO-compact-ts>_<loggerId>_<partition>.avro`.
   * Each Spark partition writes one file per day it touches — the
   * parallel-writer generalization of the reference's single writer thread.
+  * No repartition: a day's rows may span many tasks (filenames carry the
+  * partition id, so writers never collide), which keeps the write as wide as
+  * the upstream — hash-partitioning on the day key would funnel an entire
+  * day through ONE task at cluster scale.
   */
 object AvroEventSink {
 
-  /** Avro schema mirroring `QueryEvents.avsc`: all fields nullable unions
-    * with null default; arrays of string; timestamps as
-    * `long(timestamp-millis)`. */
+  /** File-name timestamp format — reference
+    * DatePartitionedRecordsWriterFactory.LOG_TIME_FORMAT (`:53-64`): ISO
+    * date, 'T', HHmm, optional seconds, optional decimal fraction with
+    * trailing zeros stripped. */
+  val LogTimeFormat = new DateTimeFormatterBuilder()
+    .parseCaseInsensitive()
+    .append(ISO_LOCAL_DATE)
+    .appendLiteral('T')
+    .appendValue(HOUR_OF_DAY, 2)
+    .appendValue(MINUTE_OF_HOUR, 2)
+    .optionalStart()
+    .appendValue(SECOND_OF_MINUTE, 2)
+    .optionalStart()
+    .appendFraction(NANO_OF_SECOND, 0, 9, true)
+    .toFormatter()
+
+  /** Avro schema mirroring `QueryEvents.avsc`: scalar fields are nullable
+    * unions with null default; array fields are NON-null single-branch
+    * unions with default `[]` (QueryEvents.avsc:107-146 — a strict reader
+    * validating against the published schema sees the same union shapes);
+    * timestamps as `long(timestamp-millis)`. */
   lazy val avroSchema: Schema = {
     val timestampMillis = org.apache.avro.LogicalTypes.timestampMillis()
       .addToSchema(Schema.create(Schema.Type.LONG))
@@ -43,24 +69,46 @@ object AvroEventSink {
             .unionOf().nullType().and().`type`(timestampMillis).endUnion()
             .nullDefault()
         case "array" =>
-          fields = fields.name(f.name).`type`().optional()
-            .array().items().stringType()
+          fields = fields.name(f.name).`type`()
+            .unionOf().array().items().stringType().endUnion()
+            .arrayDefault(java.util.Collections.emptyList[AnyRef]())
       }
     }
     fields.endRecord()
   }
 
+  private lazy val arrayFieldNames: Set[String] =
+    QueryEvent.schema.fields.filter(_.dataType.typeName == "array")
+      .map(_.name).toSet
+
+  private[sink] def toRecord(row: Row, names: Array[String],
+                             schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    names.foreach { n =>
+      val v = row.get(row.fieldIndex(n)) match {
+        case null =>
+          // arrays are non-nullable with default [] in the reference schema
+          if (arrayFieldNames(n)) new java.util.ArrayList[AnyRef]() else null
+        case t: Timestamp => java.lang.Long.valueOf(t.getTime)
+        case seq: scala.collection.Seq[_] => seq.asJava
+        case other => other
+      }
+      rec.put(n, v)
+    }
+    rec
+  }
+
   /** Write the event DataFrame as date-partitioned Avro container files.
-    * Returns nothing; files land under `path/<yyyy-MM-dd>/`. */
+    * Returns nothing; files land under `path/<yyyy-MM-dd>/`. Partitioned by
+    * the rows' own event dates (batch dual of the clock-driven
+    * [[DatePartitionedAvroWriter]]); parallelism = upstream partitions. */
   def write(events: DataFrame, path: String, loggerId: String,
             nowMs: Long = System.currentTimeMillis()): Unit = {
-    val schemaJson = avroSchema.toString // Schema is not serializable pre-1.9 style; ship JSON
+    val schemaJson = avroSchema.toString // ship as JSON; Schema isn't serializable
     val names = QueryEvent.schema.fieldNames
-    val stamp = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd'T'HHmmss.SSS").withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochMilli(nowMs))
+    val stamp = LogTimeFormat.format(
+      Instant.ofEpochMilli(nowMs).atOffset(ZoneOffset.UTC))
     EventSink.withEventDate(events)
-      .repartition(col("EventDate")) // co-locate a day's rows per task
       .foreachPartition { rows: Iterator[Row] =>
         val schema = new Schema.Parser().parse(schemaJson)
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -75,17 +123,8 @@ object AvroEventSink {
               new File(dir, s"dwhassessment_${stamp}_${loggerId}_$pid.avro"))
           })
         rows.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          names.foreach { n =>
-            val v = row.get(row.fieldIndex(n)) match {
-              case null => null
-              case t: Timestamp => java.lang.Long.valueOf(t.getTime)
-              case seq: scala.collection.Seq[_] => seq.asJava
-              case other => other
-            }
-            rec.put(n, v)
-          }
-          writerFor(row.getAs[String]("EventDate")).append(rec)
+          writerFor(row.getAs[String]("EventDate"))
+            .append(toRecord(row, names, schema))
         }
         writers.values.foreach(_.close())
       }
@@ -98,5 +137,68 @@ object AvroEventSink {
       file, new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.toList
     finally reader.close()
+  }
+}
+
+/** Clock-driven date-partitioned Avro writer — the long-running-process dual
+  * of the batch sink, with the reference's exact rollover policy
+  * (DatePartitionedRecordsWriterFactory.java:196-202):
+  *
+  *  - next rollover = min(now + interval, truncated to whole minutes;
+  *    start of the next UTC day) — a file never spans midnight;
+  *  - files open lazily on the first write after a rollover (closing without
+  *    writing leaves NO empty files);
+  *  - the target directory is the CLOCK's current UTC date at open time,
+  *    file name `dwhassessment_<LOG_TIME_FORMAT now>_<loggerId>.avro`.
+  *
+  * One instance per writer thread/partition; pass a distinct `loggerId` (or
+  * suffix) per writer when several run against one directory tree.
+  */
+class DatePartitionedAvroWriter(
+    basePath: File,
+    schema: Schema,
+    clock: Clock,
+    loggerId: String,
+    rolloverInterval: Duration) {
+
+  private var rolloverTime: Instant = calculateNextRolloverTime()
+  private var current: DataFileWriter[GenericRecord] = null
+
+  /** Reference `calculateNextRolloverTime` (`:196-202`). */
+  private def calculateNextRolloverTime(): Instant = {
+    val now = clock.instant()
+    val nextRollover = now.plus(rolloverInterval).truncatedTo(ChronoUnit.MINUTES)
+    val nextDay = now.plus(1, ChronoUnit.DAYS).truncatedTo(ChronoUnit.DAYS)
+    if (nextRollover.isBefore(nextDay)) nextRollover else nextDay
+  }
+
+  private def shouldRollover: Boolean = clock.instant().isAfter(rolloverTime)
+
+  private def openWriter(): DataFileWriter[GenericRecord] = {
+    val now = clock.instant().atOffset(ZoneOffset.UTC)
+    val dir = new File(basePath, ISO_LOCAL_DATE.format(now.toLocalDate))
+    dir.mkdirs()
+    val name =
+      s"dwhassessment_${AvroEventSink.LogTimeFormat.format(now)}_$loggerId.avro"
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir, name))
+  }
+
+  /** Append one record, rolling the file over first if the clock passed the
+    * rollover time (reference `write` + `maybeRolloverWriter`, `:98-133`). */
+  def write(rec: GenericRecord): Unit = {
+    if (shouldRollover) {
+      close()
+      rolloverTime = calculateNextRolloverTime()
+    }
+    if (current == null) current = openWriter()
+    current.append(rec)
+    current.flush()
+  }
+
+  def close(): Unit = {
+    if (current != null) current.close()
+    current = null
   }
 }

@@ -22,6 +22,28 @@ class AvroEventSinkSpec extends AnyFunSuite {
     assert(QueryEvent.schema.fieldNames.forall(n => s.getField(n) != null))
   }
 
+  test("array fields are non-null single-branch unions with default []") {
+    // reference QueryEvents.avsc:107-146 — arrays are NOT nullable
+    import org.apache.avro.Schema.Type
+    val s = AvroEventSink.avroSchema
+    val arrays = QueryEvent.schema.fields
+      .filter(_.dataType.typeName == "array").map(_.name)
+    assert(arrays.nonEmpty)
+    arrays.foreach { n =>
+      val f = s.getField(n)
+      assert(f.schema().getType == Type.UNION, s"$n not a union")
+      val branches = f.schema().getTypes
+      assert(branches.size() == 1 && branches.get(0).getType == Type.ARRAY,
+        s"$n union is $branches, want single array branch")
+      assert(f.hasDefaultValue && f.defaultVal()
+        .isInstanceOf[java.util.List[_]], s"$n default must be []")
+      assert(f.defaultVal().asInstanceOf[java.util.List[_]].isEmpty)
+    }
+    // scalar fields stay null-first nullable unions
+    val st = s.getField("QueryId").schema()
+    assert(st.getType == Type.UNION && st.getTypes.get(0).getType == Type.NULL)
+  }
+
   test("write + read-back: reference dir layout, file names, values") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_avro").toString
@@ -52,5 +74,124 @@ class AvroEventSinkSpec extends AnyFunSuite {
     assert(byId("q1").get("EndTime") == 1671969622334L)
     assert(byId("q1").get("TablesRead").toString.contains("db@t1"))
     assert(byId("q2").get("StartTime") == null)
+    // non-null array schema: an absent array round-trips as [], not null
+    assert(byId("q2").get("TablesRead").toString == "[]")
+  }
+
+  test("one day across many partitions writes in parallel (no day funnel)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_avro_par").toString
+    val events = (1 to 64).map { i =>
+      QueryEvent(QueryId = Some(s"q$i"),
+        EndTime = Some(new Timestamp(1671969622334L)))
+    }.toDF().repartition(8)
+    AvroEventSink.write(events, base, "par", 1671969622334L)
+    val files = new File(s"$base/2022-12-25").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    // a single day must NOT collapse to one writer task
+    assert(files.length > 1, s"expected parallel writers, got ${files.length}")
+    assert(files.flatMap(AvroEventSink.readRecords).length == 64)
+  }
+}
+
+/** Clock-driven rollover goldens — the four reference cases
+  * (DatePartitionedRecordsWriterFactoryTest.java:86-165) against
+  * [[DatePartitionedAvroWriter]] with a tickable fixed clock. */
+class RolloverWriterSpec extends AnyFunSuite {
+  import java.time.{Clock, Duration, Instant, ZoneId, ZoneOffset}
+
+  /** Reference TickableFixedClock (`Test.java:213-239`). */
+  final class TickableClock(var now: Instant) extends Clock {
+    override def getZone: ZoneId = ZoneOffset.UTC
+    override def withZone(zone: ZoneId): Clock = this
+    override def instant(): Instant = now
+    def tick(d: Duration): Unit = now = now.plusNanos(d.toNanos)
+  }
+
+  private val T0 = Instant.parse("2022-12-25T12:00:22.3344Z")
+
+  private def newWriter(base: File, clock: Clock) =
+    new DatePartitionedAvroWriter(base, AvroEventSink.avroSchema, clock,
+      "a665f132", Duration.ofMinutes(30))
+
+  private def rec(id: String) = {
+    val r = new org.apache.avro.generic.GenericData.Record(AvroEventSink.avroSchema)
+    r.put("QueryId", id)
+    AvroEventSink.avroSchema.getFields.forEach { f =>
+      if (f.schema().getType == org.apache.avro.Schema.Type.UNION &&
+        f.schema().getTypes.get(0).getType == org.apache.avro.Schema.Type.ARRAY)
+        r.put(f.name(), new java.util.ArrayList[AnyRef]())
+    }
+    r
+  }
+
+  private def filesIn(dir: File): Array[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).filter(_.getName.endsWith(".avro"))
+
+  test("same rollover window appends to the same file") {
+    val base = Files.createTempDirectory("roll1").toFile
+    val clock = new TickableClock(T0)
+    val w = newWriter(base, clock)
+    w.write(rec("id1"))
+    clock.tick(Duration.ofMinutes(10))
+    w.write(rec("id2"))
+    w.close()
+    val fs = filesIn(new File(base, "2022-12-25"))
+    assert(fs.map(_.getName).toSet ==
+      Set("dwhassessment_2022-12-25T120022.3344_a665f132.avro"))
+    assert(AvroEventSink.readRecords(fs.head)
+      .map(_.get("QueryId").toString) == Seq("id1", "id2"))
+  }
+
+  test("past the rollover interval opens a second file") {
+    val base = Files.createTempDirectory("roll2").toFile
+    val clock = new TickableClock(T0)
+    val w = newWriter(base, clock)
+    w.write(rec("id1"))
+    clock.tick(Duration.ofMinutes(31))
+    w.write(rec("id2"))
+    w.close()
+    val fs = filesIn(new File(base, "2022-12-25"))
+    assert(fs.map(_.getName).toSet == Set(
+      "dwhassessment_2022-12-25T120022.3344_a665f132.avro",
+      "dwhassessment_2022-12-25T123122.3344_a665f132.avro"))
+    val byFile = fs.sortBy(_.getName).map(f =>
+      AvroEventSink.readRecords(f).map(_.get("QueryId").toString))
+    assert(byFile.toSeq == Seq(Seq("id1"), Seq("id2")))
+  }
+
+  test("day change moves the directory") {
+    val base = Files.createTempDirectory("roll3").toFile
+    val clock = new TickableClock(T0)
+    val w = newWriter(base, clock)
+    w.write(rec("id1"))
+    clock.tick(Duration.ofDays(1))
+    w.write(rec("id2"))
+    w.close()
+    assert(filesIn(new File(base, "2022-12-25")).map(_.getName).toSet ==
+      Set("dwhassessment_2022-12-25T120022.3344_a665f132.avro"))
+    assert(filesIn(new File(base, "2022-12-26")).map(_.getName).toSet ==
+      Set("dwhassessment_2022-12-26T120022.3344_a665f132.avro"))
+  }
+
+  test("closing without writing leaves no files") {
+    val base = Files.createTempDirectory("roll4").toFile
+    val w = newWriter(base, new TickableClock(T0))
+    w.close()
+    assert(Option(base.listFiles()).getOrElse(Array.empty).isEmpty)
+  }
+
+  test("rollover never crosses midnight even with a long interval") {
+    // policy: min(now + interval, next UTC midnight) — ref :196-202
+    val base = Files.createTempDirectory("roll5").toFile
+    val clock = new TickableClock(Instant.parse("2022-12-25T23:50:00Z"))
+    val w = new DatePartitionedAvroWriter(base, AvroEventSink.avroSchema,
+      clock, "a665f132", Duration.ofHours(6))
+    w.write(rec("id1"))
+    clock.tick(Duration.ofMinutes(20)) // 00:10 next day — before 05:50
+    w.write(rec("id2"))
+    w.close()
+    assert(filesIn(new File(base, "2022-12-25")).length == 1)
+    assert(filesIn(new File(base, "2022-12-26")).length == 1)
   }
 }
