@@ -53,23 +53,63 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("sh", shingles(col("toks")))
 
-  /** Per-doc signatures via explode + aggregate: md5 evaluated exactly once
-    * per shingle occurrence, band minima as partial aggregates (map-side
-    * combine), the distinct shingle set rebuilt with collect_set. The
-    * array-expression formulation looks cheaper but is not: CollapseProject
-    * inlines the aliased hash-array into every band expression and the whole
-    * shingle+md5 pipeline re-evaluates per band. This shape also carries the
-    * smallest possible shuffle payload at scale. */
+  /** Per-doc band signatures via explode + aggregate: md5 evaluated exactly
+    * once per distinct shingle, band minima as partial aggregates (map-side
+    * combine). The shuffle payload is FIXED WIDTH — (doc_id, count, 8 chars
+    * per band) — never the shingle set itself; at 100 TB the groupBy
+    * exchanges a few dozen bytes per document regardless of text length.
+    * (The array-expression formulation looks cheaper but is not:
+    * CollapseProject inlines the aliased hash-array into every band
+    * expression and the whole shingle+md5 pipeline re-evaluates per band.) */
   private def docSignatures(s: SparkSession, dir: String,
                             bands: Int): DataFrame = {
-    val aggs = collect_set(col("shingle")).as("shd") +:
+    val aggs = count(lit(1)).as("n_sh") +:
       (0 until bands).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"b$i"))
     docsWithShingles(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
       .withColumn("h", md5(col("shingle")))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("n_sh", size(col("shd")))
+  }
+
+  /** Exact-Jaccard scoring of an LSH candidate-pair set: re-shingle ONLY the
+    * documents that survived candidate generation (a broadcast semi-join
+    * prunes the corpus scan before any shingling), then score pairs with two
+    * broadcast joins. Candidate counts are sub-linear in corpus size by LSH
+    * design, so the quadratic work and the text arrays stay O(|pairs|) —
+    * the full corpus never ships shingle sets through a shuffle. */
+  private def scoreExactJaccard(s: SparkSession, dir: String,
+                                pairs: DataFrame): DataFrame = {
+    val involved = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val docsSmall = Tables.load(s, dir, "documents")
+      .join(broadcast(involved), "doc_id") // prune BEFORE shingling
+      .select(col("doc_id"),
+        array_distinct(shingles(split(col("text"), " "))).as("shd"))
+    val inter = size(array_intersect(col("sa.shd"), col("sb.shd"))).cast("double")
+    pairs
+      .join(broadcast(docsSmall.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(docsSmall.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / (size(col("sa.shd")) + size(col("sb.shd")) - inter), 4)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH candidate pairs + exact verification for `bands` shared minhash
+    * bands. Candidate generation is an equi-join on the band signature
+    * (fixed-width shuffle, bucket-local quadratics); scoring touches only
+    * surviving docs. */
+  private def lshPairs(s: SparkSession, dir: String, bands: Int): DataFrame = {
+    val bandCols = (0 until bands).map(i => col(s"b$i"))
+    val sig = docSignatures(s, dir, bands)
+      .repartition(bandCols: _*) // explicit exchange → reused across branches
+    val cond = (0 until bands)
+      .map(i => col(s"a.b$i") === col(s"b.b$i"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    val pairs = sig.as("a").join(sig.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    scoreExactJaccard(s, dir, pairs)
   }
 
   // ---- queries ----------------------------------------------------------
@@ -99,28 +139,12 @@ object Dedup {
   /** MinHash-LSH near-dup candidates: docs sharing the band-0 min-shingle
     * hash, scored with n-gram (shingle-set) Jaccard. The self-join key is the
     * band signature, so candidate generation is an equi-join (one shuffle on
-    * a 32-char key) and the O(bucket²) comparison never leaves a bucket.
-    *
-    * Plan notes for scale: both join branches are the *identical* plan
-    * (aliased, not re-projected), so Catalyst's ReuseExchange computes the
-    * shingling+md5 once and replays the shuffle for the other side; the
-    * distinct shingle set + its size are precomputed per doc (map-side), and
-    * |A∪B| is derived as |A|+|B|−|A∩B| instead of materializing the union
-    * array per pair. */
-  def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = docsWithShingles(s, dir)
-      .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
-        minhash(col("sh"), 0).as("band"))
-      .withColumn("n_sh", size(col("shd")))
-      .repartition(col("band")) // explicit exchange → reused across branches
-    val joined = sig.as("a").join(sig.as("b"),
-      col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-    val inter = size(array_intersect(col("a.shd"), col("b.shd"))).cast("double")
-    joined
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter / (col("a.n_sh") + col("b.n_sh") - inter), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+    * a fixed-width key, reused across both branches by ReuseExchange) and
+    * the O(bucket²) comparison never leaves a bucket; exact scoring then
+    * re-shingles only the docs present in a candidate pair
+    * ([[scoreExactJaccard]]). */
+  def xMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir, bands = 1)
 
   /** SimHash (64-bit, emitted as 16 hex chars): per token take the top 64
     * bits of its md5; per bit position sum ±1 over tokens; sign → fingerprint
@@ -154,18 +178,8 @@ object Dedup {
     * probability (330 vs 10.6k pairs at sf0.1), which is the knob that keeps
     * near-dup candidate generation sub-linear in corpus pairs at 100 TB
     * (tune bands/rows for the target Jaccard threshold). */
-  def xMinhashPairs2Band(s: SparkSession, dir: String): DataFrame = {
-    val sig = docSignatures(s, dir, 2)
-      .repartition(col("b0"), col("b1"))
-    val joined = sig.as("a").join(sig.as("b"),
-      col("a.b0") === col("b.b0") && col("a.b1") === col("b.b1") &&
-        col("a.doc_id") < col("b.doc_id"))
-    val inter = size(array_intersect(col("a.shd"), col("b.shd"))).cast("double")
-    joined
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter / (col("a.n_sh") + col("b.n_sh") - inter), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+  def xMinhashPairs2Band(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir, bands = 2)
 
   /** KMV bottom-k sketch per document via the custom typed aggregator
     * ([[graft.functions.BottomKSketch]]): mergeable bounded-state sketch —
