@@ -79,20 +79,38 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup detection (the dedup modality for vector
-    * corpora): all pairs above a cosine threshold via the fused native
-    * expression. The corpus side streams, the (small) compare side is
-    * broadcast; at real scale the LSH/IVF bucketing above prunes the
-    * candidate pairs first — this is the in-bucket scorer. */
+    * corpora), LSH-bucketed: the 8 hyperplane sign bits are split into
+    * `bands` bands of `rowsPerBand` bits; a pair is a candidate iff it
+    * shares ALL bits of at least one band (standard OR-amplification — add
+    * bands to raise recall, rows to cut candidates). Candidate generation is
+    * an equi-join per band on a fixed-width key, the quadratic scoring never
+    * leaves a bucket, and NOTHING broadcasts the corpus — at 100 TB each
+    * band is one shuffle of (key, id, vector) and bucket-local compare.
+    * Scoring uses the fused native `cosine_sim`; the oracle reproduces the
+    * exact bucketing (planes are md5-parity-derived, see [[planeSign]]). */
   def xEmbeddingNeardup(s: SparkSession, dir: String,
-                        threshold: Double = 0.45): DataFrame = {
+                        threshold: Double = 0.45, bands: Int = 2,
+                        rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val e = emb(s, dir)
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
-    e.crossJoin(broadcast(b))
-      .filter(col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"),
-        expr("cosine_sim(v, bv)").as("sim"))
-      .filter(col("sim") >= threshold)
+    val bandCol = (b: Int) => (0 until rowsPerBand).map { r =>
+      val p = b * rowsPerBand + r
+      val plane = typedLit((0 until dims).map(planeSign(p, _)))
+      when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }.reduce(concat(_, _))
+    val sig = e.select(
+      col("vec_id") +: col("v") +:
+        (0 until bands).map(b => bandCol(b).as(s"band$b")): _*)
+    val perBand = (0 until bands).map { b =>
+      sig.as("a").join(sig.as("b"),
+        col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr("cosine_sim(a.v, b.v)").as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+    perBand.reduce(_ union _)
+      .dropDuplicates("vec_a", "vec_b") // a pair may match several bands
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
@@ -181,11 +199,28 @@ object Similarity {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM p)
         |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Mirrors the banded LSH exactly: plane component (p, i) is +1 iff the
+    // first 16 bits of md5("p#i") are even (= 4th hex char parity); bands are
+    // 4-bit slices of the 8-bit signature; candidates share a full band.
     "x_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |pl AS (SELECT p, list_transform(range(0, 64), i ->
+        |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
+        |bits AS (SELECT vec_id, p,
+        |  CASE WHEN list_dot_product(v, plane) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM e, pl),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS s FROM bits GROUP BY 1),
+        |bnd AS (SELECT vec_id, substring(s, 1, 4) AS band0, substring(s, 5, 4) AS band1 FROM sig),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bnd a
+        |    JOIN bnd b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+        |  UNION
+        |  SELECT a.vec_id, b.vec_id FROM bnd a
+        |    JOIN bnd b ON a.band1 = b.band1 AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b,
+        |  list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+        |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
         |SELECT vec_a, vec_b, round(sim, 6) AS cosine
         |FROM p WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
     "x_label_centroids" ->

@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9)) // self-similarity
   }
 
+  test("embedding near-dup joins on LSH bands, never broadcasts the corpus") {
+    val df = graft.ext.Similarity.xEmbeddingNeardup(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation must be per-band equi-joins
+    assert(plan.contains("band0") && plan.contains("band1"), plan)
+  }
+
   test("cosine_sim rejects length-mismatched vectors") {
     graft.functions.CosineSimilarity.register(spark)
     // parquet-backed so it exercises the codegen path, not just eval
