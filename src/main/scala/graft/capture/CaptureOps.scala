@@ -129,6 +129,29 @@ object CaptureOps {
       regexp_replace(jobId, "^job_", "application_")
     ).otherwise(lit(null).cast("string"))
 
+  /** O19 (MR arm) — first job id that parses as a valid Hadoop job id; the
+    * reference skips malformed ids and takes the first convertible one
+    * (ApplicationIdRetriever.java:78-94 — `flatMap` drops failures, then
+    * `findFirst`). */
+  def firstValidJobId(jobIds: Column): Column =
+    try_element_at(filter(jobIds, j => j.rlike("^job_\\d+_\\d+$")), lit(1))
+
+  /** O19 — mode-dispatched application-id retrieval
+    * (ApplicationIdRetriever.java:39-51):
+    *  - MR   → convert the first valid Hadoop job id (`:78-94`);
+    *  - TEZ  → the session's app-master application id (`:58-72`), supplied
+    *    here as a column joined from a session-snapshot dimension;
+    *  - LLAP → the long-lived LLAP daemon application (`:100-120`), supplied
+    *    as a column joined from a service-registry snapshot;
+    *  - anything else → null (`default: Optional.empty`).
+    */
+  def determineApplicationId(mode: Column, jobIds: Column,
+                             tezAppId: Column, llapAppId: Column): Column =
+    when(mode === "MR", yarnApplicationId(firstValidJobId(jobIds)))
+      .when(mode === "TEZ", tezAppId)
+      .when(mode === "LLAP", llapAppId)
+      .otherwise(lit(null).cast("string"))
+
   /** O5 — status enum selection for completed events.
     * Reference: EventRecordConstructor.java:85-87. */
   def status(success: Column): Column =

@@ -84,11 +84,55 @@ object CapturePipeline {
         col("defaultDatabase").as("DefaultDatabase")
       )
 
+  /** Conf key the reference reads for the LLAP service registry
+    * (HiveConf.ConfVars.LLAP_DAEMON_SERVICE_HOSTS,
+    * ApplicationIdRetriever.java:106). */
+  val LlapServiceHostsKey = "hive.llap.daemon.service.hosts"
+
+  /** O19 — attach the TEZ/LLAP application-id columns via broadcast
+    * dimension joins (the Spark-native stand-in for the reference's live
+    * SessionState / LlapRegistryService lookups,
+    * ApplicationIdRetriever.java:58-72,100-120):
+    *  - `tezSessions(sessionId, YarnApplicationId)` — one row per live Tez
+    *    session (a session always maps to one app; queue changes recreate
+    *    the app, hence the snapshot is keyed by session);
+    *  - `llapApps(serviceHosts, YarnApplicationId)` — one row per LLAP
+    *    service-hosts registry entry, matched against the event's
+    *    `conf[hive.llap.daemon.service.hosts]` (no hosts configured → no
+    *    match → null, the reference's no-registry branch).
+    * Both dims are O(live sessions/clusters) — tiny — so the join is a
+    * broadcast hash join and the capture path stays shuffle-free. */
+  private def withAppIdDims(raw: DataFrame,
+                            tezSessions: Option[DataFrame],
+                            llapApps: Option[DataFrame]): DataFrame = {
+    val withTez = tezSessions match {
+      case Some(dim) =>
+        raw.join(
+          broadcast(dim.select(col("sessionId").as("__tez_sid"),
+            col("YarnApplicationId").as("__tezAppId"))),
+          col("sessionId") === col("__tez_sid"), "left")
+          .drop("__tez_sid")
+      case None => raw.withColumn("__tezAppId", nullStr)
+    }
+    llapApps match {
+      case Some(dim) =>
+        withTez.join(
+          broadcast(dim.select(col("serviceHosts").as("__llap_hosts"),
+            col("YarnApplicationId").as("__llapAppId"))),
+          element_at(col("conf"), LlapServiceHostsKey) === col("__llap_hosts"),
+          "left")
+          .drop("__llap_hosts")
+      case None => withTez.withColumn("__llapAppId", nullStr)
+    }
+  }
+
   /** O5 — post-execution projection (QUERY_COMPLETED), covering both POST
-    * (success) and FAILURE hooks.
+    * (success) and FAILURE hooks; O19 app-id dispatch by execution mode.
     * Reference: EventRecordConstructor.java:134-172. */
-  def completedEvents(raw: DataFrame): DataFrame =
-    raw
+  def completedEvents(raw: DataFrame,
+                      tezSessions: Option[DataFrame] = None,
+                      llapApps: Option[DataFrame] = None): DataFrame =
+    withAppIdDims(raw, tezSessions, llapApps)
       .filter(col("hookType").isin("POST", "FAILURE"))
       .filter(col("queryId").isNotNull) // O3
       .filter(supportedVersion(col("hiveVersion")))
@@ -126,16 +170,21 @@ object CapturePipeline {
         nullStr.as("HiveAddress"),
         nullStr.as("HiveHostName"),
         nullStr.as("HiveInstanceType"),
-        yarnApplicationId(try_element_at(col("jobIds"), lit(1))) // O18: first job id
-          .as("YarnApplicationId"),
+        determineApplicationId( // O19 three-way dispatch; O18 inside the MR arm
+          executionMode(col("tasks")), col("jobIds"),
+          col("__tezAppId"), col("__llapAppId")
+        ).as("YarnApplicationId"),
         emptyArr.as("DatabasesRead"),
         emptyArr.as("DatabasesWritten"),
         nullStr.as("DefaultDatabase")
       )
 
   /** Full capture pipeline: both projections unioned into one event log. */
-  def events(raw: DataFrame, localHost: String = "localhost"): DataFrame =
-    submittedEvents(raw, localHost).unionByName(completedEvents(raw))
+  def events(raw: DataFrame, localHost: String = "localhost",
+             tezSessions: Option[DataFrame] = None,
+             llapApps: Option[DataFrame] = None): DataFrame =
+    submittedEvents(raw, localHost)
+      .unionByName(completedEvents(raw, tezSessions, llapApps))
 
   /** O20 — YARN enrichment as a broadcast dimension join (NOT the reference's
     * per-event ResourceManager RPC, its biggest scalability anti-pattern —

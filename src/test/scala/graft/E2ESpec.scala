@@ -45,8 +45,14 @@ class E2ESpec extends AnyFunSuite {
       expr("ms + 1000 + event_id % 5000 as endTimeMs")) ++ common: _*)
     val raw = pre.unionByName(post)
 
-    // capture
-    val events = capture.CapturePipeline.events(raw)
+    // capture — TEZ mode resolves the app id via the session-snapshot dim
+    // (O19), not the MR job-id parse
+    val tezSessions = e.select(
+      expr("concat('sess', user_id) as sessionId"),
+      expr("concat('application_tez_', user_id) as YarnApplicationId"))
+      .distinct()
+    val events = capture.CapturePipeline.events(raw,
+      tezSessions = Some(tezSessions))
     assert(events.columns.toSeq == model.QueryEvent.schema.fieldNames.toSeq)
 
     // sink + read-back
@@ -71,9 +77,10 @@ class E2ESpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") == 200)
     assert(r.getAs[Long]("min_dur") >= 1000 && r.getAs[Long]("max_dur") < 6000)
 
-    // and the completed events carry the O18-rewritten app id
+    // and the completed events carry the session-dispatched app id (O19)
     val apps = log.filter(col("EventType") === "QUERY_COMPLETED")
       .select("YarnApplicationId").distinct().collect().map(_.getString(0))
-    assert(apps.forall(_.startsWith("application_12345_")))
+    assert(apps.nonEmpty && apps.forall(
+      a => a != null && a.startsWith("application_tez_")))
   }
 }

@@ -63,8 +63,8 @@ class CapturePipelineSpec extends AnyFunSuite {
     "test_op_id", "test_session_id", "test_thread_id", "2.2.0",
     null, null, null, null,
     "test_user", "os_user", true, 1234L, 9999L, "mr",
-    Seq.empty, Seq.empty, Map.empty, Map("RUN" -> 40L), null, null,
-    Seq("job_1685098059769_1951"))
+    Seq.empty, Seq(Row("MR", false, false)), Map.empty, Map("RUN" -> 40L),
+    null, null, Seq("job_1685098059769_1951"))
 
   test("pre event golden (TestUtils.java:136-157)") {
     val out = CapturePipeline.events(mkRaw(Seq(preRow)))
@@ -112,6 +112,41 @@ class CapturePipelineSpec extends AnyFunSuite {
     val r = out.head
     assert(r.getAs[String]("Status") == "FAIL" &&
       r.getAs[String]("ErrorMessage") == "boom")
+  }
+
+  test("O19 app id dispatches by mode: MR parse / TEZ session / LLAP registry") {
+    import spark.implicits._
+    def rowWith(qid: String, tasks: Seq[Row], conf: Map[String, String],
+                jobIds: Seq[String], session: String) = Row(
+      "POST", qid, null, null, null, session, null, "2.2.0",
+      null, null, null, null, "u", "u", false, 1L, 2L, "mr",
+      Seq.empty, tasks, conf, Map.empty[String, Long], null, null, jobIds)
+    val rows = Seq(
+      rowWith("qmr", Seq(Row("MR", false, false)), Map.empty,
+        Seq("job_malformed", "job_1_2"), "s1"),
+      rowWith("qtez", Seq(Row("TEZ", false, false)), Map.empty,
+        Seq("job_1_3"), "s1"),
+      rowWith("qllap", Seq(Row("TEZ", true, false)),
+        Map(CapturePipeline.LlapServiceHostsKey -> "@llap0"), Seq.empty, "s2"),
+      rowWith("qclient", Seq.empty, Map.empty, Seq("job_1_4"), "s3"))
+    val tezDim = Seq(("s1", "application_tez_1"))
+      .toDF("sessionId", "YarnApplicationId")
+    val llapDim = Seq(("@llap0", "application_llap_9"))
+      .toDF("serviceHosts", "YarnApplicationId")
+    val out = CapturePipeline
+      .completedEvents(mkRaw(rows), Some(tezDim), Some(llapDim))
+      .select("QueryId", "YarnApplicationId").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "qmr" -> Some("application_1_2"), // first VALID id; malformed skipped
+      "qtez" -> Some("application_tez_1"), // session snapshot, not job parse
+      "qllap" -> Some("application_llap_9"), // registry keyed by conf hosts
+      "qclient" -> None)) // CLIENT_ONLY → Optional.empty
+    // dims must broadcast — the capture path stays shuffle-free
+    val plan = CapturePipeline
+      .completedEvents(mkRaw(rows), Some(tezDim), Some(llapDim))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("O20 yarn enrichment overwrites queue/host via broadcast join") {
