@@ -103,16 +103,27 @@ object Assessments {
     * fixed-size state per group regardless of cardinality. Exact twins ride
     * along so the error contract is testable (AssessmentsSpec); rows-only at
     * the driver (sketch internals differ from DuckDB's). */
-  def a5ApproxSketches(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
+  def a5ApproxSketches(s: SparkSession, dir: String): DataFrame = {
+    // Distinct-user arms ride on a pre-deduped (type, user) frame instead of
+    // a count(DISTINCT) inside the main aggregate: avoids Catalyst's Expand
+    // (which doubles the scanned rows), and HLL over the deduped set yields
+    // the identical estimate (register-max sketches are duplicate- and
+    // order-insensitive). Both aggregates partial-combine map-side; the tiny
+    // per-type results meet in a broadcast join.
+    val perc = ev(s, dir)
       .groupBy("event_type")
       .agg(
         round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
           .as("p50_approx"),
-        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"),
-        approx_count_distinct(col("user_id")).as("users_approx"),
-        countDistinct(col("user_id")).as("users_exact"))
+        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"))
+    val users = ev(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("users_approx"),
+        count(lit(1)).as("users_exact"))
+    perc.join(broadcast(users), Seq("event_type"))
       .orderBy("event_type")
+  }
 
   /** A6 — top-K heaviest per group via ranking window. */
   def a6TopkByType(s: SparkSession, dir: String): DataFrame = {
@@ -127,7 +138,11 @@ object Assessments {
   }
 
   /** A6 — distribution ranking: per-user totals bucketed into quartiles
-    * with `ntile` + `percent_rank` (fully tiebroken for determinism). */
+    * with `ntile` + `percent_rank` (fully tiebroken for determinism).
+    * CAVEAT: the un-partitioned window is a single-reducer global sort —
+    * fine for a report-sized user dimension, a bottleneck at 100×; the
+    * scale path is [[a6QuartilesScaled]], which buckets by broadcast
+    * percentile cut points instead of ranking every row on one task. */
   def a6ValueQuartiles(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("total"), col("user_id"))
     ev(s, dir)
@@ -135,6 +150,30 @@ object Assessments {
       .agg(round(sum("value"), 2).as("total"))
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .orderBy("user_id")
+  }
+
+  /** A6 (scale path) — quartile assignment WITHOUT a global window: compute
+    * the three quartile cut points as one tiny aggregate, broadcast them,
+    * and bucket every user by value comparison. Two narrow passes, no
+    * single-reducer sort — survives a billion-user dimension (swap the
+    * exact `percentile` for `percentile_approx` when the user count itself
+    * is too large to sort-buffer per partition). Semantics differ from
+    * `ntile` on ties/remainders by design: buckets are value-based
+    * (quantile_cont), not equal-count. */
+  def a6QuartilesScaled(s: SparkSession, dir: String): DataFrame = {
+    val totals = ev(s, dir)
+      .groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total"))
+    val cuts = totals.agg(
+      expr("percentile(total, 0.25D)").as("c1"),
+      expr("percentile(total, 0.5D)").as("c2"),
+      expr("percentile(total, 0.75D)").as("c3"))
+    totals.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("total"),
+        (lit(1) + (col("total") > col("c1")).cast("int")
+          + (col("total") > col("c2")).cast("int")
+          + (col("total") > col("c3")).cast("int")).as("quartile"))
       .orderBy("user_id")
   }
 
@@ -355,6 +394,7 @@ object Assessments {
     "a5_approx_sketches" -> a5ApproxSketches,
     "a6_topk_by_type" -> a6TopkByType,
     "a6_value_quartiles" -> a6ValueQuartiles,
+    "a6_quartiles_scaled" -> a6QuartilesScaled,
     "a7_hourly_traffic" -> a7HourlyTraffic,
     "a7_sessionize" -> a7Sessionize,
     "a8_daily_running" -> a8DailyRunning,
@@ -409,6 +449,15 @@ object Assessments {
         |SELECT user_id, total, ntile(4) OVER (ORDER BY total, user_id) AS quartile,
         |round(percent_rank() OVER (ORDER BY total, user_id), 4) AS pct_rank
         |FROM t ORDER BY user_id""".stripMargin,
+    // Spark's exact percentile and DuckDB's quantile_cont share the
+    // linear-interpolation definition, so the cut points agree.
+    "a6_quartiles_scaled" ->
+      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM events GROUP BY 1),
+        |c AS (SELECT quantile_cont(total, 0.25) AS c1, quantile_cont(total, 0.5) AS c2,
+        |  quantile_cont(total, 0.75) AS c3 FROM t)
+        |SELECT user_id, total,
+        |1 + CAST(total > c1 AS INT) + CAST(total > c2 AS INT) + CAST(total > c3 AS INT) AS quartile
+        |FROM t, c ORDER BY user_id""".stripMargin,
     "a7_hourly_traffic" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |count(*) AS n, round(sum(value),2) AS sum_value

@@ -72,26 +72,34 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Exact-Jaccard scoring of an LSH candidate-pair set: re-shingle ONLY the
-    * documents that survived candidate generation (a broadcast semi-join
-    * prunes the corpus scan before any shingling), then score pairs with two
-    * broadcast joins. Candidate counts are sub-linear in corpus size by LSH
-    * design, so the quadratic work and the text arrays stay O(|pairs|) —
-    * the full corpus never ships shingle sets through a shuffle. */
+  /** Exact-Jaccard scoring of an LSH candidate-pair set (`doc_a, doc_b,
+    * n_a, n_b`): re-shingle ONLY the documents that survived candidate
+    * generation (a broadcast semi-join prunes the corpus scan before any
+    * shingling), then count intersections with an explode-join — (pair ⋈
+    * shingles-of-a) ⋈ shingles-of-b on (doc, shingle), then a count per
+    * pair. All codegen'd hash joins; no per-pair hash-set allocation the
+    * way `array_intersect` does it. Candidate counts are sub-linear in
+    * corpus size by LSH design, so everything here is O(|pairs| · |doc|)
+    * rows — the full corpus never ships shingle sets through a shuffle. */
   private def scoreExactJaccard(s: SparkSession, dir: String,
                                 pairs: DataFrame): DataFrame = {
     val involved = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val docsSmall = Tables.load(s, dir, "documents")
+    val docShingles = Tables.load(s, dir, "documents")
       .join(broadcast(involved), "doc_id") // prune BEFORE shingling
       .select(col("doc_id"),
-        array_distinct(shingles(split(col("text"), " "))).as("shd"))
-    val inter = size(array_intersect(col("sa.shd"), col("sb.shd"))).cast("double")
+        explode(array_distinct(shingles(split(col("text"), " ")))).as("shingle"))
+    val inter = pairs
+      .join(docShingles.as("ra"), col("doc_a") === col("ra.doc_id"))
+      .join(docShingles.as("rb"),
+        col("doc_b") === col("rb.doc_id") &&
+          col("ra.shingle") === col("rb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(broadcast(docsSmall.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(docsSmall.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(inter, Seq("doc_a", "doc_b"), "left") // disjoint pairs → 0
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (size(col("sa.shd")) + size(col("sb.shd")) - inter), 4)
+        round(col("ni") / (col("n_a") + col("n_b") - col("ni")), 4)
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -108,7 +116,8 @@ object Dedup {
       .map(i => col(s"a.b$i") === col(s"b.b$i"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
     val pairs = sig.as("a").join(sig.as("b"), cond)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
     scoreExactJaccard(s, dir, pairs)
   }
 
@@ -146,17 +155,17 @@ object Dedup {
   def xMinhashPairs(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir, bands = 1)
 
-  /** SimHash (64-bit, emitted as 16 hex chars): per token take the top 64
-    * bits of its md5; per bit position sum ±1 over tokens; sign → fingerprint
-    * bit. Near-dups have small Hamming distance; at scale the fingerprint
-    * joins on band substrings exactly like MinHash. One explode + one
-    * aggregate — shuffle carries (doc_id, 64 small ints). */
+  /** SimHash (64-bit, emitted as 16 hex chars): per token take its 64-bit
+    * xxhash64 (one codegen'd hash per row — an order of magnitude cheaper
+    * than md5 hex-string slicing); per bit position sum ±1 over tokens;
+    * sign → fingerprint bit. Near-dups have small Hamming distance; at scale
+    * the fingerprint joins on band substrings exactly like MinHash. One
+    * explode + one aggregate — shuffle carries (doc_id, 64 small ints). */
   def xSimhash(s: SparkSession, dir: String): DataFrame = {
-    val hex = md5(col("tok"))
-    // Bit i lives in hex nibble i/4 at in-nibble position 3-(i%4) (MSB first).
+    val h = xxhash64(col("tok"))
+    // Bit i is the i-th bit from the MSB of the 64-bit hash.
     val bitCols = (0 until 64).map { i =>
-      val nib = conv(substring(hex, i / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(nib, 3 - (i % 4)).bitwiseAND(1)
+      val bit = shiftright(h, 63 - i).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val perDoc = Tables.load(s, dir, "documents")
