@@ -25,7 +25,8 @@ object SparkEntry {
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
-      ext.Multimodal.queries)
+      ext.Multimodal.queries ++
+      ext.Curation.queries)
       .map { case (k, f) =>
         // Ensure graft read-path configs even on a driver-created session.
         k -> ((s: SparkSession, dir: String) => { Graft.configure(s); f(s, dir) })
@@ -38,6 +39,7 @@ object SparkEntry {
       ext.TextOps.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
-      ext.Multimodal.oracles +
+      ext.Multimodal.oracles ++
+      ext.Curation.oracles +
       ext.Similarity.fusedOracle
 }

@@ -1,0 +1,174 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline (SURVEY.md §2.3
+  * extensions): near-dup cluster assignment (the step that turns pair lists
+  * into a deduplicated corpus), deterministic hash sampling, stratified
+  * per-class quotas, and TF-IDF salient terms.
+  *
+  * All hashing is md5-substring based so the DuckDB oracle reproduces every
+  * decision byte-for-byte (sampling membership included).
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: every doc starts as its own cluster; each round
+    * joins labels across edges (both directions) and keeps the minimum;
+    * stops when no label changes. Converges in O(diameter) rounds — near-dup
+    * graphs are unions of small quasi-cliques, so diameter is tiny; each
+    * round is one equi-join + one aggregate, and the edge list (O(pairs), not
+    * O(corpus)) is localCheckpointed once so iterations don't replay the
+    * whole LSH pipeline. At cluster scale swap localCheckpoint for a
+    * checkpoint dir; the loop shape (join + min-agg per round, early-exit on
+    * fixpoint) is the standard large-graph CC formulation.
+    *
+    * Cluster id = min doc_id of the component — deterministic, and exactly
+    * what a keep-one-per-cluster dedup wants as the keeper key.
+    */
+  def xDupClusters(s: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.xMinhashPairs(s, dir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // freeze the edge list; iterations reuse it
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+    var labels = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = labels
+        .unionByName(edges // neighbor's current label, flowing both ways
+          .join(labels, edges("doc_b") === labels("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("cluster")))
+        .groupBy("doc_id")
+        .agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** Deterministic 25% corpus sample: keep a doc iff the first hex char of
+    * md5(doc_id) sorts at or below '3' (4 of 16 nibbles). Membership is a
+    * pure function of the id — reproducible across runs, engines, and
+    * re-partitions, which is what makes train/eval splits auditable. Pure
+    * narrow filter; no shuffle at any scale. */
+  def xSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "3")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Stratified per-class quota: the md5-least 20 documents of every
+    * language — class-balanced subsampling with a deterministic,
+    * engine-reproducible order. One shuffle on the (small-cardinality)
+    * class key; the per-class window never sees more than one class's
+    * rows per partition. */
+  def xSampleStratified(s: SparkSession, dir: String,
+                        perClass: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perClass)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  /** TF-IDF top-3 salient terms per document: tf = in-doc term frequency,
+    * idf = ln(N / df) from a corpus-wide document-frequency aggregate,
+    * ranked per doc. Two aggregates (per-doc term counts; per-term doc
+    * counts) + one shuffle join on the term key + a per-doc window — each
+    * stage partial-aggregates map-side, and nothing is ever collected or
+    * broadcast (vocabulary can be arbitrarily large). */
+  def xTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.load(s, dir, "documents").count()
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // rank on the UNROUNDED score (the oracle does the same): rounding can
+    // collapse distinct scores and scramble the tiebreak
+    val raw = col("tf") * log(lit(nDocs.toDouble) / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("raw").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("raw", raw)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"),
+        round(col("raw"), 4).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
+    "x_sample_hash" -> xSampleHash,
+    "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
+    "x_tfidf_top" -> xTfidfTop
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Recursive reachability: cluster = min reachable doc id over the
+    // thresholded near-dup pair graph (same candidate/scoring pipeline as
+    // the x_minhash_pairs oracle).
+    "x_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS j
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |e0 AS (SELECT doc_a, doc_b FROM pr WHERE round(j, 4) >= 0.5),
+        |edges AS (SELECT doc_a, doc_b FROM e0 UNION ALL SELECT doc_b, doc_a FROM e0),
+        |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
+        |ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "x_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok, tf,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tok) AS rk
+        |  FROM tf JOIN dfr USING (tok), n)
+        |SELECT doc_id, rk, tok, tfidf FROM sc WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
+  )
+}
