@@ -76,6 +76,31 @@ object EventStream {
       }
   }
 
+  /** A1 streaming twin — pair each submission with its completion as a
+    * stream-stream inner join on the id key, with an event-time range bound
+    * (completion within `maxDelay` of submission). Both watermarks PLUS the
+    * range condition are what let Spark evict join state: without the time
+    * bound each side buffers forever; with it, a submitted row is dropped
+    * once the completed-side watermark passes `sub_ts + maxDelay` — state
+    * stays proportional to the in-flight window, the only safe shape for an
+    * unbounded pairing join at 100 TB/day. */
+  def lifecyclePairs(submitted: DataFrame, completed: DataFrame,
+                     watermark: String = "30 minutes",
+                     maxDelay: String = "1 hour"): DataFrame = {
+    val sub = submitted.withWatermark("ts", watermark)
+      .select(col("event_id").as("qid"), col("user_id"),
+        col("ts").as("sub_ts"))
+    val done = completed.withWatermark("ts", watermark)
+      .select(col("event_id").as("done_qid"), col("ts").as("done_ts"))
+    sub.join(done,
+      col("qid") === col("done_qid") &&
+        col("done_ts") >= col("sub_ts") &&
+        col("done_ts") <= col("sub_ts") + expr(s"interval $maxDelay"))
+      .select(col("qid"), col("user_id"), col("sub_ts"), col("done_ts"),
+        (unix_millis(col("done_ts")) - unix_millis(col("sub_ts")))
+          .as("latency_ms"))
+  }
+
   /** A7 — native session windows (30-min gap), the streaming twin of the
     * batch gaps-and-islands `a7_sessionize`. State per open session only. */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",

@@ -119,6 +119,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(dirs == Set("EventDate=2022-12-25", "EventDate=2022-12-26"))
   }
 
+  test("A1 stream-stream lifecycle join pairs within the delay bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val subs = MemoryStream[Ev]
+    val dones = MemoryStream[Ev]
+    val joined = EventStream.lifecyclePairs(
+      subs.toDF(), dones.toDF(), "10 minutes", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("pairs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // NB: event times must sit strictly ABOVE the initial watermark
+      // (epoch 0) — a row at exactly the watermark is dropped as late.
+      subs.addData(Ev(t(60), 1L, 7L, "submit", 0.0),
+        Ev(t(65), 2L, 8L, "submit", 0.0))
+      // q1 completes in-bound (40 min); q2 completes out-of-bound (2 h)
+      dones.addData(Ev(t(100), 1L, 7L, "done", 0.0),
+        Ev(t(185), 2L, 8L, "done", 0.0))
+      q.processAllAvailable()
+      // push both watermarks so in-bound results are final
+      subs.addData(Ev(t(600), 90L, 9L, "submit", 0.0))
+      dones.addData(Ev(t(600), 91L, 9L, "done", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pairs_out").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("latency_ms")))
+    assert(rows.contains((1L, 2400000L))) // 40 min latency
+    assert(!rows.exists(_._1 == 2L)) // out-of-bound completion never pairs
+  }
+
   test("A7 session_window groups by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
