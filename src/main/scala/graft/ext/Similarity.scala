@@ -239,8 +239,20 @@ object Similarity {
         |r AS (SELECT vec_id, label, c_label, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
         |SELECT vec_id, label, c_label AS assigned_label, round(sim, 6) AS sim
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
-    // x_ann_lsh_buckets: heuristic bucketing — rows-only.
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Same plane construction as x_embedding_neardup's oracle, full 8-bit
+    // signature, aggregated per bucket.
+    "x_ann_lsh_buckets" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl AS (SELECT p, list_transform(range(0, 64), i ->
+        |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
+        |bits AS (SELECT vec_id, p,
+        |  CASE WHEN list_dot_product(v, plane) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM e, pl),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY 1)
+        |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+        |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** The fused expression is bit-identical to the HOF formulation, so it

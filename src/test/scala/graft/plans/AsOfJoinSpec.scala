@@ -55,6 +55,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("downstream groupBy on the join key adds no extra exchange") {
+    import spark.implicits._
+    val l = spark.range(100).selectExpr("id % 10 as key", "id as lt")
+    val r = spark.range(50).selectExpr("id % 10 as rkey", "id as rt")
+    val agg = AsOfJoin.asofJoin(l.toDF(), r.toDF(), "key", "rkey", "lt", "rt")
+      .groupBy("key").count()
+    agg.collect()
+    // AQE's toString prints the initial plan too — audit the final plan only
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one exchange per join input; the post-join aggregate reuses the
+    // left side's partitioning (outputPartitioning passthrough)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
   test("null key/time fails loudly instead of joining as 0") {
     import spark.implicits._
     val l = Seq((Some(1L), Some(100L)), (None, Some(200L)))
