@@ -326,6 +326,26 @@ object Assessments {
       .orderBy("event_id")
   }
 
+  /** A13 — the broadcast as-of variant: identical semantics and oracle as
+    * [[a13AsofCustom]], but the click side is broadcast and the purchase
+    * stream is never shuffled or sorted
+    * ([[graft.plans.AsOfJoin.asofJoinBroadcast]]). */
+  def a13AsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pus"),
+        round(col("value"), 2).as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), unix_micros(col("ts")).as("cus"),
+        col("value").as("click_value"))
+    graft.plans.AsOfJoin.asofJoinBroadcast(purchases, clicks,
+        "user_id", "c_uid", "pus", "cus")
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        round(col("click_value"), 2).as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   /** A13 — range join done scale-safe: "clicks in the 10 minutes before
     * each error, per user". A naive theta join (`c.ts BETWEEN e.ts-10m AND
     * e.ts`) is a broadcast-nested-loop at scale; instead each click is
@@ -406,10 +426,24 @@ object Assessments {
     "a12_except_all" -> a12ExceptAll,
     "a13_asof_attribution" -> a13AsofAttribution,
     "a13_asof_custom" -> a13AsofCustom,
+    "a13_asof_broadcast" -> a13AsofBroadcast,
     "a13_range_join" -> a13RangeJoinBucketed,
     "a2_salted_rollup" -> a2SaltedRollup,
     "a14_dedup_first" -> a14DedupFirst
   )
+
+  /** Shared by a13_asof_custom and a13_asof_broadcast: the two operators
+    * produce identical results by construction. */
+  private val AsofOracleSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, round(value,2) AS purchase_value
+      |  FROM events WHERE event_type='purchase'),
+      |c AS (SELECT user_id AS c_uid, epoch_us(ts) AS cus, value AS click_value
+      |  FROM events WHERE event_type='click'),
+      |j AS (SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
+      |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cus DESC) AS rn
+      |  FROM p LEFT JOIN c ON c.c_uid = p.user_id AND c.cus <= p.pus)
+      |SELECT event_id, user_id, purchase_value, round(click_value,2) AS last_click_value
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "a1_lifecycle_pairs" ->
@@ -517,16 +551,8 @@ object Assessments {
         |  EXCEPT ALL
         |  SELECT event_type FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "a13_asof_custom" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, round(value,2) AS purchase_value
-        |  FROM events WHERE event_type='purchase'),
-        |c AS (SELECT user_id AS c_uid, epoch_us(ts) AS cus, value AS click_value
-        |  FROM events WHERE event_type='click'),
-        |j AS (SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
-        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cus DESC) AS rn
-        |  FROM p LEFT JOIN c ON c.c_uid = p.user_id AND c.cus <= p.pus)
-        |SELECT event_id, user_id, purchase_value, round(click_value,2) AS last_click_value
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "a13_asof_custom" -> AsofOracleSql,
+    "a13_asof_broadcast" -> AsofOracleSql, // broadcast variant, same results
     "a13_range_join" ->
       """SELECT e.event_id,
         |CAST(count(c.cms) AS BIGINT) AS clicks_before

@@ -195,4 +195,65 @@ object AsOfJoin {
       longAttr(lPlan, leftTimeCol), longAttr(rPlan, rightTimeCol))
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, node)
   }
+
+  /** Broadcast as-of join for a dimension-sized right side: the right table
+    * is collected once, grouped by key, time-sorted, and broadcast; each
+    * left row then resolves its match with a binary search in a pure map
+    * stage. Same semantics as [[asofJoin]] (latest right row with equal key
+    * and time <= left time; null-extended when none), but ZERO shuffles and
+    * no sort of the left stream — the as-of analog of a broadcast hash join,
+    * and the right choice when the right side is a config/session snapshot.
+    * Size contract is Spark's own broadcast contract: the right side must
+    * fit on the driver and each executor. */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame,
+                        leftKeyCol: String, rightKeyCol: String,
+                        leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val spark = left.sparkSession
+    val (lSchema, rSchema) = (left.schema, right.schema)
+    def longIdx(sch: StructType, n: String): Int = {
+      val i = sch.fieldIndex(n)
+      require(sch(i).dataType == LongType,
+        s"$n must be LongType, is ${sch(i).dataType}")
+      i
+    }
+    val (lki, lti) = (longIdx(lSchema, leftKeyCol), longIdx(lSchema, leftTimeCol))
+    val (rki, rti) = (longIdx(rSchema, rightKeyCol), longIdx(rSchema, rightTimeCol))
+    val grouped: Map[Long, (Array[Long], Array[Row])] = right.collect()
+      .map { r =>
+        require(!r.isNullAt(rki) && !r.isNullAt(rti),
+          "broadcast as-of join: null right key/time")
+        r
+      }
+      .groupBy(_.getLong(rki))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(rti))
+        k -> (sorted.map(_.getLong(rti)), sorted)
+      }
+    val bc = spark.sparkContext.broadcast(grouped)
+    val outSchema = StructType(
+      lSchema.fields ++ rSchema.fields.map(_.copy(nullable = true)))
+    val nullTail: Seq[Any] = Seq.fill(rSchema.size)(null)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    left.mapPartitions { iter =>
+      iter.map { lrow =>
+        require(!lrow.isNullAt(lki) && !lrow.isNullAt(lti),
+          "broadcast as-of join: null left key/time")
+        val (k, t) = (lrow.getLong(lki), lrow.getLong(lti))
+        val tail = bc.value.get(k) match {
+          case Some((times, rows)) =>
+            // greatest index with times(i) <= t
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val m = (lo + hi) >>> 1
+              if (times(m) <= t) { ans = m; lo = m + 1 } else hi = m - 1
+            }
+            if (ans >= 0) rows(ans).toSeq else nullTail
+          case None => nullTail
+        }
+        Row.fromSeq(lrow.toSeq ++ tail)
+      }
+    }(enc)
+  }
 }

@@ -83,6 +83,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("null left key")), e.getMessage)
   }
 
+  test("broadcast variant: same results as the shuffled operator, no exchange") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"), (3L, 50L, "t4")
+    ).toDF("key", "t_time", "trade")
+    val quotes = Seq(
+      (1L, 90L, 1.0), (1L, 150L, 2.0), (1L, 201L, 9.0), (2L, 150L, 5.0)
+    ).toDF("q_key", "q_time", "px")
+    val a = AsOfJoin.asofJoin(trades, quotes, "key", "q_key", "t_time", "q_time")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bDf = AsOfJoin.asofJoinBroadcast(
+      trades, quotes, "key", "q_key", "t_time", "q_time")
+    val b = bDf.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+    assert(!bDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "broadcast as-of must not shuffle")
+  }
+
+  test("broadcast variant agrees on the events table") {
+    val a = graft.assess.Assessments
+      .a13AsofCustom(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    val b = graft.assess.Assessments
+      .a13AsofBroadcast(spark, TestSpark.Sf0001).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("agrees with the window-function formulation on the events table") {
     val a = graft.assess.Assessments
       .a13AsofAttribution(spark, TestSpark.Sf0001).collect().map(_.toSeq)
