@@ -113,9 +113,49 @@ object Multimodal {
           .as("histogram"))
       .orderBy("asset_id")
 
+  case class MediaResize(asset_id: Long, n_px: Long, mean_resized: Double)
+
+  /** Resize pass over the decoded samples (keep every 4th) — same
+    * mapPartitions batch shape as [[features]]; at scale this is the
+    * thumbnail/downsample stage that shrinks the payload before any
+    * shuffle. Oracle-checked: the stub decode is byte-identity, so DuckDB
+    * recomputes the kept positions from the hex dump. */
+  def xMediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { batch =>
+      batch.map { a =>
+        val px = resizeStub(decodeStub(a.content), 4)
+        MediaResize(a.asset_id, px.length.toLong,
+          if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length)
+      }
+    }
+      .select(col("asset_id"), col("n_px"),
+        round(col("mean_resized") + lit(1e-9), 4).as("mean_resized"))
+      .orderBy("asset_id")
+  }
+
+  /** Frame sampling (first / middle / last frame checksums) as a real
+    * query — the sparse-probe pattern for video: only 3 frames of each
+    * container are ever touched. */
+  def xMediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { batch =>
+      batch.map { a =>
+        val frames = a.content.grouped(FrameBytes).toArray
+        def fsum(i: Int): Long = frames(i).map(_ & 0xffL).sum
+        (a.asset_id, frames.length.toLong,
+          fsum(0), fsum(frames.length / 2), fsum(frames.length - 1))
+      }
+    }
+      .toDF("asset_id", "n_frames", "f_first", "f_mid", "f_last")
+      .orderBy("asset_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_media_features" -> xMediaFeatures,
-    "x_media_histograms" -> xMediaHistograms
+    "x_media_histograms" -> xMediaHistograms,
+    "x_media_resize" -> xMediaResize,
+    "x_media_frames" -> xMediaFrames
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +181,35 @@ object Multimodal {
         |round((16.0 * list_sum(hi) + list_sum(lo)) / n + 1e-9, 4) AS mean_byte,
         |array_to_string(list_transform(range(0, 16),
         |  j -> CAST(len(list_filter(hi, x -> x = j)) AS VARCHAR)), ',') AS histogram
-        |FROM nib ORDER BY asset_id""".stripMargin
+        |FROM nib ORDER BY asset_id""".stripMargin,
+    // Kept positions are 1+4k (1-based bytes) → hex chars 8k+1 / 8k+2.
+    "x_media_resize" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(0, CAST(ceil(n / 4.0) AS BIGINT)), k ->
+        |  16 * (strpos('0123456789ABCDEF', substring(hx, 8*k + 1, 1)) - 1)
+        |     + (strpos('0123456789ABCDEF', substring(hx, 8*k + 2, 1)) - 1)) AS pxs
+        |  FROM h)
+        |SELECT doc_id AS asset_id, len(pxs) AS n_px,
+        |round(list_sum(pxs) * 1.0 / len(pxs) + 1e-9, 4) AS mean_resized
+        |FROM b ORDER BY asset_id""".stripMargin,
+    // Frame k covers bytes [256k+1, least(256(k+1), n)]; probes 3 frames.
+    "x_media_frames" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, nf AS n_frames,
+        |CAST(list_sum(list_transform(range(1, least(256, n) + 1), p ->
+        |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_first,
+        |CAST(list_sum(list_transform(range(256 * CAST(floor(nf / 2.0) AS BIGINT) + 1,
+        |    least(256 * (CAST(floor(nf / 2.0) AS BIGINT) + 1), n) + 1), p ->
+        |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_mid,
+        |CAST(list_sum(list_transform(range(256 * (nf - 1) + 1, n + 1), p ->
+        |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_last
+        |FROM h ORDER BY asset_id""".stripMargin
   )
 }
