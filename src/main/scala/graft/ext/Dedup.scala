@@ -85,10 +85,14 @@ object Dedup {
                                 pairs: DataFrame): DataFrame = {
     val involved = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // Materialized once: referenced as both join sides below, and shingling
+    // is the expensive part (string building over every involved doc) —
+    // without this it would run twice. Size is O(candidate docs), not corpus.
     val docShingles = Tables.load(s, dir, "documents")
       .join(broadcast(involved), "doc_id") // prune BEFORE shingling
       .select(col("doc_id"),
         explode(array_distinct(shingles(split(col("text"), " ")))).as("shingle"))
+      .localCheckpoint()
     val inter = pairs
       .join(docShingles.as("ra"), col("doc_a") === col("ra.doc_id"))
       .join(docShingles.as("rb"),
@@ -115,9 +119,13 @@ object Dedup {
     val cond = (0 until bands)
       .map(i => col(s"a.b$i") === col(s"b.b$i"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    // Materialize the candidate set once: it is tiny (sub-linear in corpus
+    // pairs by LSH design) but referenced three times by the scorer — without
+    // this the signature aggregation + self-join would replay per reference.
     val pairs = sig.as("a").join(sig.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .localCheckpoint()
     scoreExactJaccard(s, dir, pairs)
   }
 
