@@ -120,7 +120,53 @@ object Curation {
       .orderBy("doc_id", "rk")
   }
 
+  private def docShingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Dedup.shingles(split(col("text"), " ")))).as("shingle"))
+
+  /** Benchmark-decontamination check: count, per corpus document, the
+    * 3-gram shingles it shares with an "eval set" (here: docs 0–9 stand in
+    * for the benchmark). The eval shingle set is bounded (benchmarks are
+    * small), so it broadcasts and the corpus makes ONE pass with a
+    * map-side hash probe — no shuffle of corpus text at any scale. Only
+    * contaminated docs surface. */
+  def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleRows(s, dir)
+    val evalSet = sh.filter(col("doc_id") < 10)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(evalSet), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate detection (the C4-style repeated-content filter): a shingle
+    * is boilerplate when it appears in >= 5 distinct documents; each doc
+    * reports its boilerplate ratio. Two aggregates over the exploded shingle
+    * stream — the document-frequency side partial-aggregates map-side and
+    * joins back on the shingle key (vocabulary-sized, never collected). */
+  def xBoilerplate(s: SparkSession, dir: String,
+                   minDocs: Long = 5L): DataFrame = {
+    val sh = docShingleRows(s, dir)
+    val dfreq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("docs_with"))
+    sh.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+        round(col("n_boiler") / col("n_sh") + lit(1e-9), 4)
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_decontaminate" -> xDecontaminate,
+    "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
@@ -128,6 +174,26 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN ev USING (shingle) WHERE doc_id >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |dfreq AS (SELECT shingle, count(*) AS docs_with FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_sh,
+        |CAST(sum(CASE WHEN docs_with >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |round(sum(CASE WHEN docs_with >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS boiler_ratio
+        |FROM sh JOIN dfreq USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Recursive reachability: cluster = min reachable doc id over the
     // thresholded near-dup pair graph (same candidate/scoring pipeline as
     // the x_minhash_pairs oracle).

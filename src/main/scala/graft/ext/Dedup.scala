@@ -169,7 +169,8 @@ object Dedup {
     * sign → fingerprint bit. Near-dups have small Hamming distance; at scale
     * the fingerprint joins on band substrings exactly like MinHash. One
     * explode + one aggregate — shuffle carries (doc_id, 64 small ints). */
-  def xSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 64-bit SimHash fingerprint as a long (`fp`). */
+  private def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     val h = xxhash64(col("tok"))
     // Bit i is the i-th bit from the MSB of the 64-bit hash.
     val bitCols = (0 until 64).map { i =>
@@ -180,14 +181,44 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
-    val nibbles = (0 until 16).map { j =>
-      val v = (0 until 4)
-        .map(k => when(col(s"b${4 * j + k}") > 0, lit(8 >> k)).otherwise(lit(0)))
-        .reduce(_ + _)
-      lower(conv(v.cast("string"), 10, 16))
-    }
-    perDoc.select(col("doc_id"), concat(nibbles: _*).as("simhash_hex"))
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), 63 - i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    perDoc.select(col("doc_id"), fp.as("fp"))
+  }
+
+  def xSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(s, dir)
+      .select(col("doc_id"),
+        lower(lpad(hex(col("fp")), 16, "0")).as("simhash_hex"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup pairing: candidates share at least one of four 16-bit
+    * bands of the fingerprint (pigeonhole: any pair within Hamming distance
+    * 3 shares a band; wider distances are caught probabilistically), scored
+    * by exact Hamming distance via `bit_count(xor)`. Four equi-joins on a
+    * 16-bit key — the 64-bit-fingerprint twin of the MinHash band join, and
+    * the cheapest near-dup pass at 100 TB (the shuffle carries 16 bytes per
+    * doc). Rows-only at the driver (xxhash64 has no DuckDB twin); properties
+    * pinned in ExtSpec. */
+  def xSimhashPairs(s: SparkSession, dir: String,
+                    maxHamming: Int = 16): DataFrame = {
+    val fps = simhashFingerprints(s, dir)
+    val withBands = fps.select(
+      col("doc_id") +: col("fp") +:
+        (0 until 4).map(b => shiftright(col("fp"), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as(s"band$b")): _*)
+    (0 until 4).map { b =>
+      withBands.as("a").join(withBands.as("b"),
+        col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Two-band LSH variant: candidates must share BOTH band-0 and band-1
@@ -218,6 +249,7 @@ object Dedup {
     "x_minhash_pairs" -> xMinhashPairs,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
     "x_simhash" -> xSimhash,
+    "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_kmv_sketch" -> xKmvSketch
   )
 

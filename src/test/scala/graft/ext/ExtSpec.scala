@@ -19,6 +19,19 @@ class ExtSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // stable
   }
 
+  test("simhash pairs: hamming in bounds, deterministic, no mirrored pairs") {
+    val rows = Dedup.xSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order $a,$b")
+      assert(h >= 0 && h <= 16, s"hamming $h out of bounds")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+    val again = Dedup.xSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("jaccard: identity is 1, disjoint is 0") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")))
