@@ -150,10 +150,13 @@ object Curation {
     * joins back on the shingle key (vocabulary-sized, never collected). */
   def xBoilerplate(s: SparkSession, dir: String,
                    minDocs: Long = 5L): DataFrame = {
-    val sh = docShingleRows(s, dir)
-    val dfreq = sh.groupBy("shingle")
-      .agg(count(lit(1)).as("docs_with"))
-    sh.join(dfreq, "shingle")
+    // One pass over the shingle stream: the per-shingle doc count is a
+    // window over the shingle partition (same exchange a groupBy would
+    // need) instead of a separate aggregate joined back — halves the
+    // scans and drops the vocabulary-key shuffle join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    docShingleRows(s, dir)
+      .withColumn("docs_with", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L))

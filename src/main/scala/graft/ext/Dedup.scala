@@ -204,7 +204,9 @@ object Dedup {
     * pinned in ExtSpec. */
   def xSimhashPairs(s: SparkSession, dir: String,
                     maxHamming: Int = 16): DataFrame = {
-    val fps = simhashFingerprints(s, dir)
+    // 16 bytes per doc — materialize once; the four band self-joins would
+    // otherwise replay the 64-aggregate fingerprint pass per join branch.
+    val fps = simhashFingerprints(s, dir).localCheckpoint()
     val withBands = fps.select(
       col("doc_id") +: col("fp") +:
         (0 until 4).map(b => shiftright(col("fp"), 16 * b)
