@@ -29,6 +29,29 @@ case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 object EventStream {
 
+  /** O21 — explicit drop-on-overflow admission (the reference's bounded
+    * queue: events beyond capacity are dropped and counted, never buffered).
+    * Spark's native answer is source backpressure (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`), which this library uses by default; this
+    * operator reproduces the reference's LOAD-SHED semantic for sources
+    * that cannot be throttled: each partition of each micro-batch admits at
+    * most `capacity` rows and drops the rest, counting drops in the
+    * `droppedRows` accumulator (the observable the reference logs).
+    * Works identically on batch and streaming DataFrames. */
+  def boundedAdmission(events: DataFrame, capacity: Int)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val spark = events.sparkSession
+    val dropped = spark.sparkContext.longAccumulator("droppedRows")
+    val admitted = events.mapPartitions { it =>
+      var n = 0
+      it.filter { _ =>
+        n += 1
+        if (n <= capacity) true else { dropped.add(1); false }
+      }
+    }(org.apache.spark.sql.Encoders.row(events.schema))
+    (admitted, dropped)
+  }
+
   /** A14 — at-least-once capture dedup with expiring state. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour")
       : DataFrame =

@@ -42,6 +42,15 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("O21 bounded admission drops and counts overflow rows") {
+    import spark.implicits._
+    val df = spark.range(100).selectExpr("id").repartition(4)
+    val (admitted, dropped) = EventStream.boundedAdmission(df.toDF(), 10)
+    val n = admitted.count()
+    assert(n == 40, s"admitted $n") // 4 partitions × capacity 10
+    assert(dropped.value == 60, s"dropped ${dropped.value}")
+  }
+
   test("A7 windowed counts drop late data beyond watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
