@@ -120,6 +120,27 @@ class PlanSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("length mismatch")), e.toString)
   }
 
+  test("decontamination broadcasts the eval set, never the corpus") {
+    val df = graft.ext.Curation.xDecontaminate(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tfidf joins on the term key without broadcasting the vocabulary") {
+    val df = graft.ext.Curation.xTfidfTop(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // vocabulary side must arrive via shuffle (SortMergeJoin/ShuffledHash),
+    // not a driver-sized broadcast — it is unbounded at corpus scale.
+    // (AQE may still choose broadcast at toy scale; assert the logical
+    // shape instead: an equi-join on tok exists and no cartesian product.)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(df.queryExecution.optimizedPlan.toString.contains("tok"), plan)
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
