@@ -65,6 +65,24 @@ object EventSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: conform a log written by ANY hook version to the
+    * current 33-column QueryEvent schema, applying the Avro-default
+    * semantics the reference's schema encodes (QueryEvents.avsc): absent
+    * scalar fields → null, absent array fields → `[]`. Old logs stay
+    * readable after the schema grows — the evolution contract a long-lived
+    * event log needs. */
+  def readAsEvents(spark: SparkSession, path: String): DataFrame = {
+    val raw = read(spark, path)
+    val present = raw.columns.toSet
+    val cols = graft.model.QueryEvent.schema.fields.toIndexedSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (f.dataType.typeName == "array")
+        array().cast(f.dataType).as(f.name) // avro default []
+      else lit(null).cast(f.dataType).as(f.name) // avro default null
+    }
+    raw.select(cols: _*)
+  }
+
   /** O23/O25 — reference file-naming convention:
     * `dwhassessment_<ISO-compact-timestamp>_<loggerId>` (reference
     * DatePartitionedRecordsWriterFactory.java:208-214, prefix

@@ -13,38 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CapturePipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val rawSchema = StructType(Seq(
-    StructField("hookType", StringType),
-    StructField("queryId", StringType),
-    StructField("queryText", StringType),
-    StructField("queryType", StringType),
-    StructField("operationId", StringType),
-    StructField("sessionId", StringType),
-    StructField("threadName", StringType),
-    StructField("hiveVersion", StringType),
-    StructField("clientIp", StringType),
-    StructField("hiveInstanceAddress", StringType),
-    StructField("defaultDatabase", StringType),
-    StructField("errorMessage", StringType),
-    StructField("userName", StringType),
-    StructField("ugiUserName", StringType),
-    StructField("isHs2", BooleanType),
-    StructField("startTimeMs", LongType),
-    StructField("endTimeMs", LongType),
-    StructField("executionEngine", StringType),
-    StructField("entities", ArrayType(StructType(Seq(
-      StructField("type", StringType), StructField("name", StringType))))),
-    StructField("tasks", ArrayType(StructType(Seq(
-      StructField("engine", StringType), StructField("llap", BooleanType),
-      StructField("ddl", BooleanType))))),
-    StructField("conf", MapType(StringType, StringType)),
-    StructField("perf", MapType(StringType, LongType)),
-    StructField("tezCounters", ArrayType(ArrayType(
-      MapType(StringType, MapType(StringType, LongType))))),
-    StructField("mrCounters", ArrayType(ArrayType(
-      MapType(StringType, MapType(StringType, LongType))))),
-    StructField("jobIds", ArrayType(StringType))
-  ))
+  private val rawSchema = CaptureSource.rawSchema
 
   private def mkRaw(rows: Seq[Row]): DataFrame =
     spark.createDataFrame(
