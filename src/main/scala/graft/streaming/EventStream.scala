@@ -99,6 +99,32 @@ object EventStream {
       }
   }
 
+  /** Threshold-crossing alerts via `flatMapGroupsWithState` — the 0-to-n
+    * output shape `mapGroupsWithState` can't express: a group emits NOTHING
+    * until its running event count crosses a multiple of `every`, then one
+    * alert row per crossing. State is a single long per active user, dropped
+    * after `idleTimeout` — bounded by the active working set. */
+  def burstAlerts(events: Dataset[EventRow], every: Long = 3L,
+                  idleTimeout: String = "1 hour"): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[EventRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + batch.size
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            // one alert per multiple of `every` crossed in this batch
+            ((prev / every + 1) to (next / every)).iterator
+              .map(k => (uid, k * every))
+          }
+      }
+  }
+
   /** A1 streaming twin — pair each submission with its completion as a
     * stream-stream inner join on the id key, with an event-time range bound
     * (completion within `maxDelay` of submission). Both watermarks PLUS the

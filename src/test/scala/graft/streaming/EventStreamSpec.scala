@@ -128,6 +128,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(dirs == Set("EventDate=2022-12-25", "EventDate=2022-12-26"))
   }
 
+  test("flatMapGroupsWithState emits one alert per threshold crossing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val in = MemoryStream[EventRow]
+    val q = EventStream.burstAlerts(in.toDS(), every = 3L)
+      .toDF("user_id", "at_count")
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1 to 2).map(i => EventRow(t(i), i, 7L, "click", 1.0)): _*)
+      q.processAllAvailable() // 2 events: below threshold, no alert
+      in.addData((3 to 7).map(i => EventRow(t(i), i, 7L, "click", 1.0)): _*)
+      q.processAllAvailable() // now 7 events: crossings at 3 and 6
+    } finally { q.stop(); spark.conf.set(key, prev) }
+    val rows = spark.table("alerts_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((7L, 3L), (7L, 6L)))
+  }
+
   test("A1 stream-stream lifecycle join pairs within the delay bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
