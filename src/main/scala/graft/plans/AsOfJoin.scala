@@ -139,6 +139,32 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
   }
 }
 
+/** Optimizer rule: column pruning through [[AsOfJoin]]. Catalyst's own
+  * ColumnPruning cannot see into custom logical nodes, so without this a
+  * narrow projection above an as-of join still scans and shuffles every
+  * child column. For `Project(p, AsOfJoin(l, r))` where the projection plus
+  * join keys/times need only a subset of a child's output, wrap that child
+  * in its own Project — the scan then prunes to the needed columns and the
+  * join's shuffle payload shrinks accordingly. */
+object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val required = AttributeSet(
+        p.references ++ j.leftKey.references ++ j.rightKey.references ++
+          j.leftTime.references ++ j.rightTime.references)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val kept = child.output.filter(required.contains)
+        if (kept.size < child.output.size) Project(kept, child) else child
+      }
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
@@ -153,6 +179,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
   }
 }
 
@@ -169,6 +196,11 @@ object AsOfJoin {
         .exists(_ eq PushFilterThroughAsOfJoin)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    }
+    if (!spark.experimental.extraOptimizations
+        .exists(_ eq PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     }
   }
 

@@ -55,6 +55,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("column pruning pushes through the custom node to the children") {
+    import spark.implicits._
+    val l = spark.range(100)
+      .selectExpr("id as key", "id * 10 as lt", "id as extra_l1",
+        "id as extra_l2")
+    val r = spark.range(50)
+      .selectExpr("id as rkey", "id * 10 as rt", "id as px",
+        "id as extra_r1")
+    val df = AsOfJoin.asofJoin(l.toDF(), r.toDF(), "key", "rkey", "lt", "rt")
+      .select("key", "px") // needs 2 of 8 columns (+ keys/times)
+    val opt = df.queryExecution.optimizedPlan
+    // both children must be narrowed: no extra_* column survives below join
+    val joinNode = opt.collectFirst { case j: AsOfJoin => j }.get
+    val childCols = (joinNode.left.output ++ joinNode.right.output)
+      .map(_.name).toSet
+    assert(!childCols.exists(_.startsWith("extra_")), childCols.toString)
+    assert(childCols == Set("key", "lt", "rkey", "rt", "px"))
+    // and the result is still right (keys >= 50 have no right match)
+    val got = df.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(49L) == Some(49L) && got(50L) == None)
+  }
+
   test("downstream groupBy on the join key adds no extra exchange") {
     import spark.implicits._
     val l = spark.range(100).selectExpr("id % 10 as key", "id as lt")
