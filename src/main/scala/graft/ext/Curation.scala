@@ -167,7 +167,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The capstone composition — what this library exists to produce: the
+    * curated training corpus. Keep a document iff it is (a) its exact-dup
+    * group's keeper (min doc id per content hash), (b) in the target
+    * language, (c) above the token-count quality floor, and (d) free of
+    * eval-set contamination. Stage shapes: one content-hash aggregate
+    * (16-byte shuffle), narrow quality/lang filters, and the broadcast
+    * decontamination probe — the corpus text itself is scanned twice and
+    * shuffled never. */
+  def xCurateCorpus(s: SparkSession, dir: String,
+                    lang: String = "en", minTokens: Int = 20): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val keepers = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val contaminated = xDecontaminate(s, dir).select("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .filter(col("doc_id") >= 10) // docs 0-9 are the eval set, never kept
+      .filter(col("lang") === lang && col("n_tokens") >= minTokens)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
@@ -177,6 +204,20 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_curate_corpus" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(toks)-1, 2)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+        |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle) WHERE sh.doc_id >= 10)
+        |SELECT d.doc_id, d.lang, len(string_split(d.text,' ')) AS n_tokens
+        |FROM documents d JOIN k USING (doc_id)
+        |WHERE d.doc_id >= 10 AND d.lang = 'en'
+        |  AND len(string_split(d.text,' ')) >= 20
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY d.doc_id""".stripMargin,
     "x_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
