@@ -245,8 +245,20 @@ object Dedup {
       .select(col("doc_id"), array_join(col("kmv_arr"), ",").as("kmv"))
       .orderBy("doc_id")
 
+  /** Same sketch through the Catalyst-native [[graft.functions.BottomKNative]]
+    * TypedImperativeAggregate (binary partial buffers, no Dataset encoders)
+    * — shares the typed Aggregator's oracle; both must agree exactly. */
+  def xKmvNative(s: SparkSession, dir: String): DataFrame =
+    docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(graft.functions.BottomKNative.bottomK(8)(md5(col("shingle")))
+        .as("kmv"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> xDedupExact,
+    "x_kmv_native" -> xKmvNative,
     "x_minhash_signatures" -> xMinhashSignatures,
     "x_minhash_pairs" -> xMinhashPairs,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
@@ -254,6 +266,15 @@ object Dedup {
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_kmv_sketch" -> xKmvSketch
   )
+
+  /** Shared by the typed-Aggregator and TypedImperativeAggregate forms. */
+  private val KmvOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
+      |SELECT doc_id,
+      |array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS kmv
+      |FROM sh ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -292,14 +313,10 @@ object Dedup {
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         |FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "x_kmv_sketch" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
-        |SELECT doc_id,
-        |array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS kmv
-        |FROM sh ORDER BY doc_id""".stripMargin
-    // x_simhash: bit-level fold — driver records rows-only; pinned by
-    // ExtSpec golden values instead.
+    "x_kmv_sketch" -> KmvOracleSql,
+    "x_kmv_native" -> KmvOracleSql // native aggregate, identical sketch
+    // x_simhash / x_simhash_pairs: xxhash64-based — driver records
+    // rows-only; pinned by ExtSpec properties instead.
   )
+
 }

@@ -32,6 +32,12 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("native TypedImperativeAggregate bottom-k equals the typed Aggregator") {
+    val typed = Dedup.xKmvSketch(spark, dir).collect().map(_.toSeq)
+    val native = Dedup.xKmvNative(spark, dir).collect().map(_.toSeq)
+    assert(typed.toSeq == native.toSeq)
+  }
+
   test("jaccard: identity is 1, disjoint is 0") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")))
