@@ -83,4 +83,24 @@ class CapturePropsSpec extends AnyFunSuite {
     // empty task list is CLIENT_ONLY
     assert(classifyAll(Seq(Nil)) == Seq("CLIENT_ONLY"))
   }
+
+  test("O19: firstValidJobId picks the first well-formed id, else null") {
+    val valid = for {
+      a <- Gen.chooseNum(0L, 999999L); b <- Gen.chooseNum(0L, 9999L)
+    } yield s"job_${a}_$b"
+    val invalid = Gen.oneOf(
+      Gen.const("badjob_1"), Gen.alphaStr.map("job_" + _), Gen.const(""),
+      Gen.const("job_1_2_3"))
+    val lists = sample(
+      Gen.chooseNum(0, 5).flatMap(Gen.listOfN(_, Gen.oneOf(valid, invalid))),
+      150).distinct
+    val got = lists.toDF("ids")
+      .select($"ids", CaptureOps.firstValidJobId($"ids").as("f"))
+      .collect()
+      .map(r => r.getSeq[String](0).toList -> Option(r.getString(1))).toMap
+    lists.foreach { ids =>
+      val want = ids.find(_.matches("^job_\\d+_\\d+$"))
+      assert(got(ids) == want, s"jobIds $ids")
+    }
+  }
 }
