@@ -158,7 +158,9 @@ object Similarity {
     * centroid. The centroid "index" is tiny and broadcast; the corpus makes
     * one pass — at 100 TB this is the partition-the-corpus-by-cell stage
     * that makes subsequent ANN probes touch 1/k of the data. */
-  def xIvfAssign(s: SparkSession, dir: String): DataFrame = {
+  /** Every vector with its nearest-centroid cell, vector retained —
+    * the shared assignment stage of [[xIvfAssign]] and [[xAnnIvfTopk]]. */
+  private def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -170,13 +172,44 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label").asc)
     e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("c_label"),
+      .select(col("vec_id"), col("label"), col("v"), col("c_label"),
         cosine(col("v"), col("cv")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def xIvfAssign(s: SparkSession, dir: String): DataFrame =
+    ivfAssignments(s, dir)
       .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
         round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
+
+  /** The bucketed ANN probe — the scale path the brute-force top-k is the
+    * baseline for: each query vector scores ONLY the corpus vectors assigned
+    * to its own IVF cell (an equi-join on the cell key), top-5 within the
+    * cell. At 100 TB the corpus is pre-partitioned by cell, each probe
+    * touches 1/k of the data, and nothing quadratic or corpus-broadcast
+    * exists anywhere in the plan. Recall is the standard IVF single-probe
+    * tradeoff (raise nprobe cells for more). */
+  def xAnnIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val assigned = ivfAssignments(s, dir)
+      .select(col("vec_id"), col("v"), col("c_label"))
+      .localCheckpoint() // two references below: query side + corpus side
+    val qs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_label").as("q_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(qs),
+        col("c_label") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr("cosine_sim(v, qv)").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("q_id", "rnk")
   }
 
   val queries: Map[String, Q] = Map(
@@ -185,6 +218,7 @@ object Similarity {
     "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
     "x_label_centroids" -> xLabelCentroids,
     "x_ivf_assign" -> xIvfAssign,
+    "x_ann_ivf_topk" -> xAnnIvfTopk,
     "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir))
   )
 
@@ -240,6 +274,26 @@ object Similarity {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
         |SELECT vec_id, label, c_label AS assigned_label, round(sim, 6) AS sim
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Same assignment chain; probe = in-cell equi-join + per-query top-5.
+    "x_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
+        |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
+        |p AS (SELECT vec_id, v, c_label,
+        |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM e, c),
+        |a AS (SELECT vec_id, v, c_label FROM (SELECT vec_id, v, c_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, c_label AS q_cell FROM a WHERE vec_id < 10),
+        |sc AS (SELECT q_id, a.vec_id,
+        |  list_dot_product(a.v, qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |  FROM a JOIN q ON a.c_label = q_cell AND a.vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sc)
+        |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Same plane construction as x_embedding_neardup's oracle, full 8-bit
     // signature, aggregated per bucket.
     "x_ann_lsh_buckets" ->
