@@ -130,6 +130,25 @@ object AvroEventSink {
       }
   }
 
+  /** Streaming variant: every micro-batch lands as Avro container files
+    * through [[write]] via `foreachBatch` (epoch id suffixes the logger id,
+    * so restarts never collide with committed files). The trigger interval
+    * plays the reference's rollover-interval role, exactly like the parquet
+    * sink (EventSink.writeStream). */
+  def writeStream(events: DataFrame, path: String, checkpoint: String,
+                  loggerId: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        write(batch.toDF(), path, s"${loggerId}e$epochId")
+      }
+      .start()
+
   /** Read container files back to Rows of (subset) columns — the O26 dual,
     * used by tests for round-trip assertions. */
   def readRecords(file: File): Seq[GenericRecord] = {

@@ -78,6 +78,31 @@ class AvroEventSinkSpec extends AnyFunSuite {
     assert(byId("q2").get("TablesRead").toString == "[]")
   }
 
+  test("streaming avro sink: micro-batches land as container files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_avro_stream")
+    val (out, ckpt) = (s"$base/data", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[QueryEvent]
+    in.addData(
+      QueryEvent(QueryId = Some("q1"), EventType = Some("QUERY_COMPLETED"),
+        EndTime = Some(new Timestamp(1671969622334L))),
+      QueryEvent(QueryId = Some("q2"), EventType = Some("QUERY_COMPLETED"),
+        EndTime = Some(new Timestamp(1671969622334L))))
+    val q = AvroEventSink.writeStream(in.toDF(), out, ckpt, "stream01",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val files = new File(s"$out/2022-12-25").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    assert(files.forall(_.getName.matches(
+      "dwhassessment_.*_stream01e\\d+_\\d+\\.avro")))
+    val ids = files.flatMap(AvroEventSink.readRecords)
+      .map(_.get("QueryId").toString).sorted
+    assert(ids.toSeq == Seq("q1", "q2"))
+  }
+
   test("one day across many partitions writes in parallel (no day funnel)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_avro_par").toString
