@@ -98,7 +98,52 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
 
+  /** Unigram log-probability quality score — the cheap stand-in for
+    * LM-perplexity filtering: per doc, the mean ln p(token) under the
+    * corpus unigram distribution. Rare-token-heavy (low-quality or
+    * off-domain) documents score low. Two aggregates + one join on the
+    * token key; the vocabulary is never collected or broadcast. */
+  def xUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val total = toks.count()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("n_tok") / lit(total.toDouble))).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("m") + lit(1e-9), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (the scrub step before training): emails, IPv4s and
+    * long digit runs replaced by placeholder tags; emits per-doc match
+    * counts and the content hash of the redacted text so the replacement
+    * itself is verified, not just counted. Pure narrow map stage. */
+  def xRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\b\\d{7,}\\b"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<NUM>")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .as("n_nums"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_unigram_logprob" -> xUnigramLogprob,
+    "x_redact_pii" -> xRedactPii,
     "x_lang_stats" -> xLangStats,
     "x_text_quality" -> xTextQuality,
     "x_token_count" -> xTokenCount,
@@ -107,6 +152,24 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS total FROM toks),
+        |f AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |round(avg(ln(n_tok / CAST(total AS DOUBLE))) + 1e-9, 4) AS mean_logprob
+        |FROM toks JOIN f USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_redact_pii" ->
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |len(regexp_extract_all(text, '\b\d{7,}\b')) AS n_nums,
+        |md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{7,}\b', '<NUM>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-9,4) AS avg_chars,
         |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
