@@ -75,6 +75,34 @@ object Assessments {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
 
+  /** A3 — pivoted day × event-type count matrix (`groupBy().pivot()` with
+    * an explicit value list, so no extra distinct-values job; bounded
+    * column fan-out is the scale contract for pivot). The DuckDB twin is
+    * conditional aggregation — pivot IS sugar for exactly that. */
+  def a3PivotDaily(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** A2 via the SQL-string entry path — same logical plan as the DataFrame
+    * form (Catalyst parses to the identical tree), pinned against the same
+    * oracle; demonstrates the `spark.sql` + temp-view surface. */
+  def a2UserRollupSql(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value) + 1e-9, 4) AS avg_value,
+        |  round(max(value), 2) AS max_value
+        |FROM graft_events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   /** A4 — heat map via explode: token frequencies over `documents`
     * (the TablesRead/PartitionsRead analog). Top-50, fully tiebroken. */
   def a4TokenHeatmap(s: SparkSession, dir: String): DataFrame =
@@ -408,6 +436,8 @@ object Assessments {
     "a1_lifecycle_pairs" -> a1LifecyclePairs,
     "a1_abandoned_users" -> a1AbandonedUsers,
     "a2_user_rollup" -> a2UserRollup,
+    "a2_rollup_sql" -> a2UserRollupSql,
+    "a3_pivot_daily" -> a3PivotDaily,
     "a3_type_daily_rollup" -> a3TypeDailyRollup,
     "a4_token_heatmap" -> a4TokenHeatmap,
     "a5_value_percentiles" -> a5ValuePercentiles,
@@ -460,6 +490,19 @@ object Assessments {
         |round(sum(value),2) AS sum_value,
         |round(avg(value) + 1e-9, 4) AS avg_value,
         |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a2_rollup_sql" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |round(sum(value),2) AS sum_value,
+        |round(avg(value) + 1e-9, 4) AS avg_value,
+        |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a3_type_daily_rollup" ->
       """SELECT event_type, day, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, value FROM events)
