@@ -250,6 +250,25 @@ object Assessments {
       .orderBy("day")
   }
 
+  /** A8 — trailing 7-day sum per event type via a RANGE window frame
+    * (value-based, so gap days are handled correctly — a ROWS frame would
+    * silently span across missing days). Partitioned by type: the sort is
+    * per-partition, never global. */
+  def a8TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("bigint").as("day_num"))
+      .agg(sum("value").as("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("day_num"),
+        round(col("sv") + lit(1e-9), 2).as("day_value"),
+        round(sum("sv").over(w) + lit(1e-9), 2).as("trailing_7d"))
+      .orderBy("event_type", "day_num")
+  }
+
   /** A9 — JSON counter mining: `get_json_object` + bucketed aggregate. */
   def a9JsonProps(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
@@ -448,6 +467,7 @@ object Assessments {
     "a7_hourly_traffic" -> a7HourlyTraffic,
     "a7_sessionize" -> a7Sessionize,
     "a8_daily_running" -> a8DailyRunning,
+    "a8_trailing_window" -> a8TrailingWindow,
     "a9_json_props" -> a9JsonProps,
     "a10_props_map_explode" -> a10PropsMapExplode,
     "a11_error_cohorts" -> a11ErrorCohorts,
@@ -553,6 +573,14 @@ object Assessments {
       """WITH d AS (SELECT strftime(ts,'%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1)
         |SELECT day, n, CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
         |n - lag(n,1) OVER (ORDER BY day) AS delta FROM d ORDER BY day""".stripMargin,
+    "a8_trailing_window" ->
+      """WITH d AS (SELECT event_type,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+        |  sum(value) AS sv FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_num, round(sv + 1e-9, 2) AS day_value,
+        |round(sum(sv) OVER (PARTITION BY event_type ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS trailing_7d
+        |FROM d ORDER BY event_type, day_num""".stripMargin,
     "a9_json_props" ->
       """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket,
         |count(*) AS n, round(sum(value),2) AS sum_value
