@@ -10,6 +10,26 @@ class AssessmentsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = TestSpark.Sf0001
 
+  test("pivot round-trips through unpivot back to the long form") {
+    import org.apache.spark.sql.functions._
+    val wide = Assessments.a3PivotDaily(spark, dir)
+    val long = wide.unpivot(
+      Array(col("day")),
+      Array(col("click"), col("view"), col("purchase"), col("signup"),
+        col("error")),
+      "event_type", "n")
+      .filter(col("n") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expected = graft.Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(long == expected)
+  }
+
   test("A5 sketches: approx within documented error of exact") {
     val rows = Assessments.a5ApproxSketches(spark, dir).collect()
     assert(rows.nonEmpty)
