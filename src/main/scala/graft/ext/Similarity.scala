@@ -212,7 +212,38 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage-shrink
+    * step that makes 100 TB ANN indexes fit: per-dimension global min/max
+    * (one tiny aggregate, broadcast back), each component mapped to 0..255
+    * with `floor(x·255 + 0.5)` (floor is engine-consistent where `round`'s
+    * half-rule is not). Emits the codes comma-joined — integers, so the
+    * oracle comparison is exact. 4× smaller vectors, one corpus pass. */
+  def xEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val stats = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          t => t.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          t => t.getField("mx")).as("maxs"))
+    val code = transform(sequence(lit(0), size(col("v")) - 1), i => {
+      val x = element_at(col("v"), i + 1)
+      val mn = element_at(col("mins"), i + 1)
+      val mx = element_at(col("maxs"), i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        floor((x - mn) / (mx - mn) * 255 + lit(0.5)).cast("long"))
+    })
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        array_join(code.cast("array<string>"), ",").as("codes"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_embed_quantize" -> xEmbedQuantize,
     "x_ann_cosine_topk" -> xAnnCosineTopk,
     "x_ann_cosine_fused" -> xAnnCosineFused,
     "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
@@ -223,6 +254,17 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ed AS (SELECT unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ed GROUP BY 1),
+        |g AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM st)
+        |SELECT vec_id,
+        |array_to_string(list_transform(range(1, len(v) + 1), i ->
+        |  CAST(CASE WHEN maxs[i] = mins[i] THEN 0
+        |    ELSE CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 255 + 0.5) AS BIGINT)
+        |  END AS VARCHAR)), ',') AS codes
+        |FROM e, g ORDER BY vec_id""".stripMargin,
     "x_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
