@@ -32,6 +32,19 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("bottom-k native: dedups, handles fewer-than-k and null inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b"), (1L, "a"), (1L, "a"), (1L, "c"), // dups collapse
+      (2L, "z")) // fewer than k
+      .toDF("g", "h")
+      .unionByName(Seq((2L, null.asInstanceOf[String])).toDF("g", "h"))
+    val got = df.groupBy("g")
+      .agg(graft.functions.BottomKNative.bottomK(2)(col("h")).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a,b", 2L -> "z")) // nulls skipped, k=2 cap
+  }
+
   test("native TypedImperativeAggregate bottom-k equals the typed Aggregator") {
     val typed = Dedup.xKmvSketch(spark, dir).collect().map(_.toSeq)
     val native = Dedup.xKmvNative(spark, dir).collect().map(_.toSeq)
