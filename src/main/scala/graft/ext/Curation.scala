@@ -91,6 +91,35 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** Language-mixture resampling — the corpus-mixing step of an LLM data
+    * pipeline: each language keeps a different deterministic fraction
+    * (upsample low-resource, downsample dominant). Membership = md5(doc_id)
+    * 4-hex-char prefix compared against the language's threshold string, so
+    * the draw is reproducible across engines and re-partitions and the
+    * filter is a pure narrow map — no shuffle, any scale. */
+  def xSampleMixture(s: SparkSession, dir: String): DataFrame = {
+    // fraction ≈ threshold/65536: zh 1/8, en 1/4, fr 1/2, de 3/4, es all
+    val thresholds = typedLit(Map(
+      "zh" -> "2000", "en" -> "4000", "fr" -> "8000",
+      "de" -> "c000", "es" -> "ffff"))
+    Tables.load(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4)
+        < coalesce(element_at(thresholds, col("lang")), lit("0000")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length distribution: documents bucketed by token count (width
+    * 50) — the introspection histogram every curation run reports. One
+    * narrow map + one tiny aggregate. */
+  def xLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select((floor(size(split(col("text"), " ")) / 50) * 50)
+        .cast("bigint").as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
   /** TF-IDF top-3 salient terms per document: tf = in-doc term frequency,
     * idf = ln(N / df) from a corpus-wide document-frequency aggregate,
     * ranked per doc. Two aggregates (per-doc term counts; per-term doc
@@ -199,6 +228,8 @@ object Curation {
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
+    "x_sample_mixture" -> xSampleMixture,
+    "x_length_histogram" -> xLengthHistogram,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_tfidf_top" -> xTfidfTop
   )
@@ -263,6 +294,16 @@ object Curation {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
         |ORDER BY doc_id""".stripMargin,
+    "x_sample_mixture" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'zh' THEN '2000' WHEN 'en' THEN '4000'
+        |    WHEN 'fr' THEN '8000' WHEN 'de' THEN 'c000'
+        |    WHEN 'es' THEN 'ffff' ELSE '0000' END
+        |ORDER BY doc_id""".stripMargin,
+    "x_length_histogram" ->
+      """SELECT CAST(floor(len(string_split(text, ' ')) / 50) * 50 AS BIGINT) AS bucket_lo,
+        |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id, row_number() OVER (
         |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
