@@ -101,7 +101,18 @@ object AvroEventSink {
   /** Write the event DataFrame as date-partitioned Avro container files.
     * Returns nothing; files land under `path/<yyyy-MM-dd>/`. Partitioned by
     * the rows' own event dates (batch dual of the clock-driven
-    * [[DatePartitionedAvroWriter]]); parallelism = upstream partitions. */
+    * [[DatePartitionedAvroWriter]]); parallelism = upstream partitions.
+    *
+    * Commit protocol (the Spark-side stand-in for the reference's retry
+    * loop, EventLogger.java:196-210, which SURVEY §2.1 O22 delegates to
+    * "task retry + sink atomicity"): each task writes to a dot-prefixed,
+    * attempt-suffixed temp name and atomically renames to the final name
+    * only after the whole partition succeeded. A failed or killed attempt
+    * leaves only invisible temps (cleaned up on the failure path when the
+    * JVM survives); a speculative duplicate writes its own temp and the
+    * rename either lands first or replaces a byte-identical committed file
+    * — readers matching `dwhassessment_*.avro` never observe a partial
+    * container file. */
   def write(events: DataFrame, path: String, loggerId: String,
             nowMs: Long = System.currentTimeMillis()): Unit = {
     val schemaJson = avroSchema.toString // ship as JSON; Schema isn't serializable
@@ -111,23 +122,53 @@ object AvroEventSink {
     EventSink.withEventDate(events)
       .foreachPartition { rows: Iterator[Row] =>
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val writers = scala.collection.mutable.Map[String, DataFileWriter[GenericRecord]]()
-        def writerFor(day: String): DataFileWriter[GenericRecord] =
-          writers.getOrElseUpdate(day, {
-            val dir = new File(s"$path/$day")
-            dir.mkdirs()
-            val w = new DataFileWriter[GenericRecord](
-              new GenericDatumWriter[GenericRecord](schema))
-            w.create(schema,
-              new File(dir, s"dwhassessment_${stamp}_${loggerId}_$pid.avro"))
-          })
-        rows.foreach { row =>
-          writerFor(row.getAs[String]("EventDate"))
-            .append(toRecord(row, names, schema))
-        }
-        writers.values.foreach(_.close())
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = if (ctx == null) 0 else ctx.partitionId()
+        val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+        writePartition(rows, schema, names, path,
+          s"dwhassessment_${stamp}_${loggerId}", pid, attempt)
       }
+  }
+
+  /** One task's write: temp files while running, atomic rename on success,
+    * temp cleanup + rethrow on failure. Factored out of [[write]] so the
+    * spec can drive a failing iterator without a Spark job. */
+  private[sink] def writePartition(rows: Iterator[Row], schema: Schema,
+                                   names: Array[String], path: String,
+                                   filePrefix: String, pid: Int,
+                                   attempt: Long): Unit = {
+    // day -> (open writer, temp file, committed destination)
+    val writers = scala.collection.mutable.Map[
+      String, (DataFileWriter[GenericRecord], File, File)]()
+    def writerFor(day: String): DataFileWriter[GenericRecord] =
+      writers.getOrElseUpdate(day, {
+        val dir = new File(s"$path/$day")
+        dir.mkdirs()
+        val dst = new File(dir, s"${filePrefix}_$pid.avro")
+        val tmp = new File(dir, s".${dst.getName}.attempt-$attempt.tmp")
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        (w.create(schema, tmp), tmp, dst)
+      })._1
+    try {
+      rows.foreach { row =>
+        writerFor(row.getAs[String]("EventDate"))
+          .append(toRecord(row, names, schema))
+      }
+      writers.values.foreach { case (w, _, _) => w.close() }
+      writers.values.foreach { case (_, tmp, dst) =>
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case e: Throwable =>
+        writers.values.foreach { case (w, tmp, _) =>
+          try w.close() catch { case _: Exception => () }
+          tmp.delete()
+        }
+        throw e
+    }
   }
 
   /** Streaming variant: every micro-batch lands as Avro container files
@@ -178,10 +219,13 @@ class DatePartitionedAvroWriter(
     schema: Schema,
     clock: Clock,
     loggerId: String,
-    rolloverInterval: Duration) {
+    rolloverInterval: Duration,
+    maxWriteRetries: Int = 2) {
 
   private var rolloverTime: Instant = calculateNextRolloverTime()
   private var current: DataFileWriter[GenericRecord] = null
+  private var currentFile: File = null
+  private var recordsInCurrentFile: Long = 0L
 
   /** Reference `calculateNextRolloverTime` (`:196-202`). */
   private def calculateNextRolloverTime(): Instant = {
@@ -199,25 +243,75 @@ class DatePartitionedAvroWriter(
     dir.mkdirs()
     val name =
       s"dwhassessment_${AvroEventSink.LogTimeFormat.format(now)}_$loggerId.avro"
+    // Never truncate a kept file from a prior reset: if the clock hasn't
+    // advanced past the discarded writer's name, suffix a sequence number.
+    var f = new File(dir, name)
+    var seq = 1
+    while (f.exists()) {
+      f = new File(dir, s"${name.stripSuffix(".avro")}_r$seq.avro")
+      seq += 1
+    }
+    currentFile = f
+    recordsInCurrentFile = 0L
+    createDataFile(currentFile)
+  }
+
+  /** Seam for the spec to inject IO failures; production path writes the
+    * container file directly. */
+  protected def createDataFile(file: File): DataFileWriter[GenericRecord] = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, new File(dir, name))
+    w.create(schema, file)
   }
 
   /** Append one record, rolling the file over first if the clock passed the
-    * rollover time (reference `write` + `maybeRolloverWriter`, `:98-133`). */
+    * rollover time (reference `write` + `maybeRolloverWriter`, `:98-133`).
+    *
+    * Error path mirrors the reference's writer reset + bounded retry
+    * (DatePartitionedRecordsWriterFactory.java:109-114, retry loop
+    * EventLogger.java:196-210): a failed append discards the poisoned
+    * `DataFileWriter` — deleting the file when nothing was ever committed to
+    * it, so a first-write failure leaves no partial garbage — and the next
+    * attempt lazily opens a fresh writer. After `maxWriteRetries` resets the
+    * failure propagates to the caller. */
   def write(rec: GenericRecord): Unit = {
     if (shouldRollover) {
       close()
       rolloverTime = calculateNextRolloverTime()
     }
-    if (current == null) current = openWriter()
-    current.append(rec)
-    current.flush()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      if (current == null) current = openWriter()
+      try {
+        current.append(rec)
+        current.flush()
+        recordsInCurrentFile += 1
+        done = true
+      } catch {
+        case e: Exception =>
+          discard()
+          attempt += 1
+          if (attempt > maxWriteRetries) throw e
+      }
+    }
+  }
+
+  /** Drop a poisoned writer: best-effort close, delete the file if no record
+    * ever landed in it (records already flushed stay readable — the file is
+    * kept then, exactly like the reference's in-place reset). */
+  private def discard(): Unit = {
+    if (current != null) {
+      try current.close() catch { case _: Exception => () }
+      if (recordsInCurrentFile == 0L && currentFile != null) currentFile.delete()
+    }
+    current = null
+    currentFile = null
   }
 
   def close(): Unit = {
     if (current != null) current.close()
     current = null
+    currentFile = null
   }
 }

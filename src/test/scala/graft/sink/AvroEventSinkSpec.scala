@@ -103,6 +103,75 @@ class AvroEventSinkSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq("q1", "q2"))
   }
 
+  // --- commit protocol (O22 delegation made real: temp + atomic rename) ---
+
+  private def eventRows(ids: String*): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val df = ids.map { id =>
+      QueryEvent(QueryId = Some(id),
+        EndTime = Some(new Timestamp(1671969622334L)))
+    }.toDF()
+    EventSink.withEventDate(df).collect().toSeq
+  }
+
+  private def visibleAvro(base: String): Array[File] =
+    Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("."))
+
+  private def allFiles(base: String): Array[File] =
+    Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(_.listFiles())
+
+  test("failed task attempt leaves no visible or temp file") {
+    val base = Files.createTempDirectory("graft_avro_fail").toString
+    val rows = eventRows("q1", "q2")
+    val failing: Iterator[org.apache.spark.sql.Row] =
+      rows.iterator.take(1) ++ Iterator.continually[org.apache.spark.sql.Row](
+        throw new java.io.IOException("task died mid-partition"))
+    intercept[java.io.IOException] {
+      AvroEventSink.writePartition(failing, AvroEventSink.avroSchema,
+        QueryEvent.schema.fieldNames, base, "dwhassessment_T_log", 0, 7L)
+    }
+    assert(visibleAvro(base).isEmpty, "failed attempt committed a file")
+    assert(allFiles(base).isEmpty, "failed attempt leaked a temp file")
+  }
+
+  test("retried attempt after a failure commits exactly one file") {
+    val base = Files.createTempDirectory("graft_avro_retry").toString
+    val rows = eventRows("q1", "q2")
+    val failing: Iterator[org.apache.spark.sql.Row] =
+      rows.iterator.take(1) ++ Iterator.continually[org.apache.spark.sql.Row](
+        throw new java.io.IOException("first attempt dies"))
+    intercept[java.io.IOException] {
+      AvroEventSink.writePartition(failing, AvroEventSink.avroSchema,
+        QueryEvent.schema.fieldNames, base, "dwhassessment_T_log", 0, 7L)
+    }
+    // Spark reschedules the task as a new attempt over the same rows
+    AvroEventSink.writePartition(rows.iterator, AvroEventSink.avroSchema,
+      QueryEvent.schema.fieldNames, base, "dwhassessment_T_log", 0, 8L)
+    val fs = visibleAvro(base)
+    assert(fs.length == 1, s"want exactly one committed file, got ${fs.toSeq}")
+    assert(AvroEventSink.readRecords(fs.head)
+      .map(_.get("QueryId").toString).sorted == Seq("q1", "q2"))
+    assert(allFiles(base).count(_.getName.endsWith(".tmp")) == 0)
+  }
+
+  test("speculative duplicate attempts converge to one complete file") {
+    val base = Files.createTempDirectory("graft_avro_spec").toString
+    val rows = eventRows("q1", "q2", "q3")
+    // two attempts of the same partition race; both rename to the same
+    // deterministic destination — last one atomically replaces, content equal
+    AvroEventSink.writePartition(rows.iterator, AvroEventSink.avroSchema,
+      QueryEvent.schema.fieldNames, base, "dwhassessment_T_log", 3, 11L)
+    AvroEventSink.writePartition(rows.iterator, AvroEventSink.avroSchema,
+      QueryEvent.schema.fieldNames, base, "dwhassessment_T_log", 3, 12L)
+    val fs = visibleAvro(base)
+    assert(fs.length == 1)
+    assert(AvroEventSink.readRecords(fs.head).length == 3)
+    assert(allFiles(base).count(_.getName.endsWith(".tmp")) == 0)
+  }
+
   test("one day across many partitions writes in parallel (no day funnel)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_avro_par").toString
@@ -204,6 +273,79 @@ class RolloverWriterSpec extends AnyFunSuite {
     val w = newWriter(base, new TickableClock(T0))
     w.close()
     assert(Option(base.listFiles()).getOrElse(Array.empty).isEmpty)
+  }
+
+  /** Injects append failures: the first `failures` appends throw, later ones
+    * pass through — the reference's transient-IO-error shape
+    * (DatePartitionedRecordsWriterFactoryTest's failing writer). */
+  private class FailingWriter(base: File, clock: Clock, var failures: Int,
+                              retries: Int)
+      extends DatePartitionedAvroWriter(base, AvroEventSink.avroSchema, clock,
+        "a665f132", Duration.ofMinutes(30), maxWriteRetries = retries) {
+    var opens = 0
+    override protected def createDataFile(file: File)
+        : org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = {
+      opens += 1
+      val dw = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](AvroEventSink.avroSchema)
+      new org.apache.avro.file.DataFileWriter[
+          org.apache.avro.generic.GenericRecord](dw) {
+        override def append(r: org.apache.avro.generic.GenericRecord): Unit = {
+          if (failures > 0) {
+            failures -= 1
+            throw new org.apache.avro.AvroRuntimeException(
+              new java.io.IOException("disk hiccup"))
+          }
+          super.append(r)
+        }
+      }.create(AvroEventSink.avroSchema, file)
+    }
+  }
+
+  test("IO error resets the writer; next attempt lands in a fresh file") {
+    // reference writer reset: DatePartitionedRecordsWriterFactory.java:109-114
+    val base = Files.createTempDirectory("roll_err").toFile
+    val clock = new TickableClock(T0)
+    val w = new FailingWriter(base, clock, failures = 1, retries = 2)
+    w.write(rec("id1")) // first append fails, reset, retry succeeds
+    w.write(rec("id2"))
+    w.close()
+    assert(w.opens == 2, "failed writer must be discarded and reopened")
+    val fs = filesIn(new File(base, "2022-12-25"))
+    assert(fs.length == 1, s"partial garbage left behind: ${fs.toSeq}")
+    assert(AvroEventSink.readRecords(fs.head)
+      .map(_.get("QueryId").toString) == Seq("id1", "id2"))
+  }
+
+  test("retries exhausted propagates the failure and leaves no empty file") {
+    val base = Files.createTempDirectory("roll_err2").toFile
+    val clock = new TickableClock(T0)
+    val w = new FailingWriter(base, clock, failures = 99, retries = 1)
+    intercept[org.apache.avro.AvroRuntimeException] { w.write(rec("id1")) }
+    w.close()
+    assert(filesIn(new File(base, "2022-12-25")).isEmpty,
+      "no record ever committed — the file must not survive")
+    // a later write on the same (reset) writer still works once IO recovers
+    w.failures = 0
+    w.write(rec("id2"))
+    w.close()
+    val fs = filesIn(new File(base, "2022-12-25"))
+    assert(fs.length == 1 &&
+      AvroEventSink.readRecords(fs.head).map(_.get("QueryId").toString) == Seq("id2"))
+  }
+
+  test("reset keeps a file that already holds committed records") {
+    val base = Files.createTempDirectory("roll_err3").toFile
+    val clock = new TickableClock(T0)
+    val w = new FailingWriter(base, clock, failures = 0, retries = 2)
+    w.write(rec("id1"))          // lands in file A
+    w.failures = 1
+    w.write(rec("id2"))          // fails once: A kept (has id1), retry → fresh B
+    w.close()
+    val fs = filesIn(new File(base, "2022-12-25")).sortBy(_.getName)
+    assert(fs.length == 2, s"got ${fs.map(_.getName).toSeq}")
+    assert(fs.flatMap(AvroEventSink.readRecords)
+      .map(_.get("QueryId").toString).sorted.toSeq == Seq("id1", "id2"))
   }
 
   test("rollover never crosses midnight even with a long interval") {
