@@ -145,6 +145,9 @@ object Assessments {
           .as("p50_approx"),
         round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"))
     val users = ev(s, dir)
+      // count(DISTINCT x) ignores NULLs; the deduped-frame rewrite must too,
+      // or a null user_id would count as one extra "user" in users_exact
+      .filter(col("user_id").isNotNull)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("users_approx"),

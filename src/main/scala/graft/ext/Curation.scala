@@ -47,7 +47,8 @@ object Curation {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val next = labels
         .unionByName(edges // neighbor's current label, flowing both ways
           .join(labels, edges("doc_b") === labels("doc_id"))
@@ -60,6 +61,14 @@ object Curation {
       labels = next
       rounds += 1
     }
+    // Fail loudly rather than silently emit partial (wrong) cluster labels:
+    // a component whose diameter exceeds the round cap is truncated, and at
+    // corpus scale chained near-dup clusters (A~B~C~...) can be that deep.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"($changed labels still changing); raise the cap or pre-contract " +
+          "the graph")
     labels.orderBy("doc_id")
   }
 
@@ -131,16 +140,21 @@ object Curation {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
-    val nDocs = Tables.load(s, dir, "documents").count()
+    // corpus size as a one-row broadcast aggregate INSIDE the plan — not a
+    // driver-side .count(), which would run a whole extra job eagerly at
+    // plan-construction time (same shape as xEmbedQuantize's stats row)
+    val nDocs = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs_total"))
     val df = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     // rank on the UNROUNDED score (the oracle does the same): rounding can
     // collapse distinct scores and scramble the tiebreak
-    val raw = col("tf") * log(lit(nDocs.toDouble) / col("df"))
+    val raw = col("tf") * log(col("n_docs_total") / col("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("raw").desc, col("tok").asc)
     tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
       .withColumn("raw", raw)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -176,16 +190,18 @@ object Curation {
     * is boilerplate when it appears in >= 5 distinct documents; each doc
     * reports its boilerplate ratio. Two aggregates over the exploded shingle
     * stream — the document-frequency side partial-aggregates map-side and
-    * joins back on the shingle key (vocabulary-sized, never collected). */
+    * joins back on the shingle key (vocabulary-sized, never collected).
+    *
+    * Deliberately NOT a window over the shingle partition: a window cannot
+    * partial-aggregate, so every row of a partition lands on one task — and
+    * the hottest shingle is by definition the boilerplate one (millions of
+    * docs at corpus scale). The groupBy collapses the hot key map-side, and
+    * the join back is a plain equi-join AQE can skew-split. */
   def xBoilerplate(s: SparkSession, dir: String,
                    minDocs: Long = 5L): DataFrame = {
-    // One pass over the shingle stream: the per-shingle doc count is a
-    // window over the shingle partition (same exchange a groupBy would
-    // need) instead of a separate aggregate joined back — halves the
-    // scans and drops the vocabulary-key shuffle join.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    docShingleRows(s, dir)
-      .withColumn("docs_with", count(lit(1)).over(w))
+    val sh = docShingleRows(s, dir)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("docs_with"))
+    sh.join(dfreq, "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L))
@@ -199,26 +215,62 @@ object Curation {
   /** The capstone composition — what this library exists to produce: the
     * curated training corpus. Keep a document iff it is (a) its exact-dup
     * group's keeper (min doc id per content hash), (b) in the target
-    * language, (c) above the token-count quality floor, and (d) free of
-    * eval-set contamination. Stage shapes: one content-hash aggregate
-    * (16-byte shuffle), narrow quality/lang filters, and the broadcast
-    * decontamination probe — the corpus text itself is scanned twice and
-    * shuffled never. */
+    * language, (c) above the token-count quality floor, (d) free of
+    * eval-set contamination, and (e) below the boilerplate-ratio ceiling.
+    *
+    * Exactly TWO passes over the corpus text:
+    *  1. the keeper aggregate — min(struct(doc_id, lang, n_tokens)) per
+    *     content hash carries the kept row's whole projection through the
+    *     groupBy (16-byte-key shuffle, map-side combined), fusing what used
+    *     to be separate keeper and quality/lang scans;
+    *  2. the shingle stream — materialized once (localCheckpoint; a
+    *     checkpoint dir at cluster scale) and reused by all four shingle
+    *     consumers: eval-set build, contamination probe, document
+    *     frequency, and the boilerplate ratio.
+    * Everything downstream is vocabulary-sized or doc-id-sized; the corpus
+    * text itself is never shuffled. */
   def xCurateCorpus(s: SparkSession, dir: String,
-                    lang: String = "en", minTokens: Int = 20): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val keepers = docs
+                    lang: String = "en", minTokens: Int = 20,
+                    minDocs: Long = 5L,
+                    maxBoilerRatio: Double = 0.3): DataFrame = {
+    val keepers = Tables.load(s, dir, "documents")
       .groupBy(md5(col("text")).as("fp"))
-      .agg(min("doc_id").as("doc_id"))
+      .agg(min(struct(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.n_tokens").as("n_tokens"))
+    // corpus size: a count-star scan reads NO column data (parquet row-group
+    // metadata only) — the one-row result broadcasts into the ratio filter
+    val nDocs = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val sh = docShingleRows(s, dir).localCheckpoint()
+    val evalSet = sh.filter(col("doc_id") < 10)
+      .select(col("shingle")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= 10)
+      .join(broadcast(evalSet), "shingle")
+      .select("doc_id").distinct()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("docs_with"))
+    // Boilerplate = shingle in >= max(minDocs, 1% of corpus) documents. The
+    // RELATIVE threshold is the point: an absolute count saturates as the
+    // corpus grows (every common trigram clears 5 docs at web scale) and
+    // would flag the whole corpus; df >= 1% pins the C4-style "repeated
+    // content" meaning at any scale. Docs over the ratio ceiling are
+    // anti-joined away; docs too short to shingle never enter `sh` and are
+    // rightly kept by the anti-join.
+    val dfFloor = greatest(lit(minDocs.toDouble),
+      ceil(col("n_docs") / 100.0).cast("double"))
+    val tooBoiler = sh.join(dfreq, "shingle")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg((sum(when(col("docs_with") >= dfFloor, 1L).otherwise(0L)) /
+        count(lit(1))).as("ratio"))
+      .filter(round(col("ratio") + lit(1e-9), 4) > maxBoilerRatio)
       .select("doc_id")
-    val contaminated = xDecontaminate(s, dir).select("doc_id")
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).as("n_tokens"))
+    keepers
       .filter(col("doc_id") >= 10) // docs 0-9 are the eval set, never kept
       .filter(col("lang") === lang && col("n_tokens") >= minTokens)
-      .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(tooBoiler, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -242,12 +294,19 @@ object Curation {
         |  range(1, greatest(len(toks)-1, 2)),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
-        |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle) WHERE sh.doc_id >= 10)
+        |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle) WHERE sh.doc_id >= 10),
+        |dfreq AS (SELECT shingle, count(*) AS docs_with FROM sh GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |br AS (SELECT sh.doc_id,
+        |  sum(CASE WHEN docs_with >= greatest(5.0, ceil(n_docs / 100.0)) THEN 1 ELSE 0 END) * 1.0 / count(*) AS ratio
+        |  FROM sh JOIN dfreq USING (shingle), n GROUP BY 1),
+        |bh AS (SELECT doc_id FROM br WHERE round(ratio + 1e-9, 4) > 0.3)
         |SELECT d.doc_id, d.lang, len(string_split(d.text,' ')) AS n_tokens
         |FROM documents d JOIN k USING (doc_id)
         |WHERE d.doc_id >= 10 AND d.lang = 'en'
         |  AND len(string_split(d.text,' ')) >= 20
         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bh)
         |ORDER BY d.doc_id""".stripMargin,
     "x_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -106,12 +106,16 @@ object TextOps {
   def xUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val total = toks.count()
+    // corpus token total as a one-row broadcast aggregate INSIDE the plan —
+    // not a driver-side .count(), which would run an extra full tokenize
+    // pass eagerly at plan-construction time
+    val total = toks.agg(count(lit(1)).cast("double").as("n_tok_total"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
     toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("n_tok") / lit(total.toDouble))).as("m"))
+        avg(log(col("n_tok") / col("n_tok_total"))).as("m"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("m") + lit(1e-9), 4).as("mean_logprob"))
       .orderBy("doc_id")
