@@ -223,6 +223,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle twin of [[xSimhash]]: the per-token 64-bit hash is the first 16
+    * hex nibbles of md5(token) — the md5-parity trick that oracle-ized the
+    * hyperplane LSH ([[Similarity.planeSign]]) — so DuckDB reproduces the
+    * whole SimHash construction bit-for-bit and the driver hash-checks it.
+    * The xxhash64 [[xSimhash]] stays the production/perf path (one codegen'd
+    * hash per token vs 16 nibble extractions). Same aggregate shape: one
+    * explode + 64 small partial-aggregated sums per doc. */
+  private def simhashMd5Bits(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("tok"))
+    def nib(j: Int) = conv(substring(h, j + 1, 1), 16, 10).cast("int")
+    val bitCols = (0 until 64).map { i =>
+      val bit = shiftright(nib(i / 4), 3 - i % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+  }
+
+  /** 16-hex-char fingerprint assembled nibble-by-nibble from the b0..b63 sign
+    * sums — avoids 64-bit signed arithmetic entirely (DuckDB checks BIGINT
+    * overflow; a 2^63 bit weight would trap there). */
+  private def md5FingerprintHex: Column = (0 until 16).map { j =>
+    val v = (0 until 4).map(k =>
+      when(col(s"b${4 * j + k}") > 0, lit(8 >> k)).otherwise(lit(0)))
+      .reduce(_ + _)
+    lower(hex(v))
+  }.reduce(concat(_, _))
+
+  def xSimhashMd5(s: SparkSession, dir: String): DataFrame =
+    simhashMd5Bits(s, dir)
+      .select(col("doc_id"), md5FingerprintHex.as("simhash_hex"))
+      .orderBy("doc_id")
+
+  /** Oracle twin of [[xSimhashPairs]] over the md5 fingerprint: same four
+    * 16-bit-band equi-joins (4 hex chars each), Hamming distance summed as
+    * 16 per-nibble `bit_count(xor)` terms — all DuckDB-expressible. */
+  def xSimhashPairsMd5(s: SparkSession, dir: String,
+                       maxHamming: Int = 16): DataFrame = {
+    val fps = simhashMd5Bits(s, dir)
+      .select(col("doc_id"), md5FingerprintHex.as("hx"))
+      .localCheckpoint() // 16 bytes/doc; four band self-joins share one pass
+    val withBands = fps.select(
+      col("doc_id") +: col("hx") +:
+        (0 until 4).map(b => substring(col("hx"), b * 4 + 1, 4).as(s"band$b")): _*)
+    def nibOf(c: Column, j: Int) = conv(substring(c, j, 1), 16, 10).cast("int")
+    def hamming(a: Column, b: Column): Column = (1 to 16).map { j =>
+      bit_count(nibOf(a, j).bitwiseXOR(nibOf(b, j)))
+    }.reduce(_ + _)
+    (0 until 4).map { b =>
+      withBands.as("a").join(withBands.as("b"),
+        col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming(col("a.hx"), col("b.hx")).cast("bigint").as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Two-band LSH variant: candidates must share BOTH band-0 and band-1
     * min-shingle hashes — candidate count drops ~quadratically in the match
     * probability (330 vs 10.6k pairs at sf0.1), which is the knob that keeps
@@ -264,8 +326,30 @@ object Dedup {
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
     "x_simhash" -> xSimhash,
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
+    "x_simhash_md5" -> xSimhashMd5,
+    "x_simhash_pairs_md5" -> ((s, dir) => xSimhashPairsMd5(s, dir)),
     "x_kmv_sketch" -> xKmvSketch
   )
+
+  /** 64 per-bit sign sums from md5 nibbles — DuckDB half of the SimHash
+    * oracle twin (generated, not hand-written: one sum per bit). */
+  private val SimhashMd5BitsSql: String = (0 until 64).map { i =>
+    val j = i / 4 + 1
+    val sh = 3 - i % 4
+    s"sum(CASE WHEN (((strpos('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+  }.mkString(", ")
+
+  private val SimhashMd5HexSql: String = (0 until 16).map { j =>
+    val terms = (0 until 4)
+      .map(k => s"(CASE WHEN b${4 * j + k} > 0 THEN ${8 >> k} ELSE 0 END)")
+      .mkString(" + ")
+    s"substring('0123456789abcdef', ($terms) + 1, 1)"
+  }.mkString(" || ")
+
+  private val SimhashMd5HammingSql: String = (1 to 16).map { j =>
+    s"bit_count(xor(strpos('0123456789abcdef', substring(ha, $j, 1)) - 1, " +
+      s"strpos('0123456789abcdef', substring(hb, $j, 1)) - 1))"
+  }.mkString(" + ")
 
   /** Shared by the typed-Aggregator and TypedImperativeAggregate forms. */
   private val KmvOracleSql =
@@ -314,9 +398,28 @@ object Dedup {
         |FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_kmv_sketch" -> KmvOracleSql,
-    "x_kmv_native" -> KmvOracleSql // native aggregate, identical sketch
-    // x_simhash / x_simhash_pairs: xxhash64-based — driver records
-    // rows-only; pinned by ExtSpec properties instead.
+    "x_kmv_native" -> KmvOracleSql, // native aggregate, identical sketch
+    "x_simhash_md5" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (SELECT doc_id, $SimhashMd5BitsSql FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $SimhashMd5HexSql AS simhash_hex
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "x_simhash_pairs_md5" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bits AS (SELECT doc_id, $SimhashMd5BitsSql FROM toks GROUP BY doc_id),
+         |hx AS (SELECT doc_id, $SimhashMd5HexSql AS hx FROM bits),
+         |bands AS (SELECT doc_id, hx, substring(hx, 1, 4) AS b0,
+         |  substring(hx, 5, 4) AS b1, substring(hx, 9, 4) AS b2,
+         |  substring(hx, 13, 4) AS b3 FROM hx),
+         |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.hx AS ha, y.hx AS hb
+         |  FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND
+         |    (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+         |SELECT doc_a, doc_b, CAST($SimhashMd5HammingSql AS BIGINT) AS hamming
+         |FROM pr WHERE $SimhashMd5HammingSql <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin
+    // x_simhash / x_simhash_pairs: xxhash64-based perf path — driver records
+    // rows-only; pinned by ExtSpec properties AND by the md5 oracle twins
+    // above, which share the construction end-to-end.
   )
 
 }

@@ -32,6 +32,28 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("simhash md5 twin: same construction shape as the xxhash perf path") {
+    // the twin is oracle-checked by the driver; here pin that it mirrors the
+    // perf path structurally (same doc set, same fingerprint format) while
+    // using a different hash family (fingerprints must actually differ)
+    val perf = Dedup.xSimhash(spark, dir).collect()
+    val twin = Dedup.xSimhashMd5(spark, dir).collect()
+    assert(twin.length == perf.length)
+    assert(twin.forall(_.getString(1).matches("[0-9a-f]{16}")))
+    assert(twin.map(_.getLong(0)).toSeq == perf.map(_.getLong(0)).toSeq)
+    assert(twin.map(_.getString(1)).toSeq != perf.map(_.getString(1)).toSeq)
+  }
+
+  test("simhash md5 pairs: ordered, bounded hamming, no mirrored pairs") {
+    val rows = Dedup.xSimhashPairsMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order $a,$b")
+      assert(h >= 0 && h <= 16, s"hamming $h out of bounds")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
   test("bottom-k native: dedups, handles fewer-than-k and null inputs") {
     import spark.implicits._
     val df = Seq(
