@@ -27,14 +27,22 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // Per-query seconds at ms precision: full-precision doubles made the
+    // JSON line long enough to scroll out of the driver's tail capture
+    // (13 of 74 entries lost in round 2's artifact).
     val qs = results
-      .map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      .map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    // Emit AFTER spark.stop() so shutdown log noise cannot push the record
+    // out of a tail capture; it is the process's last stdout line.
     spark.stop()
+    println(line)
+    System.out.flush()
     if (nFailed > 0) sys.exit(1)
   }
 }
