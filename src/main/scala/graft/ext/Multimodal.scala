@@ -143,7 +143,9 @@ object Multimodal {
       batch.map { a =>
         val frames = a.content.grouped(FrameBytes).toArray
         def fsum(i: Int): Long = frames(i).map(_ & 0xffL).sum
-        (a.asset_id, frames.length.toLong,
+        // zero-byte asset: no frames to probe — emit zeros, don't throw
+        if (frames.isEmpty) (a.asset_id, 0L, 0L, 0L, 0L)
+        else (a.asset_id, frames.length.toLong,
           fsum(0), fsum(frames.length / 2), fsum(frames.length - 1))
       }
     }
@@ -200,16 +202,16 @@ object Multimodal {
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
         |  FROM documents)
         |SELECT doc_id AS asset_id, nf AS n_frames,
-        |CAST(list_sum(list_transform(range(1, least(256, n) + 1), p ->
+        |CAST(COALESCE(list_sum(list_transform(range(1, least(256, n) + 1), p ->
         |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
-        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_first,
-        |CAST(list_sum(list_transform(range(256 * CAST(floor(nf / 2.0) AS BIGINT) + 1,
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))), 0) AS BIGINT) AS f_first,
+        |CAST(COALESCE(list_sum(list_transform(range(256 * CAST(floor(nf / 2.0) AS BIGINT) + 1,
         |    least(256 * (CAST(floor(nf / 2.0) AS BIGINT) + 1), n) + 1), p ->
         |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
-        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_mid,
-        |CAST(list_sum(list_transform(range(256 * (nf - 1) + 1, n + 1), p ->
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))), 0) AS BIGINT) AS f_mid,
+        |CAST(COALESCE(list_sum(list_transform(range(256 * (nf - 1) + 1, n + 1), p ->
         |  16 * (strpos('0123456789ABCDEF', substring(hx, 2*p - 1, 1)) - 1)
-        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))) AS BIGINT) AS f_last
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*p, 1)) - 1))), 0) AS BIGINT) AS f_last
         |FROM h ORDER BY asset_id""".stripMargin
   )
 }

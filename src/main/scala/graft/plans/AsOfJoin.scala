@@ -236,7 +236,16 @@ object AsOfJoin {
     * no sort of the left stream — the as-of analog of a broadcast hash join,
     * and the right choice when the right side is a config/session snapshot.
     * Size contract is Spark's own broadcast contract: the right side must
-    * fit on the driver and each executor. */
+    * fit on the driver and each executor.
+    *
+    * TIE BEHAVIOR IS UNSPECIFIED: when several right rows share one
+    * (key, time), WHICH of them wins differs between this path (stable
+    * collect order) and the shuffled [[asofJoin]] (within-run shuffle
+    * order, nondeterministic) — the same contract as Spark's own
+    * `first`/`head` on unordered data. Callers needing determinism under
+    * duplicate right timestamps must make the time unique (e.g. fold a
+    * sequence number into the low bits), which also makes the two paths
+    * agree row-for-row (pinned by ScaleSpec's AQE case). */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame,
                         leftKeyCol: String, rightKeyCol: String,
                         leftTimeCol: String, rightTimeCol: String): DataFrame = {

@@ -37,6 +37,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.forall(m => m.n_bytes >= docs(m.asset_id)))
   }
 
+  test("zero-byte asset: frame probe emits zeros instead of throwing") {
+    import spark.implicits._
+    // corpus with an empty document — the real query must not index frames(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm_empty").toString
+    Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.xMediaFrames(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 294L), (2L, 0L, 0L))) // 97+98+99=294
+    // and the stub helper agrees: no frames, no checksums
+    assert(Multimodal.frameSampleStub(Array.empty[Byte]) == ((0, Seq.empty[Long])))
+  }
+
   test("metadata-only query prunes the binary payload at the scan") {
     val q = Multimodal.assets(spark, dir).select("asset_id", "kind")
     val scan = q.queryExecution.executedPlan.toString
