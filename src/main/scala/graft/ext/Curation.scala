@@ -199,7 +199,10 @@ object Curation {
     * the join back is a plain equi-join AQE can skew-split. */
   def xBoilerplate(s: SparkSession, dir: String,
                    minDocs: Long = 5L): DataFrame = {
-    val sh = docShingleRows(s, dir)
+    // one shingle pass feeds both the document-frequency aggregate and the
+    // probe side of the join (re-shingling twice costs more than the
+    // materialization; checkpoint dir at cluster scale)
+    val sh = docShingleRows(s, dir).localCheckpoint()
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("docs_with"))
     sh.join(dfreq, "shingle")
       .groupBy("doc_id")
