@@ -169,7 +169,317 @@ object StarQueries {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between two nations,
+    * by (supplier nation, customer nation, year). Both nation sides resolve
+    * through broadcast dimensions; lineitem⋈orders is the only big shuffle. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n = t(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style market share: of all PROMO-part revenue bought by ASIA
+    * customers, the fraction supplied by one nation, per order year. The
+    * share is a conditional-sum ratio inside one aggregate — no second pass. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val promoParts = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", col("volume"))
+          .otherwise(lit(0.0))) / sum(col("volume")) + lit(1e-9), 4)
+        .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product profit (adapted: no partsupp table, so profit is
+    * discounted revenue): per supplier nation × order year over parts whose
+    * name contains 'red'. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = t(s, dir, "part").filter(col("p_name").contains("red"))
+      .select("p_partkey")
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q12-style shipping-lag audit (adapted: no commit/receipt dates in
+    * this schema, so lag = ship − order date): for 1997 shipments ≥30 days
+    * late, count critical- vs normal-priority orders per 30-day lag bucket. */
+  def q12ShipLag(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .filter(col("lag_days") >= 30)
+      .groupBy((floor(col("lag_days") / 30) * 30).cast("long").as("lag_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("lag_bucket")
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT join so
+    * order-less customers land in the 0 bucket, then a histogram over the
+    * per-customer counts (two-level aggregate). */
+  def q13OrderCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q14-style promotion share: PROMO revenue as a percentage of all
+    * revenue for one ship month — conditional-sum ratio, single aggregate,
+    * part dimension broadcast. */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0.0))) /
+        sum(col("volume")) + lit(1e-9), 4).as("promo_revenue_pct"))
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue for one quarter,
+    * keep the max. The max is a one-row aggregate broadcast back as a join
+    * filter (no second scan, no collect); revenue is rounded BEFORE the max
+    * so both engines pick the winner on identical values. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-style supplier variety (adapted: no partsupp table, so the
+    * part↔supplier relation comes from observed lineitems): distinct
+    * suppliers per (brand, type, size) for a size subset, excluding one
+    * brand and the PROMO type. */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue that
+    * would vanish if sub-half-average-quantity orders of one brand were no
+    * longer filled. The per-part average is an aggregate joined back, not a
+    * correlated re-scan; quantities are integral so the threshold is exact
+    * in both engines. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#21").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val halfAvg = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    li.join(broadcast(halfAvg), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0 + lit(1e-9), 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total quantity
+    * exceeds 250 — the heavy-order aggregate happens BEFORE any join, so
+    * only qualifying orderkeys reach the customer side. */
+  def q18VolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-style disjunctive revenue: three (brand, size, quantity)
+    * conjunct arms OR-ed inside one broadcast-join condition — the classic
+    * pushdown-unfriendly predicate, kept in one pass. */
+  def q19OrPredicates(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = t(s, dir, "lineitem")
+    l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") && (
+          (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+            l("l_quantity").between(1, 11)) ||
+          (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+            l("l_quantity").between(10, 20)) ||
+          (p("p_brand") === "Brand#34" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(20, 30))))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q20-style part promotion (adapted: shipped quantity stands in for
+    * partsupp availability): suppliers who shipped more than 1.2× the
+    * supplier-average quantity of red parts in 1996. The threshold is
+    * relative, so the query is scale-free; quantities are integral, so the
+    * average is exact in both engines. */
+  def q20PartPromotion(s: SparkSession, dir: String): DataFrame = {
+    val redQty = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("red")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("red_qty"))
+    val cutoff = redQty.agg((avg("red_qty") * 1.2).as("qty_cutoff"))
+    t(s, dir, "supplier")
+      .join(redQty.crossJoin(broadcast(cutoff))
+          .filter(col("red_qty") > col("qty_cutoff")).select("l_suppkey"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-style waiting-supplier audit (adapted: no receipt/commit
+    * dates, so "kept the order waiting" = sole holder of the strictly
+    * latest ship date in a multi-supplier finalized order). Everything
+    * reduces to per-(order, supplier) maxima before any wide join. */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val sl = t(s, dir, "lineitem")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("smax"))
+    val w = sl.groupBy(col("l_orderkey").as("w_orderkey"))
+      .agg(max("smax").as("gmax"), count(lit(1)).as("nsupp"))
+    val winners = sl
+      .join(w, col("l_orderkey") === col("w_orderkey") &&
+        col("smax") === col("gmax") && col("nsupp") >= 2)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_latest"), max("l_suppkey").as("late_supp"))
+      .filter(col("n_latest") === 1)
+    winners
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(25)
+  }
+
+  /** TPC-H Q22-style idle-customer opportunity (adapted: the name suffix
+    * stands in for the phone country code): above-average-balance customers
+    * with no order since 2000, bucketed by name-suffix cohort. The global
+    * average is a one-row aggregate broadcast into the filter, and the
+    * "no recent order" test is a left-anti join. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        substring(col("c_name"), 17, 2).as("cohort"))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q18_volume_customers" -> q18VolumeCustomers,
+    "q19_or_predicates" -> q19OrPredicates,
+    "q20_part_promotion" -> q20PartPromotion,
+    "q21_late_suppliers" -> q21LateSuppliers,
+    "q22_idle_customers" -> q22IdleCustomers,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q12_ship_lag" -> q12ShipLag,
+    "q13_order_counts" -> q13OrderCounts,
+    "q14_promo_share" -> q14PromoShare,
     "q_grouping_sets" -> qGroupingSets,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -182,6 +492,144 @@ object StarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice*(1-l_discount)),2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-10-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |AND p_size IN (1,5,10,15,20,25,30,35)
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#21'
+        |AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_volume_customers" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |      GROUP BY 1 HAVING sum(l_quantity) > 250) ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_or_predicates" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_part_promotion" ->
+      """WITH red_qty AS (
+        |  SELECT l_suppkey, sum(l_quantity) AS red_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM red_qty
+        |  WHERE red_qty > (SELECT 1.2 * avg(red_qty) FROM red_qty))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_late_suppliers" ->
+      """WITH sl AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' GROUP BY 1,2),
+        |w AS (SELECT l_orderkey, max(smax) AS gmax, count(*) AS nsupp
+        |      FROM sl GROUP BY 1),
+        |winners AS (
+        |  SELECT sl.l_orderkey, count(*) AS n_latest, max(l_suppkey) AS late_supp
+        |  FROM sl JOIN w USING (l_orderkey)
+        |  WHERE smax = gmax AND nsupp >= 2 GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM winners JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_latest = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT substring(c_name, 17, 2) AS cohort, count(*) AS numcust,
+        |round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |year(l_shipdate) AS l_year,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem, orders, customer, supplier,
+        |  nation sn, nation cn
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+        |AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |AND c_nationkey = cn.n_nationkey
+        |AND sn.n_name IN ('NATION_1','NATION_2')
+        |AND cn.n_name IN ('NATION_1','NATION_2')
+        |AND sn.n_name <> cn.n_name
+        |AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |round(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |  THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice*(1-l_discount)) + 1e-9, 4) AS mkt_share
+        |FROM lineitem, orders, customer, supplier, part,
+        |  nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS profit
+        |FROM lineitem, orders, supplier, part, nation
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        |AND l_orderkey = o_orderkey
+        |AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_ship_lag" ->
+      """SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 30) * 30 AS BIGINT)
+        |  AS lag_bucket,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+        |  AS BIGINT) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND date_diff('day', o_orderdate, l_shipdate) >= 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |  THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice*(1-l_discount)) + 1e-9, 4) AS promo_revenue_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |round(sum(o_totalprice), 2) AS total
