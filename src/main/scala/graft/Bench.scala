@@ -6,15 +6,37 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Graft.session("graft-bench", cpus.toInt)
     // Warm up codegen/scheduler/parquet-footer paths so the first measured
-    // query isn't charged ~5 s of one-time session cost.
+    // query isn't charged ~5 s of one-time session cost. The first slot
+    // otherwise absorbs ~4 s (measured r4): janino compilation, broadcast
+    // thread pools, MemoryStore/localCheckpoint machinery, AQE re-plan.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
     Tables.events(spark, sfDir).count() // events incl. nanos->ts conversion
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(0, 20000)
+        .selectExpr("id", "md5(cast(id as string)) AS h")
+        .localCheckpoint()
+      w.join(broadcast(w.filter(col("id") < 100).select("id")), "id")
+        .groupBy(substring(col("h"), 1, 2)).count()
+        .orderBy(col("count"))
+        .queryExecution.toRdd.count()
+    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 benches a subset while iterating.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    // Sorted order: Map iteration order shifts with the key set, which moved
+    // residual first-slot noise onto different queries per run — sorted is
+    // deterministic and comparable across rounds and subsets.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column of the final plan
       // (unlike df.count(), which lets Catalyst prune the projection and
@@ -38,6 +60,12 @@ object Bench {
     val nFailed = results.count(_._3.isDefined)
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    // The record grows with the query count and has twice outgrown the
+    // driver's stdout tail window (r2: 13/74 entries lost; r3: 15/90) —
+    // persist the authoritative copy to a file, then print the same line.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Emit AFTER spark.stop() so shutdown log noise cannot push the record
     // out of a tail capture; it is the process's last stdout line.
     spark.stop()

@@ -33,7 +33,7 @@ object Curation {
     */
   def xDupClusters(s: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.xMinhashPairs(s, dir)
+    val pairs = Dedup.minhashPairsUnordered(s, dir)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // freeze the edge list; iterations reuse it
@@ -49,16 +49,22 @@ object Curation {
     var rounds = 0
     val maxRounds = 50
     while (changed > 0 && rounds < maxRounds) {
+      // One job per round: the self row carries its previous label through
+      // the aggregate (`old` is non-null exactly once per doc), so
+      // convergence detection is a filter over the checkpointed result —
+      // not the extra join+count job per round it used to be (the r3
+      // regression: ~2 jobs/round on a tiny frame is pure overhead).
       val next = labels
+        .select(col("doc_id"), col("cluster"), col("cluster").as("old"))
         .unionByName(edges // neighbor's current label, flowing both ways
           .join(labels, edges("doc_b") === labels("doc_id"))
-          .select(edges("doc_a").as("doc_id"), col("cluster")))
+          .select(edges("doc_a").as("doc_id"), col("cluster"),
+            lit(null).cast("long").as("old")))
         .groupBy("doc_id")
-        .agg(min("cluster").as("cluster"))
+        .agg(min("cluster").as("cluster"), max("old").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select("doc_id", "cluster")
       rounds += 1
     }
     // Fail loudly rather than silently emit partial (wrong) cluster labels:

@@ -105,7 +105,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni") / (col("n_a") + col("n_b") - col("ni")), 4)
           .as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** LSH candidate pairs + exact verification for `bands` shared minhash
@@ -161,6 +160,12 @@ object Dedup {
     * re-shingles only the docs present in a candidate pair
     * ([[scoreExactJaccard]]). */
   def xMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir, bands = 1).orderBy("doc_a", "doc_b")
+
+  /** Scored LSH pairs without the presentation sort — consumers that
+    * aggregate or iterate (e.g. [[Curation.xDupClusters]]) should not pay
+    * for an ordering they immediately destroy. */
+  def minhashPairsUnordered(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir, bands = 1)
 
   /** SimHash (64-bit, emitted as 16 hex chars): per token take its 64-bit
@@ -181,12 +186,15 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), 63 - i))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
-    perDoc.select(col("doc_id"), fp.as("fp"))
+    perDoc.select(col("doc_id"), signBitsToLong.as("fp"))
   }
+
+  /** Packs the 64 per-bit sign sums (`b0`..`b63`, b0 = MSB) into one long
+    * fingerprint: bit i set iff the sign sum is positive. */
+  private def signBitsToLong: Column = (0 until 64)
+    .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), 63 - i))
+      .otherwise(lit(0L)))
+    .reduce(_ + _)
 
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     simhashFingerprints(s, dir)
@@ -202,11 +210,12 @@ object Dedup {
     * the cheapest near-dup pass at 100 TB (the shuffle carries 16 bytes per
     * doc). Rows-only at the driver (xxhash64 has no DuckDB twin); properties
     * pinned in ExtSpec. */
-  def xSimhashPairs(s: SparkSession, dir: String,
-                    maxHamming: Int = 16): DataFrame = {
-    // 16 bytes per doc — materialize once; the four band self-joins would
-    // otherwise replay the 64-aggregate fingerprint pass per join branch.
-    val fps = simhashFingerprints(s, dir).localCheckpoint()
+  /** Four 16-bit-band self-joins over a `(doc_id, fp: long)` fingerprint
+    * frame, Hamming-scored with one `bit_count(xor)` per candidate. Shared
+    * by the xxhash64 production path and its md5 oracle twin — the twin
+    * used to Hamming-score on hex strings (16 nibble conv/strpos per
+    * candidate) and paid 3x for it on the in-bucket quadratic. */
+  private def simhashBandPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val withBands = fps.select(
       col("doc_id") +: col("fp") +:
         (0 until 4).map(b => shiftright(col("fp"), 16 * b)
@@ -223,6 +232,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  def xSimhashPairs(s: SparkSession, dir: String,
+                    maxHamming: Int = 16): DataFrame = {
+    // 16 bytes per doc — materialize once. Measured both ways at sf0.1
+    // (r4): checkpoint 2.9 s, exchange-reuse-only 6.1 s — the final-merge
+    // aggregate re-runs per band branch and dwarfs the one eager job.
+    val fps = simhashFingerprints(s, dir).localCheckpoint()
+    simhashBandPairs(fps, maxHamming)
+  }
+
   /** Oracle twin of [[xSimhash]]: the per-token 64-bit hash is the first 16
     * hex nibbles of md5(token) — the md5-parity trick that oracle-ized the
     * hyperplane LSH ([[Similarity.planeSign]]) — so DuckDB reproduces the
@@ -231,10 +249,18 @@ object Dedup {
     * hash per token vs 16 nibble extractions). Same aggregate shape: one
     * explode + 64 small partial-aggregated sums per doc. */
   private def simhashMd5Bits(s: SparkSession, dir: String): DataFrame = {
+    // The per-token 64-bit value (first 16 md5 nibbles) is assembled from
+    // TWO 8-hex-char conv()s instead of 16 per-nibble extractions: hi fits
+    // 32 bits, and shiftleft keeps exactly the low 64 bits, so `fp64`'s bit
+    // pattern equals the nibble-by-nibble construction the DuckDB oracle
+    // still uses — same bits, ~8x fewer string ops per token (measured
+    // 6.2 s -> 3.6 s at sf0.1 for the pairs twin).
     val h = md5(col("tok"))
-    def nib(j: Int) = conv(substring(h, j + 1, 1), 16, 10).cast("int")
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val fp64 = shiftleft(hi, 32).bitwiseOR(lo)
     val bitCols = (0 until 64).map { i =>
-      val bit = shiftright(nib(i / 4), 3 - i % 4).bitwiseAND(1)
+      val bit = shiftright(fp64, 63 - i).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
     }
     Tables.load(s, dir, "documents")
@@ -258,31 +284,18 @@ object Dedup {
       .select(col("doc_id"), md5FingerprintHex.as("simhash_hex"))
       .orderBy("doc_id")
 
-  /** Oracle twin of [[xSimhashPairs]] over the md5 fingerprint: same four
-    * 16-bit-band equi-joins (4 hex chars each), Hamming distance summed as
-    * 16 per-nibble `bit_count(xor)` terms — all DuckDB-expressible. */
+  /** Oracle twin of [[xSimhashPairs]] over the md5-derived fingerprint:
+    * identical four-band join + `bit_count(xor)` scoring on a packed long
+    * (the DuckDB side still computes Hamming nibble-by-nibble on hex — the
+    * BITS are the same, so the outputs hash-match; only Spark's evaluation
+    * strategy differs). The long cast matches the oracle's BIGINT hamming. */
   def xSimhashPairsMd5(s: SparkSession, dir: String,
                        maxHamming: Int = 16): DataFrame = {
     val fps = simhashMd5Bits(s, dir)
-      .select(col("doc_id"), md5FingerprintHex.as("hx"))
-      .localCheckpoint() // 16 bytes/doc; four band self-joins share one pass
-    val withBands = fps.select(
-      col("doc_id") +: col("hx") +:
-        (0 until 4).map(b => substring(col("hx"), b * 4 + 1, 4).as(s"band$b")): _*)
-    def nibOf(c: Column, j: Int) = conv(substring(c, j, 1), 16, 10).cast("int")
-    def hamming(a: Column, b: Column): Column = (1 to 16).map { j =>
-      bit_count(nibOf(a, j).bitwiseXOR(nibOf(b, j)))
-    }.reduce(_ + _)
-    (0 until 4).map { b =>
-      withBands.as("a").join(withBands.as("b"),
-        col(s"a.band$b") === col(s"b.band$b") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming(col("a.hx"), col("b.hx")).cast("bigint").as("hamming"))
-    }.reduce(_ unionByName _)
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_id"), signBitsToLong.as("fp"))
+      .localCheckpoint() // measured r4: eager twin beats exchange reuse 2x+
+    simhashBandPairs(fps, maxHamming)
+      .withColumn("hamming", col("hamming").cast("bigint"))
   }
 
   /** Two-band LSH variant: candidates must share BOTH band-0 and band-1
@@ -291,7 +304,7 @@ object Dedup {
     * near-dup candidate generation sub-linear in corpus pairs at 100 TB
     * (tune bands/rows for the target Jaccard threshold). */
   def xMinhashPairs2Band(s: SparkSession, dir: String): DataFrame =
-    lshPairs(s, dir, bands = 2)
+    lshPairs(s, dir, bands = 2).orderBy("doc_a", "doc_b")
 
   /** KMV bottom-k sketch per document via the custom typed aggregator
     * ([[graft.functions.BottomKSketch]]): mergeable bounded-state sketch —
