@@ -205,9 +205,13 @@ object Curation {
     * the join back is a plain equi-join AQE can skew-split. */
   def xBoilerplate(s: SparkSession, dir: String,
                    minDocs: Long = 5L): DataFrame = {
-    // one shingle pass feeds both the document-frequency aggregate and the
-    // probe side of the join (re-shingling twice costs more than the
-    // materialization; checkpoint dir at cluster scale)
+    // One shingle pass feeds both the document-frequency aggregate and the
+    // probe side of the join. Measured both ways at sf0.1 (r4): checkpoint
+    // 5.2 s, recompute 13.3 s — re-running the explode+array_distinct per
+    // consumer dominates, so the materialization stays. At 100 TB the
+    // checkpoint is ~3x corpus size: spill it to a checkpoint dir (HDFS/
+    // object store), or accept the recompute if storage is the binding
+    // constraint — the crossover is cluster-specific, re-measure there.
     val sh = docShingleRows(s, dir).localCheckpoint()
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("docs_with"))
     sh.join(dfreq, "shingle")
@@ -252,6 +256,8 @@ object Curation {
     // metadata only) — the one-row result broadcasts into the ratio filter
     val nDocs = Tables.load(s, dir, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs"))
+    // Measured r4 at sf0.1: checkpoint 4.4 s, recompute 12.6 s across the
+    // four shingle consumers — see xBoilerplate for the 100 TB disposition.
     val sh = docShingleRows(s, dir).localCheckpoint()
     val evalSet = sh.filter(col("doc_id") < 10)
       .select(col("shingle")).distinct()

@@ -239,9 +239,9 @@ object AsOfJoin {
     * fit on the driver and each executor.
     *
     * TIE BEHAVIOR IS UNSPECIFIED: when several right rows share one
-    * (key, time), WHICH of them wins differs between this path (stable
-    * collect order) and the shuffled [[asofJoin]] (within-run shuffle
-    * order, nondeterministic) — the same contract as Spark's own
+    * (key, time), WHICH of them wins is nondeterministic on both this path
+    * (range-partitioned sort places equal keys in arbitrary relative
+    * order) and the shuffled [[asofJoin]] — the same contract as Spark's own
     * `first`/`head` on unordered data. Callers needing determinism under
     * duplicate right timestamps must make the time unique (e.g. fold a
     * sequence number into the low bits), which also makes the two paths
@@ -261,17 +261,40 @@ object AsOfJoin {
     }
     val (lki, lti) = (longIdx(lSchema, leftKeyCol), longIdx(lSchema, leftTimeCol))
     val (rki, rti) = (longIdx(rSchema, rightKeyCol), longIdx(rSchema, rightTimeCol))
-    val grouped: Map[Long, (Array[Long], Array[Row])] = right.collect()
-      .map { r =>
-        require(!r.isNullAt(rki) && !r.isNullAt(rti),
-          "broadcast as-of join: null right key/time")
-        r
+    // Broadcast payload is field arrays, not Rows: each collected Row is
+    // unwrapped to its bare values (one Array[Any] per row, no
+    // GenericRowWithSchema wrapper or per-row schema reference) — roughly
+    // halves the driver + broadcast footprint for wide dimension rows. The
+    // (key, time) sort runs distributed before the collect, so the driver
+    // only slices contiguous runs.
+    val collected = right
+      .sort(right(rightKeyCol), right(rightTimeCol))
+      .collect()
+    collected.foreach { r =>
+      require(!r.isNullAt(rki) && !r.isNullAt(rti),
+        "broadcast as-of join: null right key/time")
+    }
+    val grouped: Map[Long, (Array[Long], Array[Array[Any]])] = {
+      val m = scala.collection.mutable.HashMap
+        .empty[Long, (Array[Long], Array[Array[Any]])]
+      var i = 0
+      while (i < collected.length) {
+        val k = collected(i).getLong(rki)
+        var j = i
+        while (j < collected.length && collected(j).getLong(rki) == k) j += 1
+        val times = new Array[Long](j - i)
+        val vals = new Array[Array[Any]](j - i)
+        var p = i
+        while (p < j) {
+          times(p - i) = collected(p).getLong(rti)
+          vals(p - i) = Array.tabulate[Any](rSchema.size)(collected(p).get)
+          p += 1
+        }
+        m.put(k, (times, vals))
+        i = j
       }
-      .groupBy(_.getLong(rki))
-      .map { case (k, rows) =>
-        val sorted = rows.sortBy(_.getLong(rti))
-        k -> (sorted.map(_.getLong(rti)), sorted)
-      }
+      m.toMap
+    }
     val bc = spark.sparkContext.broadcast(grouped)
     val outSchema = StructType(
       lSchema.fields ++ rSchema.fields.map(_.copy(nullable = true)))
@@ -283,14 +306,14 @@ object AsOfJoin {
           "broadcast as-of join: null left key/time")
         val (k, t) = (lrow.getLong(lki), lrow.getLong(lti))
         val tail = bc.value.get(k) match {
-          case Some((times, rows)) =>
+          case Some((times, vals)) =>
             // greatest index with times(i) <= t
             var lo = 0; var hi = times.length - 1; var ans = -1
             while (lo <= hi) {
               val m = (lo + hi) >>> 1
               if (times(m) <= t) { ans = m; lo = m + 1 } else hi = m - 1
             }
-            if (ans >= 0) rows(ans).toSeq else nullTail
+            if (ans >= 0) vals(ans).toSeq else nullTail
           case None => nullTail
         }
         Row.fromSeq(lrow.toSeq ++ tail)

@@ -54,6 +54,38 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
   }
 
+  test("simhash pairs == brute-force band-intersection of the fingerprints") {
+    // Closes the rows-only gap on both pair paths: re-derive the exact
+    // expected pair set in plain Scala from each path's own fingerprint
+    // query (share >= 1 of the four 16-bit bands AND hamming <= 16), and
+    // require set equality. The md5 twin's fingerprints and pairs are
+    // oracle-green, and this proves the xxhash path applies the identical
+    // band/hamming policy to its fingerprints.
+    def expectedPairs(fps: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val arr = fps.sortBy(_._1).toArray
+      val out = Set.newBuilder[(Long, Long, Long)]
+      for (i <- arr.indices; j <- (i + 1) until arr.length) {
+        val (da, fa) = arr(i); val (db, fb) = arr(j)
+        val shareBand = (0 until 4).exists(b =>
+          ((fa >>> (16 * b)) & 0xffffL) == ((fb >>> (16 * b)) & 0xffffL))
+        val ham = java.lang.Long.bitCount(fa ^ fb)
+        if (shareBand && ham <= 16) out += ((da, db, ham.toLong))
+      }
+      out.result()
+    }
+    def parseFp(hex: String): Long = java.lang.Long.parseUnsignedLong(hex, 16)
+    val perfFps = Dedup.xSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), parseFp(r.getString(1)))).toSeq
+    val perfGot = Dedup.xSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(perfGot == expectedPairs(perfFps))
+    val twinFps = Dedup.xSimhashMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), parseFp(r.getString(1)))).toSeq
+    val twinGot = Dedup.xSimhashPairsMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twinGot == expectedPairs(twinFps))
+  }
+
   test("bottom-k native: dedups, handles fewer-than-k and null inputs") {
     import spark.implicits._
     val df = Seq(
