@@ -212,6 +212,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** One k-means (Lloyd) iteration — the training step that produces the
+    * IVF coarse quantizer [[xIvfAssign]] consumes. Deterministic seeding
+    * (centroid c = vector c, c < k) replaces random init so the oracle can
+    * replay it; distance is squared L2 via the same fold-ordered dot product
+    * the cosine family uses (d2 = dot(v-c, v-c)), so engines agree bitwise.
+    * The k centroids broadcast; the corpus makes ONE pass for assignment
+    * (argmin over k via a per-vector window on k rows), and the update is
+    * an explode+groupBy over (cell, dim, component) triples — whole vectors
+    * never shuffle, exactly the [[xLabelCentroids]] shape. Iterating =
+    * feeding the output back as the next literal centroid set. */
+  def xKmeansStep(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val diff = zip_with(col("v"), col("cv"), (x, y) => x - y)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("c_id").asc)
+    val assigned = e.crossJoin(broadcast(init))
+      .select(col("vec_id"), col("v"), col("c_id"), dot(diff, diff).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("c_id", "dim")
+      .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
+      .orderBy("c_id", "dim")
+  }
+
+  /** Random-projection dimensionality reduction: every embedding mapped to
+    * 8 coordinates (dot products against the md5-derived ±1 hyperplanes of
+    * [[xAnnLshBuckets]], kept as REALS instead of sign bits). The 8x64
+    * projection matrix is a broadcast literal; the corpus makes one narrow
+    * pass — the compression stage before a cheap 8-d index or visualization
+    * at 100 TB. */
+  def xEmbedProject(s: SparkSession, dir: String,
+                    planes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = emb(s, dir)
+    val cols = (0 until planes).map { p =>
+      val plane = typedLit((0 until dims).map(planeSign(p, _)))
+      round(dot(col("v"), plane), 6).as(s"p$p")
+    }
+    e.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
+
   /** Scalar int8 quantization of the embedding column — the storage-shrink
     * step that makes 100 TB ANN indexes fit: per-dimension global min/max
     * (one tiny aggregate, broadcast back), each component mapped to 0..255
@@ -250,7 +294,9 @@ object Similarity {
     "x_label_centroids" -> xLabelCentroids,
     "x_ivf_assign" -> xIvfAssign,
     "x_ann_ivf_topk" -> xAnnIvfTopk,
-    "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir))
+    "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir)),
+    "x_kmeans_step" -> ((s, dir) => xKmeansStep(s, dir)),
+    "x_embed_project" -> ((s, dir) => xEmbedProject(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +382,36 @@ object Similarity {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sc)
         |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Deterministic Lloyd step: init centroid c = vector c; squared-L2 via
+    // list_dot_product on the element-wise difference (same fold order as
+    // Spark's zip_with+aggregate); argmin tie-broken by centroid id.
+    "x_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |p AS (SELECT vec_id, v, c_id,
+        |  list_dot_product(list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]),
+        |                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i])) AS d2
+        |  FROM e, c),
+        |a AS (SELECT vec_id, v, c_id FROM (SELECT vec_id, v, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM p)
+        |  WHERE rn = 1)
+        |SELECT c_id, dim, round(avg(x), 6) AS mean_x, count(*) AS n
+        |FROM (SELECT c_id, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same md5-parity planes as the LSH bucket oracle; coordinates kept as
+    // reals.
+    "x_embed_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl AS (SELECT p, list_transform(range(0, 64), i ->
+        |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
+        |pr AS (SELECT vec_id, p, round(list_dot_product(v, plane), 6) AS x FROM e, pl)
+        |SELECT vec_id,
+        |max(CASE WHEN p = 0 THEN x END) AS p0, max(CASE WHEN p = 1 THEN x END) AS p1,
+        |max(CASE WHEN p = 2 THEN x END) AS p2, max(CASE WHEN p = 3 THEN x END) AS p3,
+        |max(CASE WHEN p = 4 THEN x END) AS p4, max(CASE WHEN p = 5 THEN x END) AS p5,
+        |max(CASE WHEN p = 6 THEN x END) AS p6, max(CASE WHEN p = 7 THEN x END) AS p7
+        |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Same plane construction as x_embedding_neardup's oracle, full 8-bit
     // signature, aggregated per bucket.
     "x_ann_lsh_buckets" ->

@@ -121,6 +121,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc mean bigram log-probability under an add-one-smoothed corpus
+    * bigram model: ln((count(a b) + 1) / (count(a) + |V|)) averaged over a
+    * document's adjacent token pairs — the step up from
+    * [[xUnigramLogprob]]'s context-free scoring, and the classic cheap
+    * LM-quality filter (incoherent token order scores low even when every
+    * word is common). Counts are corpus-wide groupBys on the bigram /
+    * unigram key (vocabulary-sized, partial-aggregated, never collected);
+    * |V| rides along as a one-row broadcast aggregate. Single-token docs
+    * have no bigrams and are excluded on both sides. */
+  def xBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .as("bg"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_uni"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v_size"))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+    bigrams
+      .join(bgCounts, "bg")
+      .withColumn("tok", substring_index(col("bg"), " ", 1))
+      .join(uni, "tok")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("n_bg") + 1) / (col("n_uni") + col("v_size")))).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("m") + lit(1e-9), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction (the scrub step before training): emails, IPv4s and
     * long digit runs replaced by placeholder tags; emits per-doc match
     * counts and the content hash of the redacted text so the replacement
@@ -147,6 +183,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "x_unigram_logprob" -> xUnigramLogprob,
+    "x_bigram_logprob" -> xBigramLogprob,
     "x_redact_pii" -> xRedactPii,
     "x_lang_stats" -> xLangStats,
     "x_text_quality" -> xTextQuality,
@@ -163,6 +200,20 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_tokens,
         |round(avg(ln(n_tok / CAST(total AS DOUBLE))) + 1e-9, 4) AS mean_logprob
         |FROM toks JOIN f USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |uni AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS n_uni FROM uni GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uc),
+        |bc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |round(avg(ln((n_bg + 1) / (n_uni + v_size))) + 1e-9, 4) AS mean_logprob
+        |FROM bg JOIN bc USING (bg)
+        |JOIN uc ON uc.tok = split_part(bg.bg, ' ', 1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_redact_pii" ->
       """SELECT doc_id,
