@@ -131,6 +131,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans step: centroids broadcast, update partial-aggregates") {
+    val df = graft.ext.Similarity.xKmeansStep(spark, dir)
+    val plan = planOf(df)
+    // k centroid vectors ride a broadcast nested-loop (tiny side by
+    // construction); the corpus side must NOT broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // centroid update combines (cell, dim) partials map-side
+    assert(plan.contains("partial_"), plan.take(3000))
+  }
+
+  test("bigram logprob: counts partial-aggregate, no vector collection") {
+    val df = graft.ext.TextOps.xBigramLogprob(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("collect_set") && !opt.contains("collect_list"),
+      opt.take(2000))
+    val plan = planOf(df)
+    assert(plan.contains("partial_"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("embed project is one narrow pass: no joins, no hash exchange") {
+    val df = graft.ext.Similarity.xEmbedProject(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
   test("decontamination broadcasts the eval set, never the corpus") {
     val df = graft.ext.Curation.xDecontaminate(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
