@@ -454,7 +454,27 @@ object Assessments {
       .orderBy("user_id", "event_type")
   }
 
+  /** A15 — volume anomaly detection: each day's event count z-scored
+    * against the all-days mean/stddev (the "did capture break / did load
+    * spike" check an assessment run leads with). The daily frame is
+    * day-cardinality (tiny at any corpus size); its one-row stats aggregate
+    * broadcasts back onto it, so the fact table contributes only the
+    * partial-aggregated daily counts. */
+  def a15AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(avg("n").as("mu"), stddev_samp("n").as("sigma"))
+    val z = (col("n") - col("mu")) / col("sigma")
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"),
+        round(z + lit(1e-9), 4).as("z"),
+        when(abs(z) > 1.5, 1).otherwise(0).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a15_anomaly_days" -> a15AnomalyDays,
     "a1_lifecycle_pairs" -> a1LifecyclePairs,
     "a1_abandoned_users" -> a1AbandonedUsers,
     "a2_user_rollup" -> a2UserRollup,
@@ -499,6 +519,13 @@ object Assessments {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a15_anomaly_days" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM d)
+        |SELECT day, n, round((n - mu) / sigma + 1e-9, 4) AS z,
+        |CASE WHEN abs((n - mu) / sigma) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM d, s ORDER BY day""".stripMargin,
     "a1_lifecycle_pairs" ->
       """WITH s AS (SELECT user_id, min(ts) st FROM events WHERE event_type='signup' GROUP BY 1),
         |p AS (SELECT user_id, min(ts) ft FROM events WHERE event_type='purchase' GROUP BY 1)

@@ -157,6 +157,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc Shannon entropy of the character distribution — the gibberish
+    * / encoding-junk detector of the quality family: natural prose sits in a
+    * tight entropy band, while base64 blobs, repeated padding, and binary
+    * spills leave it. Algebraically H = ln(n) - (Σ c·ln c)/n over per-char
+    * counts c, so one explode + two partial-aggregating groupBys suffice —
+    * no per-doc maps, no collection, alphabet-sized shuffle keys. */
+  def xCharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * log(col("c"))).as("sclc"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        round(log(col("n")) - col("sclc") / col("n") + lit(1e-9), 4)
+          .as("char_entropy"))
+      .orderBy("doc_id")
+
   /** PII redaction (the scrub step before training): emails, IPv4s and
     * long digit runs replaced by placeholder tags; emits per-doc match
     * counts and the content hash of the redacted text so the replacement
@@ -184,6 +201,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "x_unigram_logprob" -> xUnigramLogprob,
     "x_bigram_logprob" -> xBigramLogprob,
+    "x_char_entropy" -> xCharEntropy,
     "x_redact_pii" -> xRedactPii,
     "x_lang_stats" -> xLangStats,
     "x_text_quality" -> xTextQuality,
@@ -215,6 +233,13 @@ object TextOps {
         |FROM bg JOIN bc USING (bg)
         |JOIN uc ON uc.tok = split_part(bg.bg, ' ', 1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS sclc FROM cc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |round(ln(n) - sclc / n + 1e-9, 4) AS char_entropy
+        |FROM ag ORDER BY doc_id""".stripMargin,
     "x_redact_pii" ->
       """SELECT doc_id,
         |len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
