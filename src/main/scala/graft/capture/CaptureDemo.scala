@@ -92,6 +92,12 @@ object CaptureDemo {
     * test of the commit protocol. */
   def capStream(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cap_stream_")
+    locally { // reclaim the scratch log on JVM exit (the returned frame
+      def rm(f: java.io.File): Unit = { // reads it lazily until then)
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      sys.addShutdownHook(rm(tmp.toFile))
+    }
     val out = s"$tmp/log"
     val ckpt = s"$tmp/ckpt"
     val src = s"$dir/events.parquet"

@@ -86,6 +86,18 @@ class ExtSpec extends AnyFunSuite {
     assert(twinGot == expectedPairs(twinFps))
   }
 
+  test("kmeans step: every seed cell survives, counts conserve the corpus") {
+    val rows = Similarity.xKmeansStep(spark, dir).collect()
+    // seeded init: centroid c IS vector c, whose distance to itself is 0,
+    // so every one of the 8 cells keeps at least its seed -> 8 x 64 rows
+    assert(rows.length == 8 * 64, s"rows=${rows.length}")
+    val byDim = rows.groupBy(_.getInt(1))
+    assert(byDim.size == 64)
+    // each dimension partitions all 500 vectors across the cells
+    byDim.values.foreach(rs => assert(rs.map(_.getLong(3)).sum == 500L))
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == (0L to 7L))
+  }
+
   test("bottom-k native: dedups, handles fewer-than-k and null inputs") {
     import spark.implicits._
     val df = Seq(
