@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked runMain JVM write to the real stdout instead of routing
+// through sbt's logger: the logger's "[info] " prefix breaks any strict
+// JSON parse of the bench record line (BENCH_r01..04 all had parsed:null
+// even when the line fit the capture window).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

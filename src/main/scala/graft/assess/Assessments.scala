@@ -465,7 +465,11 @@ object Assessments {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))
     val stats = daily.agg(avg("n").as("mu"), stddev_samp("n").as("sigma"))
-    val z = (col("n") - col("mu")) / col("sigma")
+    // sigma = 0 (all days identical) must yield z NULL on BOTH engines:
+    // Spark's Divide returns NULL on /0 but DuckDB's IEEE division gives
+    // ±inf/nan, so the guard is explicit here and NULLIF in the oracle.
+    val z = (col("n") - col("mu")) /
+      when(col("sigma") === 0, lit(null)).otherwise(col("sigma"))
     daily.crossJoin(broadcast(stats))
       .select(col("day"), col("n"),
         round(z + lit(1e-9), 4).as("z"),
@@ -523,8 +527,8 @@ object Assessments {
       """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
         |  FROM events GROUP BY 1),
         |s AS (SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM d)
-        |SELECT day, n, round((n - mu) / sigma + 1e-9, 4) AS z,
-        |CASE WHEN abs((n - mu) / sigma) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
+        |SELECT day, n, round((n - mu) / NULLIF(sigma, 0) + 1e-9, 4) AS z,
+        |CASE WHEN abs((n - mu) / NULLIF(sigma, 0)) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
         |FROM d, s ORDER BY day""".stripMargin,
     "a1_lifecycle_pairs" ->
       """WITH s AS (SELECT user_id, min(ts) st FROM events WHERE event_type='signup' GROUP BY 1),

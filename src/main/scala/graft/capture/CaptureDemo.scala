@@ -90,14 +90,23 @@ object CaptureDemo {
     * end-to-end (any lost/duplicated/mis-partitioned record breaks the
     * hash). Each call uses a fresh temp log + checkpoint: the run IS the
     * test of the commit protocol. */
-  def capStream(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cap_stream_")
-    locally { // reclaim the scratch log on JVM exit (the returned frame
-      def rm(f: java.io.File): Unit = { // reads it lazily until then)
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      sys.addShutdownHook(rm(tmp.toFile))
+  /** One scratch root + ONE shutdown hook for the process: bench, verify
+    * and test runs invoke [[capStream]] repeatedly, and registering a hook
+    * per call accumulated hooks and undeleted temp dirs for the JVM
+    * lifetime. The returned frame reads its subdir lazily, so per-call
+    * eager deletion is not possible — exit-time cleanup of the shared root
+    * is. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cap_stream_")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
+    sys.addShutdownHook(rm(root.toFile))
+    root
+  }
+
+  def capStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "run_")
     val out = s"$tmp/log"
     val ckpt = s"$tmp/ckpt"
     val src = s"$dir/events.parquet"
@@ -123,7 +132,13 @@ object CaptureDemo {
     val q = graft.sink.EventSink.writeStream(records, out, ckpt,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination()
-    graft.sink.EventSink.read(s, out)
+    val back = graft.sink.EventSink.read(s, out)
+    // The glob-pinned file source streams 0 rows silently if the table
+    // layout ever changes (e.g. events becomes a parquet DIRECTORY); an
+    // empty round trip must be a loud failure, not a 0-row "pass".
+    require(!back.isEmpty,
+      s"cap_stream round trip read back 0 rows from $out (source $src)")
+    back
       .groupBy(col("EventDate").cast("string").as("day"),
         col("QueryType").as("query_type"))
       .agg(

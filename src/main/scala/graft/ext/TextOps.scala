@@ -165,6 +165,11 @@ object TextOps {
     * no per-doc maps, no collection, alphabet-sized shuffle keys. */
   def xCharEntropy(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      // split('', '') is [""] in Spark but [] in DuckDB — exclude empty
+      // docs identically on both sides so the engines can't diverge on
+      // corpora that contain them. (Counts are code units, not grapheme
+      // clusters, on both engines — consistent for the shared corpus.)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -234,7 +239,8 @@ object TextOps {
         |JOIN uc ON uc.tok = split_part(bg.bg, ' ', 1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_char_entropy" ->
-      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE len(text) > 0),
         |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
         |ag AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS sclc FROM cc GROUP BY 1)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
