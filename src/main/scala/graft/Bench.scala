@@ -47,7 +47,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           Some(e.toString.linesIterator.next())
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this query's localCheckpoint blocks before the next one runs:
+      // each query is an independent unit of work, and letting a dozen
+      // checkpointed shingle streams accumulate in the block manager
+      // squeezes execution memory for every query after them (the r4
+      // driver run showed exactly that shape: late-alphabet multi-job
+      // queries inflated ~2x over a clean run). Cleanup time is charged
+      // to no one — it happens between measurements.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, dt, err)
     }
     // Per-query seconds at ms precision: full-precision doubles made the
     // JSON line long enough to scroll out of the driver's tail capture

@@ -26,7 +26,9 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
-      ext.Curation.queries)
+      ext.Curation.queries ++
+      ext.Fingerprint.queries ++
+      ext.SqlSurface.queries)
       .map { case (k, f) =>
         // Ensure graft read-path configs even on a driver-created session.
         k -> ((s: SparkSession, dir: String) => { Graft.configure(s); f(s, dir) })
@@ -40,6 +42,8 @@ object SparkEntry {
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.Multimodal.oracles ++
-      ext.Curation.oracles +
+      ext.Curation.oracles ++
+      ext.Fingerprint.oracles ++
+      ext.SqlSurface.oracles +
       ext.Similarity.fusedOracle
 }

@@ -124,6 +124,29 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis exponential-key reservoir, the standard distributed-weighted-
+    * sample construction): doc i gets key -ln(u_i)/w_i with u_i a uniform in
+    * (0,1] derived from md5(doc_id) and weight w_i = n_chars; the k smallest
+    * keys ARE a weighted sample without replacement. The hash-derived u
+    * makes the draw reproducible across engines/runs/partitions (same trick
+    * as [[xSampleHash]]); physically this is a narrow map + TakeOrdered —
+    * a per-partition top-k then a k-row merge on the driver, never a full
+    * sort, at any corpus size. */
+  def xSampleWeighted(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    // first 8 md5 hex chars as an integer in [0, 2^32) -> u in (0, 1]
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val key = -log(u) / col("n_chars")
+    Tables.load(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(key * 1e6 + lit(1e-9), 4).as("skey_ppm"), key.as("k0"))
+      .orderBy(col("k0"), col("doc_id"))
+      .limit(k)
+      .drop("k0")
+  }
+
   /** Corpus length distribution: documents bucketed by token count (width
     * 50) — the introspection histogram every curation run reports. One
     * narrow map + one tiny aggregate. */
@@ -295,6 +318,7 @@ object Curation {
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
+    "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
     "x_sample_mixture" -> xSampleMixture,
     "x_length_histogram" -> xLengthHistogram,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
@@ -368,6 +392,22 @@ object Curation {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
         |ORDER BY doc_id""".stripMargin,
+    // u from the first 8 md5 hex chars (exact integer arithmetic on nibbles;
+    // every intermediate < 2^32 so the DOUBLE math is exact and matches
+    // Spark's conv()); ordering ties broken by doc_id on both sides.
+    "x_sample_weighted" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8 FROM documents
+        |  WHERE n_chars > 0),
+        |v AS (SELECT doc_id, lang, n_chars,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    CAST(strpos('0123456789abcdef', substring(h8, j, 1)) - 1 AS DOUBLE)
+        |      * 16 ** (8 - j))) AS hv FROM h),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |  -ln((hv + 1.0) / 4294967296.0) / n_chars AS k0 FROM v)
+        |SELECT doc_id, lang, n_chars,
+        |round(k0 * 1e6 + 1e-9, 4) AS skey_ppm
+        |FROM k ORDER BY k0, doc_id LIMIT 50""".stripMargin,
     "x_sample_mixture" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

@@ -302,6 +302,38 @@ object Dedup {
       .withColumn("hamming", col("hamming").cast("bigint"))
   }
 
+  /** Exact token-bigram Jaccard with deterministic blocking — the
+    * non-probabilistic member of the near-dup family: candidates are pairs
+    * in the same (lang, token-count-bucket) block and EVERY candidate gets
+    * its true bigram-set Jaccard (no MinHash estimation, no LSH recall
+    * loss within a block). Blocking bounds the quadratic: the self-join is
+    * an equi-join on the block key, in-block pairs only, and — unlike the
+    * minhash path — the shuffle carries each doc's distinct-bigram set, so
+    * this is the tool for MODERATE corpora or post-LSH re-scoring;
+    * [[xMinhashPairs]] is the 100 TB front end. Near-dups that straddle a
+    * bucket boundary are missed by construction (mirrored exactly by the
+    * oracle); widen buckets or overlap them for recall. */
+  def xJaccardNgram(s: SparkSession, dir: String,
+                    threshold: Double = 0.3, bucketWidth: Int = 20): DataFrame = {
+    val bigrams = array_distinct(transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i),
+        element_at(col("toks"), i + 1))))
+    val b = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // bigram-less docs can't pair anyway
+      .select(col("doc_id"), col("lang"),
+        floor(size(col("toks")) / bucketWidth).cast("bigint").as("bucket"),
+        bigrams.as("bg"))
+    b.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(jaccard(col("a.bg"), col("b.bg")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Two-band LSH variant: candidates must share BOTH band-0 and band-1
     * min-shingle hashes — candidate count drops ~quadratically in the match
     * probability (330 vs 10.6k pairs at sf0.1), which is the knob that keeps
@@ -341,6 +373,7 @@ object Dedup {
     "x_minhash_signatures" -> xMinhashSignatures,
     "x_minhash_pairs" -> xMinhashPairs,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
+    "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
     "x_simhash" -> xSimhash,
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_simhash_md5" -> xSimhashMd5,
@@ -413,6 +446,20 @@ object Dedup {
         |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         |FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_jaccard_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+        |f AS (SELECT * FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT doc_id, lang, CAST(floor(len(toks) / 20) AS BIGINT) AS bucket,
+        |  list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM f)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
+        |  / len(list_distinct(a.bg || b2.bg)), 4) AS jaccard
+        |FROM b a JOIN b b2 ON a.lang = b2.lang AND a.bucket = b2.bucket
+        |  AND a.doc_id < b2.doc_id
+        |WHERE round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
+        |  / len(list_distinct(a.bg || b2.bg)), 4) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_kmv_sketch" -> KmvOracleSql,
     "x_kmv_native" -> KmvOracleSql, // native aggregate, identical sketch

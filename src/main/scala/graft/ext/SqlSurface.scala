@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL face of the library: the same analytics a DataFrame user
+  * gets, driven end-to-end through `spark.sql(...)` with graft's custom
+  * Catalyst expressions available as plain SQL functions (registered by
+  * [[graft.plans.GraftExtensions]] at session build, or imperatively by the
+  * `register` helpers for a pre-existing session, as here — the driver owns
+  * the session). This is the surface a BI tool / notebook user of the
+  * reference's assessment layer would actually touch: no Scala, no Column
+  * API, just views + SQL over them.
+  */
+object SqlSurface {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** All-pairs cosine over a bounded query window, written in SQL against a
+    * temp view with the fused native `cosine_sim` — proves the codegen
+    * Expression resolves through the SQL parser/analyzer path, not only
+    * through `Column`. The plan is the same broadcast-light self-join the
+    * DataFrame variants compile to. */
+  def xSqlCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 32)
+      .createOrReplaceTempView("graft_emb32")
+    s.sql("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(cosine_sim(a.v, b.v), 6) AS cosine
+      FROM graft_emb32 a JOIN graft_emb32 b ON a.vec_id < b.vec_id
+      WHERE cosine_sim(a.v, b.v) >= 0.4
+      ORDER BY vec_a, vec_b""")
+  }
+
+  /** The KMV bottom-k sketch invoked as a SQL aggregate function over an
+    * exploded shingle view — the TypedImperativeAggregate working inside a
+    * GROUP BY written by a SQL user. Identical sketch (and oracle) to the
+    * Column-API [[Dedup.xKmvNative]]. */
+  def xSqlKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BottomKNative.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        Dedup.shingles(split(col("text"), " ")))).as("shingle"))
+      .createOrReplaceTempView("graft_shingles")
+    s.sql("""
+      SELECT doc_id, bottom_k(md5(shingle), 8) AS kmv
+      FROM graft_shingles
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_sql_cosine_pairs" -> xSqlCosinePairs,
+    "x_sql_kmv" -> xSqlKmv
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_sql_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id < 32),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 6) AS cosine
+        |FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // Identical sketch to the Column-API form — shares its oracle.
+    "x_sql_kmv" -> Dedup.oracles("x_kmv_sketch")
+  )
+}

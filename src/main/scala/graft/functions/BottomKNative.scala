@@ -96,4 +96,21 @@ object BottomKNative {
       BottomKNative(
         org.apache.spark.sql.classic.GraftBridge.expression(hashes),
         k).toAggregateExpression())
+
+  /** Register `bottom_k(col, k)` in the session's function registry so it
+    * is usable from SQL and `expr(...)`. Idempotent; k must be an integer
+    * literal. Sessions built with [[graft.plans.GraftExtensions]] get this
+    * automatically. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k: k must be an integer literal, got $other")
+        }
+        BottomKNative(exprs.head, k).toAggregateExpression()
+      },
+      "scala_udf")
 }

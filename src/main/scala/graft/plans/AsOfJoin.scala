@@ -173,13 +173,39 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** `SparkSession.builder().withExtensions(new GraftExtensions)` or config
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** The library's one-line install: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (works via
+  * spark-submit --conf too — no code changes to the host app). Injects the
+  * as-of join planner strategy + optimizer rules and registers graft's
+  * custom expressions as SQL functions, so plain `spark.sql(...)` reaches
+  * everything. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+        "cosine_sim"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[graft.functions.BottomKNative].getName,
+        "bottom_k"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k: k must be an integer literal, got $other")
+        }
+        graft.functions.BottomKNative(exprs.head, k).toAggregateExpression()
+      }))
   }
 }
 
