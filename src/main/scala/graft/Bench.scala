@@ -53,10 +53,23 @@ object Bench {
       // checkpointed shingle streams accumulate in the block manager
       // squeezes execution memory for every query after them (the r4
       // driver run showed exactly that shape: late-alphabet multi-job
-      // queries inflated ~2x over a clean run). Cleanup time is charged
-      // to no one — it happens between measurements.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // queries inflated ~2x over a clean run). BLOCKING removal: r5 used
+      // blocking=false and the async block-removal overlapped the next
+      // query's timed window — 14 queries regressed 2-6x with no code
+      // change (r5 verdict). Blocking completes the cleanup between
+      // measurements, where it is charged to no one. A/B measured r6 on
+      // the r5 regression cluster (a9/a13/a14/a15 subset, sf0.1, 2
+      // interleaved reps): async 5.6/7.3s — the second rep spiked
+      // a13_asof_broadcast to 4.5s, the exact r5 regression shape —
+      // vs blocking 4.9/4.1s and none 4.0/4.4s. Blocking reproduces the
+      // no-cleanup numbers while keeping storage memory flat across the
+      // 100-query run. SPARK_GRAFT_UNPERSIST=async|none opts back in
+      // for re-measurement.
+      sys.env.getOrElse("SPARK_GRAFT_UNPERSIST", "blocking") match {
+        case "none" =>
+        case mode => spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = mode == "blocking"))
+      }
       (name, dt, err)
     }
     // Per-query seconds at ms precision: full-precision doubles made the

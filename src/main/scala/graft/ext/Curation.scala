@@ -331,7 +331,7 @@ object Curation {
         |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
         |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle) WHERE sh.doc_id >= 10),
         |dfreq AS (SELECT shingle, count(*) AS docs_with FROM sh GROUP BY 1),
@@ -351,7 +351,7 @@ object Curation {
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
         |SELECT doc_id, count(*) AS n_shared
         |FROM sh JOIN ev USING (shingle) WHERE doc_id >= 10
@@ -360,7 +360,7 @@ object Curation {
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
         |dfreq AS (SELECT shingle, count(*) AS docs_with FROM sh GROUP BY 1)
         |SELECT doc_id, count(*) AS n_sh,
         |CAST(sum(CASE WHEN docs_with >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
@@ -373,7 +373,7 @@ object Curation {
     "x_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
         |sig AS (SELECT doc_id, sh,
         |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -306,30 +306,47 @@ object Dedup {
     * non-probabilistic member of the near-dup family: candidates are pairs
     * in the same (lang, token-count-bucket) block and EVERY candidate gets
     * its true bigram-set Jaccard (no MinHash estimation, no LSH recall
-    * loss within a block). Blocking bounds the quadratic: the self-join is
-    * an equi-join on the block key, in-block pairs only, and — unlike the
-    * minhash path — the shuffle carries each doc's distinct-bigram set, so
-    * this is the tool for MODERATE corpora or post-LSH re-scoring;
-    * [[xMinhashPairs]] is the 100 TB front end. Near-dups that straddle a
+    * loss within a block). Scored through a block-local inverted index:
+    * explode each doc's distinct bigrams and self equi-join on (lang,
+    * bucket, bigram), so the intersection count per pair falls out of one
+    * hash join + one aggregate. Because the threshold is > 0, pairs that
+    * share no bigram never materialize — the in-block O(docs²) pair set is
+    * never built (r5's per-pair `array_intersect` over full bigram arrays
+    * did exactly that: 672k candidate pairs, 92 s at sf0.1; this shape is
+    * 2.5M fixed-width join rows). The shuffle carries (doc_id, n_bg,
+    * bigram) — never an array. The residual quadratic is per (block,
+    * bigram): docs sharing one bigram inside one block (max 63 at sf0.1) —
+    * inherent to exact all-pairs scoring; [[xMinhashPairs]] is the 100 TB
+    * front end when even that is too much. Near-dups that straddle a
     * bucket boundary are missed by construction (mirrored exactly by the
     * oracle); widen buckets or overlap them for recall. */
   def xJaccardNgram(s: SparkSession, dir: String,
                     threshold: Double = 0.3, bucketWidth: Int = 20): DataFrame = {
+    require(threshold > 0, "zero-intersection pairs are pruned by the index")
     val bigrams = array_distinct(transform(
       sequence(lit(1), size(col("toks")) - 1),
       i => concat_ws(" ", element_at(col("toks"), i),
         element_at(col("toks"), i + 1))))
-    val b = Tables.load(s, dir, "documents")
+    val inv = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2) // bigram-less docs can't pair anyway
       .select(col("doc_id"), col("lang"),
         floor(size(col("toks")) / bucketWidth).cast("bigint").as("bucket"),
         bigrams.as("bg"))
-    b.as("a").join(b.as("b"),
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(col("bg")).cast("bigint").as("n_bg"), explode(col("bg")).as("g"))
+      // explicit exchange on the join key → computed once, reused by both
+      // self-join branches (same idiom as lshPairs)
+      .repartition(col("lang"), col("bucket"), col("g"))
+    inv.as("a").join(inv.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(jaccard(col("a.bg"), col("b.bg")), 4).as("jaccard"))
+          && col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_bg").as("n_a"), col("b.n_bg").as("n_b"))
+      .agg(count(lit(1)).as("ni"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -405,7 +422,7 @@ object Dedup {
   private val KmvOracleSql =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t)
       |SELECT doc_id,
       |array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS kmv
       |FROM sh ORDER BY doc_id""".stripMargin
@@ -417,7 +434,7 @@ object Dedup {
     "x_minhash_signatures" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t)
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t)
         |SELECT doc_id,
         |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS sig0,
         |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 9, 8))) AS sig1,
@@ -427,7 +444,7 @@ object Dedup {
     "x_minhash_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
         |sig AS (SELECT doc_id, sh,
         |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -438,7 +455,7 @@ object Dedup {
     "x_minhash_pairs_2band" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
         |sig AS (SELECT doc_id, sh,
         |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS b0,
         |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 9, 8))) AS b1 FROM sh)

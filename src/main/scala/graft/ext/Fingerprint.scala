@@ -61,10 +61,15 @@ object Fingerprint {
     val fps = array_distinct(transform(
       sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
       i => array_min(slice(col("hs"), i, lit(4)))))
+    // Materialized once: the shingle+md5+winnow pipeline is the expensive
+    // part and the self-join references the index on both sides — without
+    // this it runs twice (same idiom as Dedup.lshPairs). Size is the
+    // fingerprint stream (~2/(w+1) of shingle volume), never the text.
     val inv = Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("hs", hs)
       .select(col("doc_id"), explode(fps).as("fp"))
+      .localCheckpoint()
     inv.as("a").join(inv.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -81,7 +86,7 @@ object Fingerprint {
   private val WinnowFpsSql =
     """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
       |h AS (SELECT doc_id, list_transform(sh, x -> substring(md5(x), 1, 8)) AS hs FROM sh),
       |fp AS (SELECT doc_id, len(hs) AS n_grams,
       |  list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declarative install path: a session built with GraftExtensions must
+  * resolve graft's SQL functions through the parser/analyzer with no
+  * imperative registration (r5 advice: SqlSurface uses the register
+  * helpers, so a break in the injectFunction path — ExpressionInfo
+  * metadata, the bottom_k literal-arity check, the reflective no-arg
+  * construction `spark.sql.extensions` relies on — went unexercised). */
+class ExtensionsSqlSpec extends AnyFunSuite {
+
+  /** `spark.sql.extensions=graft.plans.GraftExtensions` loads the class by
+    * name and calls a public no-arg constructor; pin that contract. */
+  test("config-style instantiation: no-arg construction by class name") {
+    val inst = Class.forName("graft.plans.GraftExtensions")
+      .getConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    inst(new SparkSessionExtensions) // registrations apply without throwing
+  }
+
+  /** Run `f` on a session whose ONLY access to graft functions is the
+    * extensions hook (fresh function registry, shared SparkContext). The
+    * shared test session is restored as default/active afterwards. */
+  private def withExtensionSession[T](f: SparkSession => T): T = {
+    val shared = graft.TestSpark.spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      assert(s ne shared, "builder must create a fresh session")
+      f(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("extension session resolves cosine_sim through spark.sql") {
+    withExtensionSession { s =>
+      val r = s.sql(
+        """SELECT round(cosine_sim(array(3.0D, 4.0D), array(4.0D, 3.0D)), 6) AS c,
+          |       round(cosine_sim(array(1.0D, 0.0D), array(0.0D, 2.0D)), 6) AS z
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 0.96) // (12+12)/(5*5)
+      assert(r.getDouble(1) == 0.0) // orthogonal
+    }
+  }
+
+  test("extension session resolves bottom_k aggregate through spark.sql") {
+    withExtensionSession { s =>
+      val got = s.sql(
+        """SELECT bottom_k(md5(cast(id AS string)), 4) AS kmv
+          |FROM range(100)""".stripMargin).head().getString(0)
+      val exp = (0 until 100).map(i => graft.TestSpark.spark
+        .sql(s"SELECT md5('$i')").head().getString(0)).sorted.take(4)
+      assert(got == exp.mkString(","))
+    }
+  }
+
+  test("bottom_k rejects a non-literal k with a clear error") {
+    withExtensionSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT bottom_k(cast(id AS string), id + 1) FROM range(10)")
+          .collect()
+      }
+      assert(e.getMessage.contains("bottom_k"), e.getMessage)
+    }
+  }
+}
