@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 100-query bench accumulates enough heap across
+  // queries that an 8g old gen forces full GCs inside timed windows
+  // (the machine has 128 GiB; executors are in-process threads).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~100 queries x whole-stage codegen fills the default 240m code
+  // cache mid-run; when it fills, the JIT stops compiling and the
+  // md5/shingle hot loops drop to interpreted speed — observed r6 as a
+  // 2-3x inflation of the shingle-query cluster with a roving onset.
+  "-XX:ReservedCodeCacheSize=512m",
 )
