@@ -156,6 +156,39 @@ object Assessments {
       .orderBy("event_type")
   }
 
+  /** A5 — the sketch error contract as an oracle-checkable row: the approx
+    * values themselves are engine-specific (KLL / HLL++ internals stay
+    * rows-only in [[a5ApproxSketches]]), but the CONTRACT — approx within a
+    * deterministic bound of exact — is a boolean both engines agree on.
+    * Spark computes sketch and exact and emits the bound checks; the DuckDB
+    * twin computes the same exact values with literal TRUE bounds, so a
+    * sketch drifting out of contract hash-fails the round. Bounds:
+    * percentile_approx at accuracy 10000 must land between the exact 49th
+    * and 51st percentiles (the KLL contract is rank-space, so the bound is
+    * expressed in rank space with wide slack); approx_count_distinct at its
+    * default 5% rsd must be within 10% relative of exact. */
+  def a5SketchBounds(s: SparkSession, dir: String): DataFrame = {
+    val perc = ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"),
+        expr("percentile(value, 0.49D)").as("lo"),
+        expr("percentile(value, 0.51D)").as("hi"),
+        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"))
+    val users = ev(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("ua"),
+        count(lit(1)).as("users_exact"))
+    perc.join(broadcast(users), Seq("event_type"))
+      .select(col("event_type"), col("p50_exact"), col("users_exact"),
+        (col("pa") >= col("lo") && col("pa") <= col("hi")).as("p50_in_bound"),
+        (abs(col("ua") - col("users_exact")) <=
+          col("users_exact") * 0.1).as("users_in_bound"))
+      .orderBy("event_type")
+  }
+
   /** A6 — top-K heaviest per group via ranking window. */
   def a6TopkByType(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -488,6 +521,7 @@ object Assessments {
     "a4_token_heatmap" -> a4TokenHeatmap,
     "a5_value_percentiles" -> a5ValuePercentiles,
     "a5_approx_sketches" -> a5ApproxSketches,
+    "a5_sketch_bounds" -> a5SketchBounds,
     "a6_topk_by_type" -> a6TopkByType,
     "a6_value_quartiles" -> a6ValueQuartiles,
     "a6_quartiles_scaled" -> a6QuartilesScaled,
@@ -570,6 +604,13 @@ object Assessments {
       """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50,
         |round(quantile_cont(value,0.9),4) AS p90, round(quantile_cont(value,0.99),4) AS p99,
         |count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The sketch-contract twin: exact values + literal TRUE bound columns;
+    // Spark computes the real bound checks (a5SketchBounds scaladoc).
+    "a5_sketch_bounds" ->
+      """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50_exact,
+        |count(DISTINCT user_id) AS users_exact,
+        |TRUE AS p50_in_bound, TRUE AS users_in_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a6_topk_by_type" ->
       """SELECT event_type, rnk, event_id, round(value,2) AS value FROM (
         |SELECT event_type, event_id, value,
