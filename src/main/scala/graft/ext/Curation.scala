@@ -158,6 +158,33 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_lo")
 
+  /** Sequence packing for training: concatenation-pack documents into
+    * fixed token-budget rows (the layout step between curation and the
+    * trainer — docs are concatenated in a deterministic order and sliced
+    * every `budget` tokens, so a doc whose start offset lands in window k
+    * belongs to packed sequence k). Layout is per input shard — here
+    * (lang, floor(doc_id/1000)), the stable shard key a real pipeline
+    * carries from its file layout — so the running-offset window is
+    * BOUNDED: at 100 TB each shard packs independently as a narrow
+    * window over its own partition, no global sort, no driver state.
+    * Emits one row per packed sequence with its doc span and fill. */
+  def xPackSequences(s: SparkSession, dir: String,
+                     budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = floor(col("doc_id") / 1000).cast("bigint")
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), shard.as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start") / budget).cast("bigint"))
+      .groupBy("lang", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard", "seq_id")
+  }
+
   /** TF-IDF top-3 salient terms per document: tf = in-doc term frequency,
     * idf = ln(N / df) from a corpus-wide document-frequency aggregate,
     * ranked per doc. Two aggregates (per-doc term counts; per-term doc
@@ -322,10 +349,22 @@ object Curation {
     "x_sample_mixture" -> xSampleMixture,
     "x_length_histogram" -> xLengthHistogram,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
+    "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_tfidf_top" -> xTfidfTop
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+        |  len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY lang, shard
+        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM t),
+        |p AS (SELECT lang, shard, CAST(floor(strt / 2048) AS BIGINT) AS seq_id,
+        |  doc_id, n_tok FROM c)
+        |SELECT lang, shard, seq_id, count(*) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "x_curate_corpus" ->
       """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -203,7 +203,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition score — the repeated-n-gram quality filter
+    * (per Rae et al., "Scaling Language Models" 2021 §A1.3.3: docs whose
+    * duplicate n-gram fraction is high are templated/spammy and get
+    * filtered before training): rep_ratio = 1 - distinct/total over
+    * POSITIONAL token trigrams. Pure per-doc narrow map — at 100 TB this
+    * is a free rider on the corpus scan, no shuffle but the presentation
+    * sort. Docs under 3 tokens can't form a trigram and are excluded
+    * identically on both engines. */
+  def xRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tri = transform(
+      sequence(lit(1), size(col("toks")) - 2),
+      i => concat_ws(" ", element_at(col("toks"), i),
+        element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"), tri.as("tri"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("tri")).cast("bigint").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("bigint").as("n_distinct"),
+        // +1e-9: distinct/total lands exactly on half-boundaries (small
+        // trigram counts), where Spark and DuckDB round oppositely.
+        round(lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+          size(col("tri")) + lit(1e-9), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_repetition" -> xRepetition,
     "x_unigram_logprob" -> xUnigramLogprob,
     "x_bigram_logprob" -> xBigramLogprob,
     "x_char_entropy" -> xCharEntropy,
@@ -216,6 +245,17 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |tri AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  list_transform(range(1, len(toks) - 1),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tri FROM f)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |CAST(len(tri) AS BIGINT) AS n_trigrams,
+        |CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+        |round(1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE) + 1e-9, 4) AS rep_ratio
+        |FROM tri ORDER BY doc_id""".stripMargin,
     "x_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT count(*) AS total FROM toks),

@@ -54,4 +54,46 @@ class CurationSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("sequence packing: complete partition of each shard, contiguous ids") {
+    // (lang, shard, seq_id, n_docs, n_tokens, first_doc, last_doc)
+    val rows = Curation.xPackSequences(spark, dir, budget = 512).collect()
+    assert(rows.nonEmpty)
+    // every document lands in exactly one packed sequence
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(3)).sum == total)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case ((lang, shard), seqs) =>
+        val sorted = seqs.sortBy(_.getLong(2))
+        // seq ids start at 0 and are contiguous (concatenation leaves no
+        // empty windows: every window that starts inside the shard's token
+        // stream contains at least the doc that straddles into it)
+        assert(sorted.map(_.getLong(2)).toSeq ==
+          (0L until sorted.length.toLong), s"$lang/$shard ids")
+        // doc spans are disjoint and ordered across consecutive sequences
+        sorted.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(0).getLong(6) < w(1).getLong(5),
+            s"$lang/$shard spans overlap")
+        }
+        // a sequence holds > budget tokens only via its straddling last doc
+        sorted.foreach { r =>
+          assert(r.getLong(4) > 0)
+          assert(r.getLong(3) >= 1)
+        }
+    }
+  }
+
+  test("repetition: ratio bounded by construction and consistent") {
+    // (doc_id, n_tokens, n_trigrams, n_distinct, rep_ratio)
+    val rows = TextOps.xRepetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTri, nDis, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nTri == nTok - 2) // positional trigram count
+      assert(nDis >= 1 && nDis <= nTri)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - (1.0 - nDis.toDouble / nTri)) < 1e-3)
+    }
+  }
 }
