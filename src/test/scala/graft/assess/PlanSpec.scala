@@ -236,6 +236,26 @@ class PlanSpec extends AnyFunSuite {
       s"scale twin funnels rows through a window:\n${plan.take(2000)}")
   }
 
+  test("jaccard ngram: inverted index computed once, no per-pair set algebra") {
+    val df = graft.ext.Dedup.xJaccardNgram(spark, dir)
+    // the r5 anti-pattern: per-candidate array_intersect/array_union over
+    // full bigram arrays (92 s at sf0.1); scoring must stay an equi-join +
+    // count, with the exploded index's exchange reused by both join sides
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array_intersect"), opt.take(2000))
+    assert(!opt.contains("array_union"), opt.take(2000))
+    val plan = planOf(df)
+    assert(plan.contains("ReusedExchange"),
+      s"bigram index built twice:\n${plan.take(2000)}")
+  }
+
+  test("sequence packing: sharded window, never a single-partition funnel") {
+    val plan = planOf(graft.ext.Curation.xPackSequences(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing funnels the corpus through one reducer:\n${plan.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
