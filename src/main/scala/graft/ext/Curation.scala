@@ -221,9 +221,11 @@ object Curation {
 
   private def docShingleRows(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      // split projected separately so it isn't cloned into every
+      // element_at of the shingle lambda (see SqlSurface.xSqlKmv)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          Dedup.shingles(split(col("text"), " ")))).as("shingle"))
+        explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
 
   /** Benchmark-decontamination check: count, per corpus document, the
     * 3-gram shingles it shares with an "eval set" (here: docs 0–9 stand in

@@ -92,8 +92,11 @@ object Dedup {
     // and +2.2 s on x_dup_clusters (which replays the whole pipeline).
     val docShingles = Tables.load(s, dir, "documents")
       .join(broadcast(involved), "doc_id") // prune BEFORE shingling
+      // split projected separately so it isn't cloned into every
+      // element_at of the shingle lambda (see SqlSurface.xSqlKmv)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(split(col("text"), " ")))).as("shingle"))
+        explode(array_distinct(shingles(col("toks")))).as("shingle"))
       .localCheckpoint()
     val inter = pairs
       .join(docShingles.as("ra"), col("doc_a") === col("ra.doc_id"))
