@@ -28,16 +28,17 @@ object TextOps {
 
   /** Quality metrics per document: whitespace token count, chars/token,
     * stopword ratio. */
-  def qualityMetrics(df: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    df.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      round(col("n_chars").cast("double") / size(toks), 4).as("chars_per_token"),
-      round(
-        size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks),
-        4).as("stopword_ratio"))
-  }
+  def qualityMetrics(df: DataFrame): DataFrame =
+    // token array projected once by name — composing tokens(text) inline
+    // clones the split into every metric (see SqlSurface.xSqlKmv)
+    df.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(col("n_chars").cast("double") / size(col("toks")), 4)
+          .as("chars_per_token"),
+        round(size(filter(col("toks"), t => t.isin(Stopwords: _*)))
+          .cast("double") / size(col("toks")), 4).as("stopword_ratio"))
 
   /** Rolling-hash-style document fingerprint: md5 of the full text (content
     * address; exact-dup key). */
