@@ -66,7 +66,7 @@ object CaptureDemo {
       .filter(supportedVersion(col("hive_version"))) // O2 gate
       .join(broadcast(tezDim), col("session_id") === col("sessionId"), "left")
       .join(broadcast(llapDim),
-        element_at(conf, CapturePipeline.LlapServiceHostsKey) === col("hosts"),
+        try_element_at(conf, lit(CapturePipeline.LlapServiceHostsKey)) === col("hosts"),
         "left")
       .select(
         col("event_id"),

@@ -66,9 +66,11 @@ object CaptureOps {
     * Reference: EventRecordConstructor.java:182-193; LoggerVarsConfig.java:22-24.
     */
   def queueName(mode: Column, conf: Column): Column =
-    when(mode === "LLAP", element_at(conf, "hive.llap.daemon.queue.name"))
-      .when(mode === "MR", element_at(conf, "mapreduce.job.queuename"))
-      .when(mode === "TEZ", element_at(conf, "tez.queue.name"))
+    // try_element_at: a conf map missing the mode's key yields NULL (the
+    // reference's Map.get semantics); element_at throws under ANSI mode
+    when(mode === "LLAP", try_element_at(conf, lit("hive.llap.daemon.queue.name")))
+      .when(mode === "MR", try_element_at(conf, lit("mapreduce.job.queuename")))
+      .when(mode === "TEZ", try_element_at(conf, lit("tez.queue.name")))
       .otherwise(lit(null).cast("string"))
 
   /** O12 — request user with UGI fallback.

@@ -119,7 +119,9 @@ object CapturePipeline {
         withTez.join(
           broadcast(dim.select(col("serviceHosts").as("__llap_hosts"),
             col("YarnApplicationId").as("__llapAppId"))),
-          element_at(col("conf"), LlapServiceHostsKey) === col("__llap_hosts"),
+          // try_element_at: events without the LLAP hosts key simply miss
+          // the dim (left join NULL); element_at throws under ANSI mode
+          try_element_at(col("conf"), lit(LlapServiceHostsKey)) === col("__llap_hosts"),
           "left")
           .drop("__llap_hosts")
       case None => withTez.withColumn("__llapAppId", nullStr)

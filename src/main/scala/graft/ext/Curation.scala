@@ -118,8 +118,10 @@ object Curation {
       "zh" -> "2000", "en" -> "4000", "fr" -> "8000",
       "de" -> "c000", "es" -> "ffff"))
     Tables.load(s, dir, "documents")
+      // try_element_at: an unmapped language falls to the coalesce default
+      // (plain element_at throws under ANSI for a missing map key)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 4)
-        < coalesce(element_at(thresholds, col("lang")), lit("0000")))
+        < coalesce(try_element_at(thresholds, col("lang")), lit("0000")))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }

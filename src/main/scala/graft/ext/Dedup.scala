@@ -22,12 +22,18 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** 3-word shingles of a whitespace-tokenized text (1-based `element_at`). */
+  /** 3-word shingles of a whitespace-tokenized text (1-based indexing).
+    * Docs under 3 tokens yield one partial shingle: `try_element_at`
+    * returns NULL past the end (plain `element_at` THROWS under ANSI mode,
+    * which took the whole shingle family down on any corpus with a 1- or
+    * 2-token doc) and `concat_ws` skips NULLs — mirrored exactly by the
+    * DuckDB oracles' `concat_ws(' ', toks[i], toks[i+1], toks[i+2])`,
+    * whose out-of-range list index is NULL. */
   def shingles(toks: Column): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      i => concat_ws(" ", element_at(toks, i),
+        try_element_at(toks, i + 1), try_element_at(toks, i + 2)))
 
   /** One md5 per distinct shingle; all hash-family members derive from it. */
   def shingleHashes(shingleCol: Column): Column =
@@ -326,10 +332,15 @@ object Dedup {
   def xJaccardNgram(s: SparkSession, dir: String,
                     threshold: Double = 0.3, bucketWidth: Int = 20): DataFrame = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
+    // OOB-safe like [[shingles]]: the optimizer infers a size(bg)>0
+    // pre-filter from the explode and evaluates this expression on rows
+    // the size>=2 filter later removes — sequence must never descend
+    // (sequence(1,0) yields [1,0] and index 0 always throws) and the
+    // lookahead must tolerate the end. Identical output for surviving rows.
     val bigrams = array_distinct(transform(
-      sequence(lit(1), size(col("toks")) - 1),
+      sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
       i => concat_ws(" ", element_at(col("toks"), i),
-        element_at(col("toks"), i + 1))))
+        try_element_at(col("toks"), i + 1))))
     val inv = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2) // bigram-less docs can't pair anyway

@@ -135,10 +135,14 @@ object TextOps {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
+    // OOB-safe bigram build (see Dedup.xJaccardNgram: the inferred
+    // explode pre-filter evaluates this on rows the size>=2 filter
+    // removes; never descend the sequence, tolerate the end lookahead)
     val bigrams = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
         i => concat_ws(" ",
-          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          element_at(col("toks"), i), try_element_at(col("toks"), i + 1))))
         .as("bg"))
     val toks = Tables.load(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))

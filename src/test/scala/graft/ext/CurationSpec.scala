@@ -83,6 +83,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle family survives 1- and 2-token documents (ANSI OOB)") {
+    // Under ANSI mode element_at throws past the array end, and the
+    // optimizer's inferred explode pre-filter evaluates shingle/bigram
+    // lambdas on rows the size filters later remove — so every shingle
+    // construction must be OOB-safe by itself (try_element_at + clamped
+    // sequence). A corpus with short docs crashed 12 queries before r6.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "single", "en", "syn", 6L),
+      (2L, "two words", "en", "syn", 9L),
+      (3L, "three token doc here", "en", "syn", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // 1-token doc: one degenerate shingle "single"; 2-token: "two words"
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingles(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("single"))
+    assert(sh(2L) == Seq("two words"))
+    assert(sh(3L) == Seq("three token doc", "token doc here"))
+    // the end-to-end queries that crashed: construct + materialize
+    assert(Dedup.xMinhashSignatures(spark, tmp).count() == 3)
+    assert(Dedup.xJaccardNgram(spark, tmp).count() >= 0)
+    assert(Fingerprint.xWinnowFingerprint(spark, tmp).count() == 3)
+    assert(TextOps.xBigramLogprob(spark, tmp).count() == 2) // 1-token excluded
+  }
+
   test("repetition: ratio bounded by construction and consistent") {
     // (doc_id, n_tokens, n_trigrams, n_distinct, rep_ratio)
     val rows = TextOps.xRepetition(spark, dir).collect()
