@@ -42,7 +42,9 @@ object Multimodal {
           (col("doc_id") % 3).cast("int") + 1).as("kind"),
         element_at(typedLit(Seq("png", "wav", "mkv")),
           (col("doc_id") % 3).cast("int") + 1).as("format"),
-        encode(col("text"), "UTF-8").as("content"))
+        // coalesce: a NULL payload is a zero-byte asset (the stubs guard
+        // empties; a null Array[Byte] NPEs every codec) — oracles mirror it
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
       .as[MediaAsset]
   }
 
@@ -101,7 +103,7 @@ object Multimodal {
       .orderBy("asset_id")
 
   /** Full decoded-feature set incl. histogram/mean. The stub decode is
-    * byte-value identity, so DuckDB can reproduce it from hex(encode(text));
+    * byte-value identity, so DuckDB can reproduce it from hex(encode(coalesce(text, '')));
     * the histogram is comma-joined to a scalar (array columns crash the
     * driver's pandas sort) and the mean gets the +1e-9 half-boundary nudge
     * on both sides. */
@@ -164,15 +166,15 @@ object Multimodal {
     "x_media_features" ->
       """SELECT doc_id AS asset_id,
         |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames,
-        |md5(text) AS fingerprint
+        |CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+        |CAST(ceil(octet_length(encode(coalesce(text, ''))) / 256.0) AS INT) AS n_frames,
+        |md5(coalesce(text, '')) AS fingerprint
         |FROM documents ORDER BY asset_id""".stripMargin,
     // Stub decode = unsigned byte values of the UTF-8 text, so the mean is
     // the byte average and bucket v/16 is the high hex nibble of each byte.
     "x_media_histograms" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS n FROM documents),
+      """WITH h AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
         |nib AS (SELECT doc_id, n,
         |  list_transform(range(1, n + 1),
         |    i -> strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) AS hi,
@@ -180,26 +182,28 @@ object Multimodal {
         |    i -> strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS lo
         |  FROM h)
         |SELECT doc_id AS asset_id,
-        |round((16.0 * list_sum(hi) + list_sum(lo)) / n + 1e-9, 4) AS mean_byte,
+        |CASE WHEN n = 0 THEN 0.0 ELSE
+        |  round((16.0 * list_sum(hi) + list_sum(lo)) / n + 1e-9, 4) END AS mean_byte,
         |array_to_string(list_transform(range(0, 16),
         |  j -> CAST(len(list_filter(hi, x -> x = j)) AS VARCHAR)), ',') AS histogram
         |FROM nib ORDER BY asset_id""".stripMargin,
     // Kept positions are 1+4k (1-based bytes) → hex chars 8k+1 / 8k+2.
     "x_media_resize" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS n FROM documents),
+      """WITH h AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
         |b AS (SELECT doc_id, list_transform(range(0, CAST(ceil(n / 4.0) AS BIGINT)), k ->
         |  16 * (strpos('0123456789ABCDEF', substring(hx, 8*k + 1, 1)) - 1)
         |     + (strpos('0123456789ABCDEF', substring(hx, 8*k + 2, 1)) - 1)) AS pxs
         |  FROM h)
         |SELECT doc_id AS asset_id, len(pxs) AS n_px,
-        |round(list_sum(pxs) * 1.0 / len(pxs) + 1e-9, 4) AS mean_resized
+        |CASE WHEN len(pxs) = 0 THEN 0.0 ELSE
+        |  round(list_sum(pxs) * 1.0 / len(pxs) + 1e-9, 4) END AS mean_resized
         |FROM b ORDER BY asset_id""".stripMargin,
     // Frame k covers bytes [256k+1, least(256(k+1), n)]; probes 3 frames.
     "x_media_frames" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS n,
-        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
+      """WITH h AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |  octet_length(encode(coalesce(text, ''))) AS n,
+        |  CAST(ceil(octet_length(encode(coalesce(text, ''))) / 256.0) AS BIGINT) AS nf
         |  FROM documents)
         |SELECT doc_id AS asset_id, nf AS n_frames,
         |CAST(COALESCE(list_sum(list_transform(range(1, least(256, n) + 1), p ->
