@@ -29,10 +29,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The valid-embedding subset: non-NULL, non-zero norm. A NULL vector
+    * has no similarity to anything (and crashes both engines' dot
+    * products); a zero vector has no direction, and under ANSI mode its
+    * cosine denominator throws DIVIDE_BY_ZERO. Filtering once at the
+    * source keeps every downstream formula guard-free; all oracles carry
+    * the identical WHERE. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
+      .filter(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x) > 0)
 
   // ---- queries ----------------------------------------------------------
 
@@ -301,7 +309,9 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "x_embed_quantize" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |ed AS (SELECT unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ed GROUP BY 1),
         |g AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM st)
@@ -312,7 +322,9 @@ object Similarity {
         |  END AS VARCHAR)), ',') AS codes
         |FROM e, g ORDER BY vec_id""".stripMargin,
     "x_ann_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
         |p AS (SELECT q_id, vec_id,
         |  list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
@@ -325,7 +337,9 @@ object Similarity {
     // first 16 bits of md5("p#i") are even (= 4th hex char parity); bands are
     // 4-bit slices of the 8-bit signature; candidates share a full band.
     "x_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |pl AS (SELECT p, list_transform(range(0, 64), i ->
         |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
         |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
@@ -348,10 +362,14 @@ object Similarity {
     "x_label_centroids" ->
       """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
-        |  unnest(range(len(embedding))) AS dim FROM embeddings)
+        |  unnest(range(len(embedding))) AS dim FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "x_ivf_assign" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
         |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
         |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
@@ -364,7 +382,9 @@ object Similarity {
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Same assignment chain; probe = in-cell equi-join + per-query top-5.
     "x_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
         |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
         |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
@@ -386,7 +406,9 @@ object Similarity {
     // list_dot_product on the element-wise difference (same fold order as
     // Spark's zip_with+aggregate); argmin tie-broken by centroid id.
     "x_kmeans_step" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
         |p AS (SELECT vec_id, v, c_id,
         |  list_dot_product(list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]),
@@ -401,7 +423,9 @@ object Similarity {
     // Same md5-parity planes as the LSH bucket oracle; coordinates kept as
     // reals.
     "x_embed_project" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |pl AS (SELECT p, list_transform(range(0, 64), i ->
         |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
         |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
@@ -415,7 +439,9 @@ object Similarity {
     // Same plane construction as x_embedding_neardup's oracle, full 8-bit
     // signature, aggregated per bucket.
     "x_ann_lsh_buckets" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |pl AS (SELECT p, list_transform(range(0, 64), i ->
         |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
         |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),

@@ -28,8 +28,11 @@ object SqlSurface {
   def xSqlCosinePairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     Tables.load(s, dir, "embeddings")
+      // valid-embedding subset, mirrored by the oracle (Similarity.emb)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .filter(col("vec_id") < 32)
+      .filter(col("vec_id") < 32 &&
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x) > 0)
       .createOrReplaceTempView("graft_emb32")
     s.sql("""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -69,7 +72,8 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "x_sql_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE vec_id < 32),
+        |  WHERE vec_id < 32 AND embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
