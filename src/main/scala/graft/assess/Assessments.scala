@@ -21,7 +21,23 @@ object Assessments {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The assessment layer's input contract: events with a timestamp, a
+    * type, and a value. Rows missing any of the three can't participate in
+    * time-series/classified/summed analytics, and each engine's null
+    * handling (null-key joins, window frames over null days, pandas dtype
+    * widening on null epochs) diverges in its own way — one source filter
+    * keeps 30+ queries hash-identical cross-engine under dirty data.
+    * user_id and props stay nullable (a5/a9/a10 handle them explicitly).
+    * Every oracle carries the identical WHERE via [[EventsSql]]. */
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+    .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+      col("value").isNotNull)
+
+  /** DuckDB twin of [[ev]]'s valid-event filter; oracle SQL carries a
+    * plain `FROM ($EVENTS) events` token that the map constructor
+    * substitutes (no string interpolation — JSON paths contain `$`). */
+  private val EventsSql =
+    "SELECT * FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL"
 
   /** A1 — lifecycle pairing: first `signup` joined to first `purchase` per
     * user. Two partial aggregations shrink both sides *before* the join
@@ -547,9 +563,9 @@ object Assessments {
     * produce identical results by construction. */
   private val AsofOracleSql =
     """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, round(value,2) AS purchase_value
-      |  FROM events WHERE event_type='purchase'),
+      |  FROM ($EVENTS) events WHERE event_type='purchase'),
       |c AS (SELECT user_id AS c_uid, epoch_us(ts) AS cus, value AS click_value
-      |  FROM events WHERE event_type='click'),
+      |  FROM ($EVENTS) events WHERE event_type='click'),
       |j AS (SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
       |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cus DESC) AS rn
       |  FROM p LEFT JOIN c ON c.c_uid = p.user_id AND c.cus <= p.pus)
@@ -559,30 +575,30 @@ object Assessments {
   val oracles: Map[String, String] = Map(
     "a15_anomaly_days" ->
       """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-        |  FROM events GROUP BY 1),
+        |  FROM ($EVENTS) events GROUP BY 1),
         |s AS (SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM d)
         |SELECT day, n, round((n - mu) / NULLIF(sigma, 0) + 1e-9, 4) AS z,
         |CASE WHEN abs((n - mu) / NULLIF(sigma, 0)) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
         |FROM d, s ORDER BY day""".stripMargin,
     "a1_lifecycle_pairs" ->
-      """WITH s AS (SELECT user_id, min(ts) st FROM events WHERE event_type='signup' GROUP BY 1),
-        |p AS (SELECT user_id, min(ts) ft FROM events WHERE event_type='purchase' GROUP BY 1)
+      """WITH s AS (SELECT user_id, min(ts) st FROM ($EVENTS) events WHERE event_type='signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) ft FROM ($EVENTS) events WHERE event_type='purchase' GROUP BY 1)
         |SELECT s.user_id, epoch_ms(p.ft) - epoch_ms(s.st) AS ms_to_purchase
         |FROM s JOIN p ON s.user_id = p.user_id WHERE p.ft >= s.st ORDER BY s.user_id""".stripMargin,
     "a1_abandoned_users" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type='signup'
-        |AND user_id NOT IN (SELECT user_id FROM events WHERE event_type='purchase')
+      """SELECT DISTINCT user_id FROM ($EVENTS) events WHERE event_type='signup'
+        |AND user_id NOT IN (SELECT user_id FROM ($EVENTS) events WHERE event_type='purchase')
         |ORDER BY user_id""".stripMargin,
     "a2_user_rollup" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
         |round(sum(value),2) AS sum_value,
         |round(avg(value) + 1e-9, 4) AS avg_value,
-        |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |round(max(value),2) AS max_value FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a2_rollup_sql" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
         |round(sum(value),2) AS sum_value,
         |round(avg(value) + 1e-9, 4) AS avg_value,
-        |round(max(value),2) AS max_value FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |round(max(value),2) AS max_value FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a3_pivot_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -590,10 +606,10 @@ object Assessments {
         |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a3_type_daily_rollup" ->
       """SELECT event_type, day, count(*) AS n, round(sum(value),2) AS sum_value
-        |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, value FROM events)
+        |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, value FROM ($EVENTS) events)
         |GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "a4_token_heatmap" ->
@@ -603,28 +619,28 @@ object Assessments {
     "a5_value_percentiles" ->
       """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50,
         |round(quantile_cont(value,0.9),4) AS p90, round(quantile_cont(value,0.99),4) AS p99,
-        |count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |count(*) AS n FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     // The sketch-contract twin: exact values + literal TRUE bound columns;
     // Spark computes the real bound checks (a5SketchBounds scaladoc).
     "a5_sketch_bounds" ->
       """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50_exact,
         |count(DISTINCT user_id) AS users_exact,
         |TRUE AS p50_in_bound, TRUE AS users_in_bound
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a6_topk_by_type" ->
       """SELECT event_type, rnk, event_id, round(value,2) AS value FROM (
         |SELECT event_type, event_id, value,
         |row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
-        |FROM events) WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+        |FROM ($EVENTS) events) WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
     "a6_value_quartiles" ->
-      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM events GROUP BY 1)
+      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM ($EVENTS) events GROUP BY 1)
         |SELECT user_id, total, ntile(4) OVER (ORDER BY total, user_id) AS quartile,
         |round(percent_rank() OVER (ORDER BY total, user_id), 4) AS pct_rank
         |FROM t ORDER BY user_id""".stripMargin,
     // Spark's exact percentile and DuckDB's quantile_cont share the
     // linear-interpolation definition, so the cut points agree.
     "a6_quartiles_scaled" ->
-      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM events GROUP BY 1),
+      """WITH t AS (SELECT user_id, round(sum(value),2) AS total FROM ($EVENTS) events GROUP BY 1),
         |c AS (SELECT quantile_cont(total, 0.25) AS c1, quantile_cont(total, 0.5) AS c2,
         |  quantile_cont(total, 0.75) AS c3 FROM t)
         |SELECT user_id, total,
@@ -633,58 +649,63 @@ object Assessments {
     "a7_hourly_traffic" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |count(*) AS n, round(sum(value),2) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+        |FROM ($EVENTS) events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "a7_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts,
         |CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
-        |  THEN 1 ELSE 0 END AS new_sess FROM events),
+        |  THEN 1 ELSE 0 END AS new_sess FROM ($EVENTS) events),
         |s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM x)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur_ms
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "a8_daily_running" ->
-      """WITH d AS (SELECT strftime(ts,'%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1)
+      """WITH d AS (SELECT strftime(ts,'%Y-%m-%d') AS day, count(*) AS n FROM ($EVENTS) events GROUP BY 1)
         |SELECT day, n, CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
         |n - lag(n,1) OVER (ORDER BY day) AS delta FROM d ORDER BY day""".stripMargin,
     "a8_trailing_window" ->
       """WITH d AS (SELECT event_type,
         |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
-        |  sum(value) AS sv FROM events GROUP BY 1, 2)
+        |  sum(value) AS sv FROM ($EVENTS) events GROUP BY 1, 2)
         |SELECT event_type, day_num, round(sv + 1e-9, 2) AS day_value,
         |round(sum(sv) OVER (PARTITION BY event_type ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS trailing_7d
         |FROM d ORDER BY event_type, day_num""".stripMargin,
+    // json_valid guard: Spark's get_json_object/from_json yield NULL on
+    // malformed JSON, DuckDB's json functions raise — the CASE/WHERE makes
+    // the engines agree (malformed props → NULL bucket / no exploded keys).
     "a9_json_props" ->
-      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket,
+      """SELECT (CASE WHEN json_valid(props)
+        |  THEN CAST(json_extract_string(props,'$.k') AS BIGINT) END) % 10 AS k_bucket,
         |count(*) AS n, round(sum(value),2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a10_props_map_explode" ->
       """SELECT key, count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS total
-        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM ($EVENTS) events
+        |      WHERE props IS NOT NULL AND json_valid(props))
         |GROUP BY key ORDER BY key""".stripMargin,
     "a11_error_cohorts" ->
       """SELECT user_id % 20 AS cohort, count(*) AS n_errors, round(sum(value),2) AS impact
-        |FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ($EVENTS) events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1""".stripMargin,
     "a11_source_parse" ->
       """SELECT regexp_extract(source, '([0-9]+)', 1) AS src_num, lang,
         |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "a12_churn_retention" ->
       """SELECT 'churned' AS cohort, user_id FROM (
-        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')
-        |  EXCEPT SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02'))
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')
+        |  EXCEPT SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02'))
         |UNION ALL
         |SELECT 'retained' AS cohort, user_id FROM (
-        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
-        |  INTERSECT SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'))
+        |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
+        |  INTERSECT SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'))
         |ORDER BY cohort, user_id""".stripMargin,
     "a13_asof_attribution" ->
       """WITH t AS (SELECT event_id, user_id, ts, event_type, value,
         |  CASE WHEN event_type='click' THEN value END AS cv
-        |  FROM events WHERE event_type IN ('click','purchase')),
+        |  FROM ($EVENTS) events WHERE event_type IN ('click','purchase')),
         |f AS (SELECT event_id, user_id, event_type, value,
         |  last_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcv FROM t)
@@ -693,26 +714,26 @@ object Assessments {
         |FROM f WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
     "a12_except_all" ->
       """SELECT event_type, count(*) AS surplus FROM (
-        |  SELECT event_type FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'
+        |  SELECT event_type FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01'
         |  EXCEPT ALL
-        |  SELECT event_type FROM events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
+        |  SELECT event_type FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-02')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a13_asof_custom" -> AsofOracleSql,
     "a13_asof_broadcast" -> AsofOracleSql, // broadcast variant, same results
     "a13_range_join" ->
       """SELECT e.event_id,
         |CAST(count(c.cms) AS BIGINT) AS clicks_before
-        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ems FROM events WHERE event_type='error') e
-        |LEFT JOIN (SELECT user_id, epoch_ms(ts) AS cms FROM events WHERE event_type='click') c
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ems FROM ($EVENTS) events WHERE event_type='error') e
+        |LEFT JOIN (SELECT user_id, epoch_ms(ts) AS cms FROM ($EVENTS) events WHERE event_type='click') c
         |  ON c.user_id = e.user_id AND c.cms >= e.ems - 600000 AND c.cms < e.ems
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "a2_salted_rollup" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a14_dedup_first" ->
       """SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ts_ms
         |FROM (SELECT user_id, event_type, event_id, ts,
         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
-  )
+        |  FROM ($EVENTS) events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  ).map { case (k, v) => k -> v.replace("$EVENTS", EventsSql) }
 }

@@ -80,36 +80,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val buffered = rIter.buffered
-      // A null key/time would otherwise unbox to 0L and silently join the
-      // row as key/time 0 — fail loudly instead (merge order is undefined
-      // for nulls).
-      def evalLong(e: Expression, row: InternalRow, what: String): Long =
-        e.eval(row) match {
-          case null =>
-            throw new NullPointerException(
-              s"as-of join: null $what value (expr: ${e.sql})")
-          case v => v.asInstanceOf[Long]
-        }
-      // One buffered right row: the latest right row at or before the
-      // current left row's time for the current key.
+      // Standard join null semantics: a null key/time matches nothing.
+      // Null left rows emit null-extended (left-join shape); null right
+      // rows are skipped. (Unboxing blindly would turn null into 0L and
+      // silently join as key/time 0; the sort routes null-key rows to the
+      // front of each stream, so skipping is a clean prefix drop.)
       var heldKey = 0L
       var held: InternalRow = null
       lIter.map { lRow =>
-        val k = evalLong(lKey, lRow, "left key")
-        val t = evalLong(lTime, lRow, "left time")
-        if (held != null && heldKey != k) held = null
-        // advance the right side through every row (key', t') <= (k, t)
-        var advancing = true
-        while (advancing && buffered.hasNext) {
-          val rRow = buffered.head
-          val rk = evalLong(rKey, rRow, "right key")
-          val rt = evalLong(rTime, rRow, "right time")
-          if (rk < k || (rk == k && rt <= t)) {
-            buffered.next()
-            if (rk == k) { held = rRow.copy(); heldKey = k }
-          } else advancing = false
+        val kv = lKey.eval(lRow)
+        val tv = lTime.eval(lRow)
+        if (kv == null || tv == null) {
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          val k = kv.asInstanceOf[Long]
+          val t = tv.asInstanceOf[Long]
+          if (held != null && heldKey != k) held = null
+          // advance the right side through every row (key', t') <= (k, t)
+          var advancing = true
+          while (advancing && buffered.hasNext) {
+            val rRow = buffered.head
+            val rkv = rKey.eval(rRow)
+            val rtv = rTime.eval(rRow)
+            if (rkv == null || rtv == null) {
+              buffered.next() // unmatchable
+            } else {
+              val rk = rkv.asInstanceOf[Long]
+              val rt = rtv.asInstanceOf[Long]
+              if (rk < k || (rk == k && rt <= t)) {
+                buffered.next()
+                if (rk == k) { held = rRow.copy(); heldKey = k }
+              } else advancing = false
+            }
+          }
+          toUnsafe(joined(lRow, if (held != null) held else nullRight))
         }
-        toUnsafe(joined(lRow, if (held != null) held else nullRight))
       }
     }
   }
@@ -293,13 +298,14 @@ object AsOfJoin {
     // halves the driver + broadcast footprint for wide dimension rows. The
     // (key, time) sort runs distributed before the collect, so the driver
     // only slices contiguous runs.
+    // Standard join null semantics: right rows with a null key or time
+    // can never be "the latest at-or-before" for anything — drop them
+    // before grouping (was a hard failure; a dimension with one null row
+    // should not abort the join).
     val collected = right
       .sort(right(rightKeyCol), right(rightTimeCol))
       .collect()
-    collected.foreach { r =>
-      require(!r.isNullAt(rki) && !r.isNullAt(rti),
-        "broadcast as-of join: null right key/time")
-    }
+      .filter(r => !r.isNullAt(rki) && !r.isNullAt(rti))
     val grouped: Map[Long, (Array[Long], Array[Array[Any]])] = {
       val m = scala.collection.mutable.HashMap
         .empty[Long, (Array[Long], Array[Array[Any]])]
@@ -328,8 +334,10 @@ object AsOfJoin {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     left.mapPartitions { iter =>
       iter.map { lrow =>
-        require(!lrow.isNullAt(lki) && !lrow.isNullAt(lti),
-          "broadcast as-of join: null left key/time")
+        // null left key/time: no match by definition — null-extend
+        if (lrow.isNullAt(lki) || lrow.isNullAt(lti)) {
+          Row.fromSeq(lrow.toSeq ++ nullTail)
+        } else {
         val (k, t) = (lrow.getLong(lki), lrow.getLong(lti))
         val tail = bc.value.get(k) match {
           case Some((times, vals)) =>
@@ -343,6 +351,7 @@ object AsOfJoin {
           case None => nullTail
         }
         Row.fromSeq(lrow.toSeq ++ tail)
+        }
       }
     }(enc)
   }

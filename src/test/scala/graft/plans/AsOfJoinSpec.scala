@@ -94,17 +94,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
   }
 
-  test("null key/time fails loudly instead of joining as 0") {
+  test("null keys/times follow join semantics: match nothing, never 0") {
     import spark.implicits._
-    val l = Seq((Some(1L), Some(100L)), (None, Some(200L)))
-      .toDF("key", "lt")
-    val r = Seq((1L, 90L, 1.0)).toDF("rkey", "rt", "px")
-    val e = intercept[org.apache.spark.SparkException] {
-      AsOfJoin.asofJoin(l, r, "key", "rkey", "lt", "rt").collect()
+    // left null key/time → row survives null-extended (left-join shape);
+    // right null key/time → row can never be "the latest" for anyone.
+    // (Blind unboxing would treat null as key 0 and silently match.)
+    val l = Seq((Some(1L), Some(100L)), (None, Some(200L)),
+      (Some(0L), Some(300L)), (Some(3L), None)).toDF("key", "lt")
+    val r = Seq((Some(1L), Some(90L), 1.0), (None, Some(50L), 7.0),
+      (Some(0L), None, 8.0)).toDF("rkey", "rt", "px")
+    for (df <- Seq(
+        AsOfJoin.asofJoin(l, r, "key", "rkey", "lt", "rt"),
+        AsOfJoin.asofJoinBroadcast(l, r, "key", "rkey", "lt", "rt"))) {
+      val got = df.collect()
+        .map(x => (if (x.isNullAt(0)) None else Some(x.getLong(0)),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toSet
+      assert(got == Set(
+        (Some(1L), Some(1.0)), // real match unaffected
+        (None, None), // null left key: no match
+        (Some(0L), None), // key 0 must NOT pick up the null-key right rows
+        (Some(3L), None)), // null left time: no match
+        got.toString)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("null left key")), e.getMessage)
   }
 
   test("broadcast variant: same results as the shuffled operator, no exchange") {
