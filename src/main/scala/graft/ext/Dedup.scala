@@ -150,6 +150,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
       .orderBy("fp")
 
+  /** Incremental-ingestion dedup — the production shape at 100 TB: a NEW
+    * batch is checked against the EXISTING corpus, never corpus-vs-corpus.
+    * Exact layer: equi-join on the 16-byte content hash. Near layer: the
+    * batch's band signatures equi-join the corpus signature index
+    * (sub-linear candidates by LSH design), survivors scored by exact
+    * shingle Jaccard through the explode-join scorer. In production the
+    * corpus side (hashes + signatures) is a persisted index; each ingest
+    * shuffles only its own sketches against it — here both sides derive
+    * from one table with a deterministic doc_id%5 batch split so the
+    * DuckDB oracle can replay the whole decision. Per new doc: how many
+    * exact copies and near-dups the corpus already holds, and the verdict
+    * an ingest pipeline acts on. */
+  def xDedupIncremental(s: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val isNew = (col("doc_id") % 5) === 0
+    val hashed = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val exact = hashed.filter(isNew).as("n")
+      .join(hashed.filter(!isNew).select(col("fp"), col("doc_id").as("cid")),
+        "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val sig = docSignatures(s, dir, bands = 1)
+    val cand = sig.filter(isNew).as("a")
+      .join(sig.filter(!isNew).as("b"), col("a.b0") === col("b.b0"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .localCheckpoint() // scorer references it three times
+    val near = scoreExactJaccard(s, dir, cand)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    hashed.filter(isNew).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("n_exact") > 0, "exact")
+          .when(col("n_near") > 0, "near")
+          .otherwise("unique").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc MinHash signature (4 bands) — the sketch that downstream LSH
     * passes shuffle instead of text. */
   def xMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
@@ -399,6 +442,7 @@ object Dedup {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "x_dedup_incremental" -> ((s, dir) => xDedupIncremental(s, dir)),
     "x_dedup_exact" -> xDedupExact,
     "x_kmv_native" -> xKmvNative,
     "x_minhash_signatures" -> xMinhashSignatures,
@@ -442,6 +486,29 @@ object Dedup {
       |FROM sh ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) AS b0 FROM sh),
+        |h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |ex AS (SELECT n.doc_id, count(*) AS n_exact FROM h n JOIN h c
+        |  ON n.fp = c.fp AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 GROUP BY 1),
+        |nr AS (SELECT a.doc_id, count(*) AS n_near
+        |  FROM sig a JOIN sig b ON a.b0 = b.b0
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 4) >= 0.5
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+        |CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near,
+        |CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'exact'
+        |     WHEN COALESCE(n_near, 0) > 0 THEN 'near'
+        |     ELSE 'unique' END AS status
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
