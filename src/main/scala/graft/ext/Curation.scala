@@ -160,6 +160,31 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_lo")
 
+  /** Overlapping-window document chunking — the layout step ahead of an
+    * embedding/retrieval pipeline: each doc is sliced into `chunk`-token
+    * windows every `stride` tokens (overlap = chunk - stride preserves
+    * context across boundaries; production sizes are ~512/448, the small
+    * defaults keep multi-chunk docs present at test scale). Pure per-doc
+    * HOF + posexplode — a narrow map over the corpus scan, no shuffle but
+    * the presentation sort; chunk identity is the md5 of the chunk text so
+    * downstream exact-dedup can run at chunk granularity. */
+  def xChunkDocuments(s: SparkSession, dir: String,
+                      chunk: Int = 32, stride: Int = 24): DataFrame = {
+    val starts = sequence(lit(0),
+      floor((size(col("toks")) - 1) / stride).cast("int"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+        posexplode(transform(starts,
+          k => concat_ws(" ", slice(col("toks"), k * stride + 1, lit(chunk))))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("chunk_id"),
+        least(lit(chunk), col("n_tokens") - col("pos") * stride)
+          .cast("bigint").as("chunk_tokens"),
+        md5(col("col")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Sequence packing for training: concatenation-pack documents into
     * fixed token-budget rows (the layout step between curation and the
     * trainer — docs are concatenated in a deterministic order and sliced
@@ -354,10 +379,21 @@ object Curation {
     "x_length_histogram" -> xLengthHistogram,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
+    "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
     "x_tfidf_top" -> xTfidfTop
   )
 
   val oracles: Map[String, String] = Map(
+    "x_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_id, toks FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |CAST(chunk_id AS BIGINT) AS chunk_id,
+        |CAST(least(32, n_tokens - chunk_id * 24) AS BIGINT) AS chunk_tokens,
+        |md5(array_to_string(
+        |  toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tokens)], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "x_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
         |  len(string_split(text, ' ')) AS n_tok FROM documents),
