@@ -256,6 +256,18 @@ class PlanSpec extends AnyFunSuite {
       s"packing funnels the corpus through one reducer:\n${plan.take(2000)}")
   }
 
+  test("chunking is a narrow map: no hash exchange before the output sort") {
+    val plan = planOf(graft.ext.Curation.xChunkDocuments(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking shuffles:\n${plan.take(2000)}")
+  }
+
+  test("incremental dedup joins batch against index, never cross joins") {
+    val plan = planOf(graft.ext.Dedup.xDedupIncremental(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
