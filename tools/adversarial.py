@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Adversarial-corpus gate: rebuild the dirty-data corpora that found the
+round-6 robustness bugs and replay the full DuckDB oracle compare on each.
+
+Every corpus is the sf0.001 tables with targeted damage injected:
+  short   1- and 2-token documents (ANSI element_at OOB; inferred explode
+          pre-filters evaluate shingle lambdas on filtered-out rows)
+  nulldoc NULL / empty / whitespace-only document text (codec NPEs,
+          md5/mean-of-empty divergences)
+  nullev  events with NULL ts/type/value, NULL props, malformed JSON
+          (as-of join null keys, json_valid, the valid-event contract)
+  zerovec zero-norm + NULL embeddings (ANSI DIVIDE_BY_ZERO in cosine,
+          dot products over NULL)
+  unicode CJK / emoji / combining-char / fullwidth text (character-vs-byte
+          indexing parity)
+
+Usage: python3 tools/adversarial.py [corpus ...]   (default: all)
+Requires: duckdb, pyarrow; sbt on PATH; run from the repo root.
+"""
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+WORK = "/tmp/graft_adversarial"
+
+
+def base_corpus(name):
+    d = f"{WORK}/{name}"
+    os.makedirs(d, exist_ok=True)
+    for f in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(f, d)
+    return d
+
+
+def docs_variant(name, values_sql):
+    d = base_corpus(name)
+    duckdb.sql(f"""
+      COPY (SELECT * FROM '{SF}/documents.parquet'
+            UNION ALL SELECT * FROM (VALUES {values_sql})
+              t(doc_id, text, lang, source, n_chars))
+      TO '{d}/documents.parquet' (FORMAT parquet)""")
+    return d
+
+
+def build_short():
+    return docs_variant("short", """
+      (9001, 'single', 'en', 'synthetic', 6),
+      (9002, 'two words', 'en', 'synthetic', 9),
+      (9003, 'exactly three tokens', 'en', 'synthetic', 20),
+      (9004, 'single', 'en', 'synthetic', 6),
+      (9005, 'two words', 'de', 'synthetic', 9)""")
+
+
+def build_nulldoc():
+    return docs_variant("nulldoc", """
+      (9001, 'single', 'en', 'synthetic', 6),
+      (9101, '', 'en', 'synthetic', 0),
+      (9102, NULL, 'en', 'synthetic', NULL),
+      (9103, '   ', 'en', 'synthetic', 3),
+      (9201, 'regular text with several tokens here', NULL, 'synthetic', 38),
+      (9202, 'other text with several tokens here', 'en', NULL, 36)""")
+
+
+def build_nullev():
+    d = base_corpus("nullev")
+    t = pq.read_table(f"{SF}/events.parquet")
+    extra = pa.table({
+        "event_id": pa.array([990001, 990002, 990003, 990004], pa.int64()),
+        "ts": pa.array([None, 1704067200_000_000_000,
+                        1704067300_000_000_000, 1704067400_000_000_000],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([5, None, 7, 8], pa.int64()),
+        "event_type": pa.array(["click", "click", None, "purchase"]),
+        "value": pa.array([None, 42.5, 17.0, None], pa.float64()),
+        "props": pa.array(['{"k": 3}', None, "not json", "{}"]),
+    })
+    pq.write_table(pa.concat_tables([t, extra]), f"{d}/events.parquet")
+    return d
+
+
+def build_zerovec():
+    d = base_corpus("zerovec")
+    duckdb.sql(f"""
+      COPY (SELECT * FROM '{SF}/embeddings.parquet'
+            UNION ALL SELECT 9001,
+              CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]), 3
+            UNION ALL SELECT 9002, NULL, 4)
+      TO '{d}/embeddings.parquet' (FORMAT parquet)""")
+    return d
+
+
+def build_unicode():
+    return docs_variant("unicode", """
+      (9301, '这是 一段 中文 文本 用于 测试 引擎 的 行为 这是 重复 的 文本', 'zh', 'syn', 36),
+      (9302, 'emoji 🎉 test 🚀 with 🎉 repeated 🚀 emoji 🎉 tokens', 'en', 'syn', 50),
+      (9303, 'café müller naïve façade œuvre söder déjà vu rôle für', 'fr', 'syn', 54),
+      (9304, 'combining é chars à mixed ô text ü here í now é again', 'en', 'syn', 53),
+      (9305, 'ｆｕｌｌｗｉｄｔｈ mixed ascii ここ テスト ひらがな カタカナ 漢字', 'zh', 'syn', 34)""")
+
+
+BUILDERS = {
+    "short": build_short,
+    "nulldoc": build_nulldoc,
+    "nullev": build_nullev,
+    "zerovec": build_zerovec,
+    "unicode": build_unicode,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(BUILDERS)
+    failed = []
+    for name in names:
+        corpus = BUILDERS[name]()
+        out = f"{WORK}/verify_{name}"
+        shutil.rmtree(out, ignore_errors=True)
+        print(f"=== {name}: Verify over {corpus}")
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {corpus} {out}"],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "8")})
+        crashes = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
+        for c in crashes:
+            print("  " + c)
+        cmp = subprocess.run(
+            [sys.executable, "tools/compare.py", corpus, out],
+            capture_output=True, text=True)
+        tail = cmp.stdout.strip().splitlines()
+        fails = [l for l in tail if l.startswith("FAIL")]
+        for f in fails:
+            print("  " + f)
+        print("  " + (tail[-1] if tail else "no compare output"))
+        if crashes or fails:
+            failed.append(name)
+    print("\nADVERSARIAL GATE:",
+          "PASS" if not failed else f"FAIL ({', '.join(failed)})")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
