@@ -102,9 +102,17 @@ object Bench {
           try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
           catch { case e: Throwable => Some(e.toString.linesIterator.next()) }
         val dt2 = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // same inter-query cleanup regime as the first pass — a blocking
+        // unpersist here would contaminate an UNPERSIST=none/async A/B
+        sys.env.getOrElse("SPARK_GRAFT_UNPERSIST", "blocking") match {
+          case "none" =>
+          case mode => spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = mode == "blocking"))
+        }
         System.gc()
+        // a query that passed once and fails on re-run is a signal the
+        // bench exists to surface — keep the first-pass time, but say so
+        err.foreach(e => System.err.println(s"[bench] $name re-run FAILED: $e"))
         if (err.isEmpty) (name, math.min(dt, dt2), None) else (name, dt, None)
       case other => other
     }

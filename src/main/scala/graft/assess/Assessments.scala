@@ -181,8 +181,10 @@ object Assessments {
     * sketch drifting out of contract hash-fails the round. Bounds:
     * percentile_approx at accuracy 10000 must land between the exact 49th
     * and 51st percentiles (the KLL contract is rank-space, so the bound is
-    * expressed in rank space with wide slack); approx_count_distinct at its
-    * default 5% rsd must be within 10% relative of exact. */
+    * expressed in rank space with wide slack; groups under 100 rows pass
+    * vacuously — see inline note); approx_count_distinct at its default 5%
+    * rsd must be within 10% relative of exact (vacuous when a type has no
+    * non-null users). */
   def a5SketchBounds(s: SparkSession, dir: String): DataFrame = {
     val perc = ev(s, dir)
       .groupBy("event_type")
@@ -190,18 +192,31 @@ object Assessments {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"),
         expr("percentile(value, 0.49D)").as("lo"),
         expr("percentile(value, 0.51D)").as("hi"),
-        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"))
+        round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"),
+        count(lit(1)).as("n_vals"))
     val users = ev(s, dir)
       .filter(col("user_id").isNotNull)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("ua"),
         count(lit(1)).as("users_exact"))
-    perc.join(broadcast(users), Seq("event_type"))
-      .select(col("event_type"), col("p50_exact"), col("users_exact"),
-        (col("pa") >= col("lo") && col("pa") <= col("hi")).as("p50_in_bound"),
-        (abs(col("ua") - col("users_exact")) <=
-          col("users_exact") * 0.1).as("users_in_bound"))
+    // LEFT join: an event_type whose every valid event has a NULL user_id
+    // has no `users` row; the oracle's single GROUP BY still emits it, so
+    // dropping it here would be a rows mismatch. No users → both checks
+    // are vacuously true (nothing to bound).
+    // n_vals < 100: percentile_approx returns an OBSERVED element, and the
+    // rank-space KLL contract only implies the value-space [p49, p51] test
+    // when the group is large enough that adjacent ranks are value-close —
+    // a 2-row group's observed median sits far outside the interpolated
+    // band on perfectly correct sketches. Small groups pass vacuously.
+    perc.join(broadcast(users), Seq("event_type"), "left")
+      .select(col("event_type"), col("p50_exact"),
+        coalesce(col("users_exact"), lit(0L)).as("users_exact"),
+        (col("n_vals") < 100 ||
+          (col("pa") >= col("lo") && col("pa") <= col("hi")))
+          .as("p50_in_bound"),
+        coalesce(abs(col("ua") - col("users_exact")) <=
+          col("users_exact") * 0.1, lit(true)).as("users_in_bound"))
       .orderBy("event_type")
   }
 

@@ -65,11 +65,13 @@ class CurationSpec extends AnyFunSuite {
     rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
       case ((lang, shard), seqs) =>
         val sorted = seqs.sortBy(_.getLong(2))
-        // seq ids start at 0 and are contiguous (concatenation leaves no
-        // empty windows: every window that starts inside the shard's token
-        // stream contains at least the doc that straddles into it)
-        assert(sorted.map(_.getLong(2)).toSeq ==
-          (0L until sorted.length.toLong), s"$lang/$shard ids")
+        // seq ids are assigned by doc START offset: the first doc always
+        // starts at 0 so id 0 exists, ids are strictly increasing, but a
+        // doc longer than the budget legitimately leaves a gap (no doc
+        // STARTS inside the window it spans) — don't assert contiguity
+        assert(sorted.head.getLong(2) == 0L, s"$lang/$shard first id")
+        assert(sorted.map(_.getLong(2)).distinct.length == sorted.length,
+          s"$lang/$shard duplicate ids")
         // doc spans are disjoint and ordered across consecutive sequences
         sorted.sliding(2).foreach { w =>
           if (w.length == 2) assert(w(0).getLong(6) < w(1).getLong(5),

@@ -71,15 +71,25 @@ def build_nulldoc():
 def build_nullev():
     d = base_corpus("nullev")
     t = pq.read_table(f"{SF}/events.parquet")
+    # The three 'probe' rows are an event_type whose every valid event has
+    # a NULL user_id AND a tiny group (<100 rows): exercises the vacuous
+    # arms of a5_sketch_bounds (left join, n_vals<100) that an inner join /
+    # unconditional percentile band would hash-fail on.
     extra = pa.table({
-        "event_id": pa.array([990001, 990002, 990003, 990004], pa.int64()),
+        "event_id": pa.array([990001, 990002, 990003, 990004,
+                              990005, 990006, 990007], pa.int64()),
         "ts": pa.array([None, 1704067200_000_000_000,
-                        1704067300_000_000_000, 1704067400_000_000_000],
+                        1704067300_000_000_000, 1704067400_000_000_000,
+                        1704067500_000_000_000, 1704067600_000_000_000,
+                        1704067700_000_000_000],
                        pa.timestamp("ns")),
-        "user_id": pa.array([5, None, 7, 8], pa.int64()),
-        "event_type": pa.array(["click", "click", None, "purchase"]),
-        "value": pa.array([None, 42.5, 17.0, None], pa.float64()),
-        "props": pa.array(['{"k": 3}', None, "not json", "{}"]),
+        "user_id": pa.array([5, None, 7, 8, None, None, None], pa.int64()),
+        "event_type": pa.array(["click", "click", None, "purchase",
+                                "probe", "probe", "probe"]),
+        "value": pa.array([None, 42.5, 17.0, None, 1.0, 100.0, 5000.0],
+                          pa.float64()),
+        "props": pa.array(['{"k": 3}', None, "not json", "{}",
+                           "{}", "{}", "{}"]),
     })
     pq.write_table(pa.concat_tables([t, extra]), f"{d}/events.parquet")
     return d
@@ -129,6 +139,9 @@ def main():
         crashes = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
         for c in crashes:
             print("  " + c)
+        if r.returncode != 0:
+            print(f"  sbt exited {r.returncode}")
+            print("  " + "\n  ".join((r.stdout + r.stderr).splitlines()[-5:]))
         cmp = subprocess.run(
             [sys.executable, "tools/compare.py", corpus, out],
             capture_output=True, text=True)
@@ -136,8 +149,13 @@ def main():
         fails = [l for l in tail if l.startswith("FAIL")]
         for f in fails:
             print("  " + f)
-        print("  " + (tail[-1] if tail else "no compare output"))
-        if crashes or fails:
+        print("  " + (tail[-1] if tail else
+                      f"no compare output (exit {cmp.returncode}): "
+                      f"{cmp.stderr.strip().splitlines()[-1:] or ''}"))
+        # A broken harness must not read as a clean gate: any nonzero exit
+        # from sbt or compare.py (crash, missing dump, oracle mismatch)
+        # fails the corpus, not just explicit [verify]/FAIL lines.
+        if crashes or fails or r.returncode != 0 or cmp.returncode != 0:
             failed.append(name)
     print("\nADVERSARIAL GATE:",
           "PASS" if not failed else f"FAIL ({', '.join(failed)})")
