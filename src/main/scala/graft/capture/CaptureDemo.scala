@@ -149,8 +149,56 @@ object CaptureDemo {
       .orderBy("day", "query_type")
   }
 
+  /** Streaming watermark dedup round trip (A14's streaming face + O21/O23
+    * exactly-once): every source event is duplicated IN-STREAM (explode of
+    * a 2-element array — the at-least-once delivery a real capture bus
+    * exhibits), collapsed by `dropDuplicatesWithinWatermark` on the event
+    * id, and written through the checkpointed date-partitioned sink. The
+    * DuckDB oracle aggregates the ORIGINAL table — so the check passes
+    * only if the stream emitted every event exactly once despite the
+    * injected duplication. */
+  def capStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "dedup_")
+    val out = s"$tmp/log"
+    val ckpt = s"$tmp/ckpt"
+    val src = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(src).schema
+    val raw = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ts = batchSchema("ts").dataType.typeName match {
+      case "long" => expr("timestamp_micros(ts DIV 1000)")
+      case _      => col("ts")
+    }
+    val duplicated = raw
+      .select(col("*"), explode(array(lit(1), lit(2))).as("_copy"))
+      .withColumn("event_time", ts)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val records = duplicated.select(
+      col("event_id").cast("string").as("QueryId"),
+      upper(col("event_type")).as("QueryType"),
+      lit("QUERY_COMPLETED").as("EventType"),
+      col("event_time").as("StartTime"),
+      col("event_time").as("EndTime"),
+      lit("SUCCESS").as("Status"),
+      to_json(struct(col("value").as("value"))).as("CountersObject"))
+    val q = graft.sink.EventSink.writeStream(records, out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val back = graft.sink.EventSink.read(s, out)
+    require(!back.isEmpty,
+      s"cap_stream_dedup round trip read back 0 rows from $out (source $src)")
+    back
+      .groupBy(col("EventDate").cast("string").as("day"),
+        col("QueryType").as("query_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "query_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream)
+    Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
+      "cap_stream_dedup" -> capStreamDedup)
 
   val oracles: Map[String, String] = Map(
     "cap_pipeline" ->
@@ -180,6 +228,12 @@ object CaptureDemo {
         |count(*) AS n,
         |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
         |round(sum(value) + 1e-9, 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The original table, each event ONCE — passes only if the stream
+    // collapsed the injected ×2 duplication exactly.
+    "cap_stream_dedup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
+        |count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
