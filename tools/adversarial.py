@@ -106,6 +106,32 @@ def build_zerovec():
     return d
 
 
+def build_longdoc():
+    # 5000-token docs: a near-identical pair (exercises minhash/jaccard/
+    # winnowing on big shingle sets), packing docs that span several budget
+    # windows (seq-id gaps are legal), and multi-hundred-chunk chunking.
+    d = base_corpus("longdoc")
+    duckdb.sql(f"""
+      COPY (SELECT * FROM '{SF}/documents.parquet'
+        UNION ALL
+        SELECT 9401,
+          array_to_string(list_transform(range(5000),
+            i -> 'tok' || CAST(i % 700 AS VARCHAR)), ' '),
+          'en', 'synthetic', 0
+        UNION ALL
+        SELECT 9402,
+          array_to_string(list_transform(range(5000),
+            i -> 'tok' || CAST((CASE WHEN i = 2500 THEN 999999 ELSE i % 700 END) AS VARCHAR)), ' '),
+          'en', 'synthetic', 0
+        UNION ALL
+        SELECT 9403,
+          array_to_string(list_transform(range(3000),
+            i -> 'w' || CAST(i AS VARCHAR)), ' '),
+          'de', 'synthetic', 0)
+      TO '{d}/documents.parquet' (FORMAT parquet)""")
+    return d
+
+
 def build_unicode():
     return docs_variant("unicode", """
       (9301, '这是 一段 中文 文本 用于 测试 引擎 的 行为 这是 重复 的 文本', 'zh', 'syn', 36),
@@ -121,6 +147,7 @@ BUILDERS = {
     "nullev": build_nullev,
     "zerovec": build_zerovec,
     "unicode": build_unicode,
+    "longdoc": build_longdoc,
 }
 
 
