@@ -368,7 +368,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Cluster label for EVERY document: near-dup components carry the
+    * min-doc-id label from [[xDupClusters]]; docs in no pair are their own
+    * singleton cluster. The label frame is O(docs-in-near-dup-pairs) — at
+    * web scale a few percent of the corpus — so the back-join broadcasts
+    * and the corpus itself never shuffles for labeling. */
+  private def allDocLabels(s: SparkSession, dir: String): DataFrame = {
+    val labels = xDupClusters(s, dir)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+  }
+
+  /** Canonical-document selection — the "keep the best copy" half of
+    * near-dup dedup: one row per cluster with its member count and the
+    * keeper (longest member, ties to the smallest doc id). The keeper is
+    * picked by a max-of-struct aggregate, not a window: partial aggregation
+    * combines map-side, so no executor ever holds a whole cluster's rows —
+    * the shape that survives a popular-boilerplate cluster with millions of
+    * members. */
+  def xCanonicalDocs(s: SparkSession, dir: String): DataFrame =
+    allDocLabels(s, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.neg_id")).as("keeper_doc"),
+        col("best.n_tokens").as("keeper_tokens"))
+      .orderBy("cluster")
+
+  /** Leakage-safe train/val/test split: the split is a deterministic hash
+    * of the CLUSTER label, not the document, so near-duplicates can never
+    * straddle a split boundary (the classic eval-contamination bug of
+    * per-doc random splits). First md5 nibble: 0-b train (12/16), c-d val
+    * (2/16), e-f test. Membership is a pure function of the cluster id —
+    * reproducible across engines, runs, and repartitions. */
+  def xSplitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    allDocLabels(s, dir)
+      .withColumn("h", substring(md5(col("cluster").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "b", "train")
+          .when(col("h") <= "d", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+
+  /** Global vocabulary build: top-k tokens by corpus frequency with their
+    * document frequency — the tokenizer-training / stopword-list view of
+    * the corpus. Two-level aggregate (token×doc, then token) keeps both
+    * counts map-side combinable; the final top-k is a TakeOrdered over the
+    * vocabulary-sized frame, never a full sort. Ties break on the token so
+    * the k-boundary is deterministic. */
+  def xVocabTopk(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   val queries: Map[String, Q] = Map(
+    "x_canonical_docs" -> xCanonicalDocs,
+    "x_split_leakage_safe" -> xSplitLeakageSafe,
+    "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
@@ -382,6 +450,33 @@ object Curation {
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
     "x_tfidf_top" -> xTfidfTop
   )
+
+  /** Shared recursive connected-components prefix (same shingle/band/score
+    * pipeline as the x_minhash_pairs oracle): `cl(doc_id, cluster)` labels
+    * docs that appear in a near-dup pair; `lab(doc_id, cluster, n_tok)`
+    * extends that to every document, singletons labeled by their own id —
+    * the DuckDB twin of [[allDocLabels]]. */
+  private val ClusterLabelCte =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
+      |sig AS (SELECT doc_id, sh,
+      |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS j
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |e0 AS (SELECT doc_a, doc_b FROM pr WHERE round(j, 4) >= 0.5),
+      |edges AS (SELECT doc_a, doc_b FROM e0 UNION ALL SELECT doc_b, doc_a FROM e0),
+      |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id),
+      |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+      |lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
+      |  len(string_split(d.text,' ')) AS n_tok
+      |  FROM documents d LEFT JOIN cl USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_chunk_documents" ->
@@ -450,23 +545,34 @@ object Curation {
     // thresholded near-dup pair graph (same candidate/scoring pipeline as
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
-        |sig AS (SELECT doc_id, sh,
-        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
-        |    / len(list_distinct(a.sh || b.sh)) AS j
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |e0 AS (SELECT doc_a, doc_b FROM pr WHERE round(j, 4) >= 0.5),
-        |edges AS (SELECT doc_a, doc_b FROM e0 UNION ALL SELECT doc_b, doc_a FROM e0),
-        |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
-        |reach(doc_id, r) AS (
-        |  SELECT doc_id, doc_id FROM nodes
-        |  UNION
-        |  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id)
-        |SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+      (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    "x_canonical_docs" ->
+      (ClusterLabelCte +
+        """
+          |, kp AS (SELECT cluster, doc_id, n_tok,
+          |  count(*) OVER (PARTITION BY cluster) AS n_members,
+          |  row_number() OVER (PARTITION BY cluster
+          |    ORDER BY n_tok DESC, doc_id) AS rk FROM lab)
+          |SELECT cluster, n_members, doc_id AS keeper_doc,
+          |  n_tok AS keeper_tokens
+          |FROM kp WHERE rk = 1 ORDER BY cluster""".stripMargin),
+    "x_split_leakage_safe" ->
+      (ClusterLabelCte +
+        """
+          |SELECT doc_id, cluster,
+          |  CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b'
+          |         THEN 'train'
+          |       WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'd'
+          |         THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM lab ORDER BY doc_id""".stripMargin),
+    "x_vocab_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, doc_id, count(*) AS tf FROM toks
+        |  WHERE len(token) > 0 GROUP BY 1, 2)
+        |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+        |  count(*) AS n_docs
+        |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
     "x_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'

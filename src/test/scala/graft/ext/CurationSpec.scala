@@ -113,6 +113,61 @@ class CurationSpec extends AnyFunSuite {
     assert(TextOps.xBigramLogprob(spark, tmp).count() == 2) // 1-token excluded
   }
 
+  test("canonical docs: partition of the corpus, keeper is the longest member") {
+    // (cluster, n_members, keeper_doc, keeper_tokens)
+    val rows = Curation.xCanonicalDocs(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total) // every doc in exactly one cluster
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val clusterOf = Curation.xDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTokens = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (c, keeper, keeperTok) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(clusterOf.getOrElse(keeper, keeper) == c, s"keeper $keeper not in $c")
+      assert(nTokens(keeper) == keeperTok)
+      // no member of the cluster is strictly longer than the keeper
+      val members = clusterOf.collect { case (d, cl) if cl == c => d } ++
+        (if (clusterOf.contains(c)) Nil else Seq(c))
+      members.foreach(m => assert(nTokens(m) <= keeperTok,
+        s"member $m of $c longer than keeper"))
+    }
+  }
+
+  test("leakage-safe split: near-duplicates never straddle a split") {
+    // (doc_id, cluster, split)
+    val rows = Curation.xSplitLeakageSafe(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.length == total)
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // the defining property: one split per cluster
+    rows.groupBy(_.getLong(1)).foreach { case (c, ms) =>
+      assert(ms.map(_.getString(2)).distinct.length == 1,
+        s"cluster $c straddles splits")
+    }
+    // and specifically across every thresholded near-dup pair
+    val splitOf = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    Dedup.xMinhashPairs(spark, dir).filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        assert(splitOf(r.getLong(0)) == splitOf(r.getLong(1)),
+          s"pair ${r.getLong(0)}-${r.getLong(1)} split apart")
+      }
+  }
+
+  test("vocab top-k: deterministic ranking, doc frequency bounded by count") {
+    // (token, n_occurrences, n_docs)
+    val rows = Curation.xVocabTopk(spark, dir, k = 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val occ = rows.map(_.getLong(1))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b }) // sorted
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getString(0).nonEmpty)
+    }
+  }
+
   test("repetition: ratio bounded by construction and consistent") {
     // (doc_id, n_tokens, n_trigrams, n_distinct, rep_ratio)
     val rows = TextOps.xRepetition(spark, dir).collect()
