@@ -271,6 +271,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — the shape the eval-overlap probe
+    * takes at 100 TB. [[xDecontaminate]]'s broadcast hash join already avoids
+    * shuffling the corpus, but every corpus shingle still probes the full
+    * broadcast hash relation. Here a Bloom filter built over the eval-set
+    * shingles (a driver-side aggregate of the SMALL side only, then an
+    * executor broadcast) rejects ~all clean shingles first with a few hash
+    * probes and no join machinery; only the survivors — overlap hits plus
+    * the fpp tail — enter the exact confirm join that removes false
+    * positives. Output is therefore byte-identical to [[xDecontaminate]]
+    * (they share an oracle); the bloom stage is pure bandwidth savings. The
+    * probe is a Scala UDF rather than a codegen Expression because the
+    * sketch probe is opaque library code either way; it sits behind the
+    * scan filter, not in a hot arithmetic path. */
+  def xDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleRows(s, dir)
+    val evalSet = sh.filter(col("doc_id") < 10)
+      .select(col("shingle")).distinct()
+    // expectedNumItems sized to the eval set (always enumerable: it's the
+    // held-out benchmark suite), fpp 0.1% keeps the confirm join's input
+    // within 1.001x of the true overlap.
+    val bloom = evalSet.stat.bloomFilter("shingle", 100000L, 0.001)
+    val bloomRef = s.sparkContext.broadcast(bloom)
+    val mightOverlap =
+      udf((x: String) => x != null && bloomRef.value.mightContain(x))
+    sh.filter(col("doc_id") >= 10)
+      .filter(mightOverlap(col("shingle")))
+      .join(broadcast(evalSet), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate detection (the C4-style repeated-content filter): a shingle
     * is boilerplate when it appears in >= 5 distinct documents; each doc
     * reports its boilerplate ratio. Two aggregates over the exploded shingle
@@ -439,6 +471,7 @@ object Curation {
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
+    "x_decontaminate_bloom" -> xDecontaminateBloom,
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
@@ -477,6 +510,16 @@ object Curation {
       |lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
       |  len(string_split(d.text,' ')) AS n_tok
       |  FROM documents d LEFT JOIN cl USING (doc_id))""".stripMargin
+
+  private val DecontaminateOracle =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  range(1, greatest(len(toks)-1, 2)),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM sh JOIN ev USING (shingle) WHERE doc_id >= 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_chunk_documents" ->
@@ -521,15 +564,10 @@ object Curation {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
         |  AND d.doc_id NOT IN (SELECT doc_id FROM bh)
         |ORDER BY d.doc_id""".stripMargin,
-    "x_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |  range(1, greatest(len(toks)-1, 2)),
-        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM sh JOIN ev USING (shingle) WHERE doc_id >= 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_decontaminate" -> DecontaminateOracle,
+    // The bloom variant is exact by construction (confirm join removes the
+    // false-positive tail) — same result, same oracle.
+    "x_decontaminate_bloom" -> DecontaminateOracle,
     "x_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -131,6 +131,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster labels broadcast back to the corpus; keeper agg is partial") {
+    // the label frame is O(near-dup docs) — the corpus-side join must be a
+    // broadcast, never a corpus shuffle, and the keeper max-of-struct must
+    // combine map-side (no window over whole clusters)
+    val plan = planOf(graft.ext.Curation.xCanonicalDocs(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("partial_"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("kmeans step: centroids broadcast, update partial-aggregates") {
     val df = graft.ext.Similarity.xKmeansStep(spark, dir)
     val plan = planOf(df)

@@ -156,6 +156,12 @@ class CurationSpec extends AnyFunSuite {
       }
   }
 
+  test("bloom decontamination is byte-identical to the exact probe") {
+    val exact = Curation.xDecontaminate(spark, dir).collect().map(_.toSeq).toSeq
+    val bloom = Curation.xDecontaminateBloom(spark, dir).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && exact == bloom)
+  }
+
   test("vocab top-k: deterministic ranking, doc frequency bounded by count") {
     // (token, n_occurrences, n_docs)
     val rows = Curation.xVocabTopk(spark, dir, k = 50).collect()
