@@ -28,6 +28,7 @@ object SparkEntry {
       ext.Multimodal.queries ++
       ext.Curation.queries ++
       ext.Fingerprint.queries ++
+      ext.StreamCuration.queries ++
       ext.SqlSurface.queries)
       .map { case (k, f) =>
         // Ensure graft read-path configs even on a driver-created session.
@@ -44,6 +45,7 @@ object SparkEntry {
       ext.Multimodal.oracles ++
       ext.Curation.oracles ++
       ext.Fingerprint.oracles ++
+      ext.StreamCuration.oracles ++
       ext.SqlSurface.oracles +
       ext.Similarity.fusedOracle
 }
