@@ -123,6 +123,44 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic k-NN graph — each vector's top-k nearest neighbors among its
+    * LSH-band candidates (the structure SemDeDup-style semantic dedup and
+    * graph clustering consume). Same hyperplane bands as
+    * [[xEmbeddingNeardup]], but DIRECTED per-vector top-k instead of a
+    * thresholded pair list: every vector ranks only the candidates sharing
+    * a band with it, so the join fans out per bucket (sub-quadratic by the
+    * LSH guarantee) and the ranking window partitions on vec_id — each
+    * partition is one vector's candidate set, never the corpus. */
+  def xKnnGraph(s: SparkSession, dir: String, k: Int = 3,
+                bands: Int = 2, rowsPerBand: Int = 4,
+                dims: Int = 64): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = emb(s, dir)
+    val bandCol = (b: Int) => (0 until rowsPerBand).map { r =>
+      val p = b * rowsPerBand + r
+      val plane = typedLit((0 until dims).map(planeSign(p, _)))
+      when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }.reduce(concat(_, _))
+    val sig = e.select(
+      col("vec_id") +: col("v") +:
+        (0 until bands).map(b => bandCol(b).as(s"band$b")): _*)
+    val cand = (0 until bands).map { b =>
+      sig.as("a").join(sig.as("b"),
+        col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+          expr("cosine_sim(a.v, b.v)").as("sim"))
+    }.reduce(_ union _)
+      .dropDuplicates("vec_id", "nbr") // a pair may share several bands
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("nbr"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** Centroid of each label class — the "coarse quantizer" side of an IVF
     * index: per-dimension mean via explode+groupBy (shuffles (label, dim,
     * partial-sum) triples, never whole vectors). */
@@ -299,6 +337,7 @@ object Similarity {
     "x_ann_cosine_topk" -> xAnnCosineTopk,
     "x_ann_cosine_fused" -> xAnnCosineFused,
     "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
+    "x_knn_graph" -> ((s, dir) => xKnnGraph(s, dir)),
     "x_label_centroids" -> xLabelCentroids,
     "x_ivf_assign" -> xIvfAssign,
     "x_ann_ivf_topk" -> xAnnIvfTopk,
@@ -359,6 +398,31 @@ object Similarity {
         |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
         |SELECT vec_a, vec_b, round(sim, 6) AS cosine
         |FROM p WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+    "x_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |pl AS (SELECT p, list_transform(range(0, 64), i ->
+        |  CASE WHEN (strpos('0123456789abcdef', substring(md5(p || '#' || i), 4, 1)) - 1) % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END) AS plane FROM range(0, 8) t(p)),
+        |bits AS (SELECT vec_id, p,
+        |  CASE WHEN list_dot_product(v, plane) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM e, pl),
+        |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS s FROM bits GROUP BY 1),
+        |bnd AS (SELECT vec_id, substring(s, 1, 4) AS band0, substring(s, 5, 4) AS band1 FROM sig),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr FROM bnd a
+        |    JOIN bnd b ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        |  UNION
+        |  SELECT a.vec_id, b.vec_id FROM bnd a
+        |    JOIN bnd b ON a.band1 = b.band1 AND a.vec_id <> b.vec_id),
+        |p AS (SELECT cand.vec_id AS vec_id, nbr,
+        |  list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr),
+        |r AS (SELECT vec_id, nbr, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rk FROM p)
+        |SELECT vec_id, rk, nbr, round(sim, 6) AS cosine
+        |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "x_label_centroids" ->
       """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,

@@ -159,6 +159,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: ranks contiguous, no self-edges, sims non-increasing") {
+    // (vec_id, rk, nbr, cosine)
+    val rows = Similarity.xKnnGraph(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length)) // <= k, contiguous
+      assert(sorted.length <= 3)
+      assert(sorted.forall(_.getLong(2) != v), s"self-edge at $v")
+      assert(sorted.map(_.getLong(2)).distinct.length == sorted.length)
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("lsh buckets partition the corpus") {
     val rows = Similarity.xAnnLshBuckets(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_vectors")).sum == 500)
