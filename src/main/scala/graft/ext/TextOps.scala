@@ -236,7 +236,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Explainable per-document quality gate: every doc gets a verdict —
+    * `keep`, or the FIRST failing reason in precedence order (`too_short`,
+    * `repetitive`, `low_stopword`) — the reason-coded filter a curation run
+    * reports to its operators, not just a boolean. One fused narrow
+    * projection, no shuffle at any scale; thresholds compare raw
+    * integer-derived doubles (identical IEEE division on both engines), so
+    * no rounding epsilon is needed. The stopword floor applies to English
+    * only — the list is English; gating other languages on it would flag
+    * the whole non-English corpus. */
+  def xQualityGate(s: SparkSession, dir: String, minTokens: Int = 20,
+                   maxRep: Double = 0.2, minStop: Double = 0.05): DataFrame = {
+    val nTok = size(col("toks"))
+    val tri = Dedup.shingles(col("toks"))
+    val repRatio =
+      lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri)
+    val stopRatio =
+      size(filter(col("toks"), t => t.isin(Stopwords: _*))).cast("double") /
+        nTok
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"),
+        when(col("toks").isNull || nTok < minTokens, "too_short")
+          .when(repRatio > maxRep, "repetitive")
+          .when(col("lang") === "en" && stopRatio < minStop, "low_stopword")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_quality_gate" -> ((s, dir) => xQualityGate(s, dir)),
     "x_repetition" -> xRepetition,
     "x_unigram_logprob" -> xUnigramLogprob,
     "x_bigram_logprob" -> xBigramLogprob,
@@ -250,6 +279,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang, len(toks) AS n_tok,
+        |  list_transform(range(1, greatest(len(toks)-1, 2)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tri,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+        |CASE WHEN n_tok IS NULL OR n_tok < 20 THEN 'too_short'
+        |     WHEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) > 0.2
+        |       THEN 'repetitive'
+        |     WHEN lang = 'en' AND stop_ratio < 0.05 THEN 'low_stopword'
+        |     ELSE 'keep' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin,
     "x_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),

@@ -159,6 +159,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate: total over the corpus, precedence respected") {
+    // (doc_id, lang, n_tokens, verdict)
+    val rows = TextOps.xQualityGate(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.length == total) // a gate must judge every document
+    val allowed = Set("keep", "too_short", "repetitive", "low_stopword")
+    assert(rows.forall(r => allowed(r.getString(3))))
+    rows.foreach { r =>
+      val (nTok, v) = (r.getLong(2), r.getString(3))
+      if (nTok < 20) assert(v == "too_short", s"doc ${r.getLong(0)}")
+      if (v == "keep") assert(nTok >= 20)
+    }
+    assert(rows.exists(_.getString(3) == "keep")) // non-vacuous on testdata
+  }
+
   test("knn graph: ranks contiguous, no self-edges, sims non-increasing") {
     // (vec_id, rk, nbr, cosine)
     val rows = Similarity.xKnnGraph(spark, dir).collect()
