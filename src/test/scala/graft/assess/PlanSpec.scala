@@ -141,6 +141,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("vocab top-k is TakeOrdered, never a global sort") {
+    val plan = planOf(graft.ext.Curation.xVocabTopk(spark, dir, 50))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("quality gate shuffles only for the presentation sort") {
+    // the gate itself is one narrow projection; the only exchange allowed
+    // is the final orderBy's range partitioning (the driver-compare sort)
+    val plan = planOf(graft.ext.TextOps.xQualityGate(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
   test("kmeans step: centroids broadcast, update partial-aggregates") {
     val df = graft.ext.Similarity.xKmeansStep(spark, dir)
     val plan = planOf(df)
