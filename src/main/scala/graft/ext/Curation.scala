@@ -465,7 +465,28 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Corpus health report — the per-(lang, source) dashboard a curation
+    * run is monitored by: document counts, exact-dup rate (distinct content
+    * hashes vs rows), and token-length stats. One grouped aggregate; the
+    * distinct count is Spark's two-phase distinct aggregation (partial on
+    * (lang, source, fp), then final), so no worker ever holds a group's
+    * full hash set. */
+  def xCorpusReport(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("source"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_unique"),
+        round(lit(1.0) - countDistinct("fp").cast("double") /
+          count(lit(1)) + lit(1e-9), 4).as("dup_ratio"),
+        round(avg("n_tok") + lit(1e-9), 2).as("mean_tokens"),
+        max("n_tok").as("max_tokens"))
+      .orderBy("lang", "source")
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_report" -> xCorpusReport,
     "x_canonical_docs" -> xCanonicalDocs,
     "x_split_leakage_safe" -> xSplitLeakageSafe,
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
@@ -564,6 +585,13 @@ object Curation {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
         |  AND d.doc_id NOT IN (SELECT doc_id FROM bh)
         |ORDER BY d.doc_id""".stripMargin,
+    "x_corpus_report" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |count(DISTINCT md5(text)) AS n_unique,
+        |round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) + 1e-9, 4) AS dup_ratio,
+        |round(avg(len(string_split(text, ' '))) + 1e-9, 2) AS mean_tokens,
+        |CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_decontaminate" -> DecontaminateOracle,
     // The bloom variant is exact by construction (confirm join removes the
     // false-positive tail) — same result, same oracle.
