@@ -33,6 +33,31 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Shared inter-measurement cleanup (both the first pass and the
+    // slow-tail re-measure MUST use the same regime — a divergence would
+    // invalidate min-of-2):
+    // 1. Drop localCheckpoint blocks before the next query runs: each query
+    //    is an independent unit of work, and letting a dozen checkpointed
+    //    shingle streams accumulate in the block manager squeezes execution
+    //    memory for every query after them (the r4 driver run showed exactly
+    //    that shape). BLOCKING removal: r5 used blocking=false and the async
+    //    block-removal overlapped the next query's timed window — 14 queries
+    //    regressed 2-6x with no code change (r5 verdict). A/B measured r6 on
+    //    the r5 regression cluster: async reproduced the spike, blocking
+    //    matched no-cleanup while keeping storage memory flat.
+    //    SPARK_GRAFT_UNPERSIST=async|none opts back in for re-measurement.
+    // 2. System.gc(): collect the run's accumulated garbage between
+    //    measurements rather than letting an organic full GC land inside one
+    //    unlucky query's timed window (observed r6: a roving 3-4x spike
+    //    hitting a different heavy query each full run).
+    def interQueryCleanup(): Unit = {
+      sys.env.getOrElse("SPARK_GRAFT_UNPERSIST", "blocking") match {
+        case "none" =>
+        case mode => spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = mode == "blocking"))
+      }
+      System.gc()
+    }
     // Sorted order: Map iteration order shifts with the key set, which moved
     // residual first-slot noise onto different queries per run — sorted is
     // deterministic and comparable across rounds and subsets.
@@ -48,35 +73,7 @@ object Bench {
           Some(e.toString.linesIterator.next())
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Drop this query's localCheckpoint blocks before the next one runs:
-      // each query is an independent unit of work, and letting a dozen
-      // checkpointed shingle streams accumulate in the block manager
-      // squeezes execution memory for every query after them (the r4
-      // driver run showed exactly that shape: late-alphabet multi-job
-      // queries inflated ~2x over a clean run). BLOCKING removal: r5 used
-      // blocking=false and the async block-removal overlapped the next
-      // query's timed window — 14 queries regressed 2-6x with no code
-      // change (r5 verdict). Blocking completes the cleanup between
-      // measurements, where it is charged to no one. A/B measured r6 on
-      // the r5 regression cluster (a9/a13/a14/a15 subset, sf0.1, 2
-      // interleaved reps): async 5.6/7.3s — the second rep spiked
-      // a13_asof_broadcast to 4.5s, the exact r5 regression shape —
-      // vs blocking 4.9/4.1s and none 4.0/4.4s. Blocking reproduces the
-      // no-cleanup numbers while keeping storage memory flat across the
-      // 100-query run. SPARK_GRAFT_UNPERSIST=async|none opts back in
-      // for re-measurement.
-      sys.env.getOrElse("SPARK_GRAFT_UNPERSIST", "blocking") match {
-        case "none" =>
-        case mode => spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = mode == "blocking"))
-      }
-      // Collect the ~100-query run's accumulated garbage between
-      // measurements rather than letting an organic full GC land inside
-      // one unlucky query's timed window (observed r6: a roving 3-4x
-      // spike hitting a different heavy query each full run — 19.2s
-      // x_boilerplate, then 17.3s x_minhash_pairs — while the same
-      // queries measure flat in isolation).
-      System.gc()
+      interQueryCleanup()
       (name, dt, err)
     }
     // Re-measure the slow tail once and keep the min. Four consecutive
@@ -102,14 +99,7 @@ object Bench {
           try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
           catch { case e: Throwable => Some(e.toString.linesIterator.next()) }
         val dt2 = (System.nanoTime() - t0) / 1e9
-        // same inter-query cleanup regime as the first pass — a blocking
-        // unpersist here would contaminate an UNPERSIST=none/async A/B
-        sys.env.getOrElse("SPARK_GRAFT_UNPERSIST", "blocking") match {
-          case "none" =>
-          case mode => spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = mode == "blocking"))
-        }
-        System.gc()
+        interQueryCleanup()
         // a query that passed once and fails on re-run is a signal the
         // bench exists to surface — keep the first-pass time, but say so
         err.foreach(e => System.err.println(s"[bench] $name re-run FAILED: $e"))

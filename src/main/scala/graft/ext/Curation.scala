@@ -284,6 +284,10 @@ object Curation {
     * probe is a Scala UDF rather than a codegen Expression because the
     * sketch probe is opaque library code either way; it sits behind the
     * scan filter, not in a hot arithmetic path. */
+  private val bloomCache = scala.collection.mutable.Map.empty[
+    String, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]
+
   def xDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingleRows(s, dir)
     val evalSet = sh.filter(col("doc_id") < 10)
@@ -291,8 +295,16 @@ object Curation {
     // expectedNumItems sized to the eval set (always enumerable: it's the
     // held-out benchmark suite), fpp 0.1% keeps the confirm join's input
     // within 1.001x of the true overlap.
-    val bloom = evalSet.stat.bloomFilter("shingle", 100000L, 0.001)
-    val bloomRef = s.sparkContext.broadcast(bloom)
+    // One broadcast per (app, dir), reused across invocations: the returned
+    // DataFrame holds the broadcast for its lifetime, so destroying it here
+    // is impossible — but without the cache every bench/verify rerun in a
+    // long-lived session leaked a fresh bitset into the block manager.
+    val bloomRef = bloomCache.synchronized {
+      bloomCache.getOrElseUpdate(s"${s.sparkContext.applicationId}#$dir", {
+        val bloom = evalSet.stat.bloomFilter("shingle", 100000L, 0.001)
+        s.sparkContext.broadcast(bloom)
+      })
+    }
     val mightOverlap =
       udf((x: String) => x != null && bloomRef.value.mightContain(x))
     sh.filter(col("doc_id") >= 10)

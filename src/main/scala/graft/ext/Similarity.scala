@@ -144,6 +144,10 @@ object Similarity {
     val sig = e.select(
       col("vec_id") +: col("v") +:
         (0 until bands).map(b => bandCol(b).as(s"band$b")): _*)
+      // Referenced 2x per band (both self-join sides): materialize once so
+      // the embeddings scan + 8x64-dim signature arithmetic doesn't replay
+      // per reference (same idiom as Dedup.lshPairs / Fingerprint pairs).
+      .localCheckpoint()
     val cand = (0 until bands).map { b =>
       sig.as("a").join(sig.as("b"),
         col(s"a.band$b") === col(s"b.band$b") &&

@@ -13,6 +13,8 @@ Every corpus is the sf0.001 tables with targeted damage injected:
           dot products over NULL)
   unicode CJK / emoji / combining-char / fullwidth text (character-vs-byte
           indexing parity)
+  longdoc 10k+-token and single-huge-line documents (chunk/packing window
+          bounds, shingle-array blowup, regex scaling on one line)
 
 Usage: python3 tools/adversarial.py [corpus ...]   (default: all)
 Requires: duckdb, pyarrow; sbt on PATH; run from the repo root.
