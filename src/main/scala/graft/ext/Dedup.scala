@@ -87,8 +87,14 @@ object Dedup {
     * way `array_intersect` does it. Candidate counts are sub-linear in
     * corpus size by LSH design, so everything here is O(|pairs| · |doc|)
     * rows — the full corpus never ships shingle sets through a shuffle. */
-  private def scoreExactJaccard(s: SparkSession, dir: String,
-                                pairs: DataFrame): DataFrame = {
+  /** Shingle-set intersection counts for a candidate-pair set (`doc_a,
+    * doc_b, n_a, n_b`): re-shingle ONLY the documents that survived
+    * candidate generation (a broadcast semi-join prunes the corpus scan
+    * before any shingling), then count intersections with an explode-join.
+    * Returns the pairs with `ni` (intersection size, double); Jaccard and
+    * containment are one arithmetic step away. */
+  private def scoreIntersections(s: SparkSession, dir: String,
+                                 pairs: DataFrame): DataFrame = {
     val involved = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // Materialized once: referenced as both join sides below, and shingling
@@ -113,16 +119,24 @@ object Dedup {
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left") // disjoint pairs → 0
       .withColumn("ni", coalesce(col("n_inter"), lit(0L)).cast("double"))
+  }
+
+  private def scoreExactJaccard(s: SparkSession, dir: String,
+                                pairs: DataFrame): DataFrame =
+    scoreIntersections(s, dir, pairs)
       .select(col("doc_a"), col("doc_b"),
         round(col("ni") / (col("n_a") + col("n_b") - col("ni")), 4)
           .as("jaccard"))
-  }
 
   /** LSH candidate pairs + exact verification for `bands` shared minhash
     * bands. Candidate generation is an equi-join on the band signature
     * (fixed-width shuffle, bucket-local quadratics); scoring touches only
     * surviving docs. */
-  private def lshPairs(s: SparkSession, dir: String, bands: Int): DataFrame = {
+  /** LSH candidate pairs (`doc_a < doc_b` with their distinct-shingle
+    * counts) — ids and set sizes only, never shingle arrays, so the shuffle
+    * payload is fixed-width at any corpus size. */
+  private def lshCandidates(s: SparkSession, dir: String,
+                            bands: Int): DataFrame = {
     val bandCols = (0 until bands).map(i => col(s"b$i"))
     val sig = docSignatures(s, dir, bands)
       // explicit exchange → reused across both self-join branches; measured
@@ -134,12 +148,14 @@ object Dedup {
     // Materialize the candidate set once: it is tiny (sub-linear in corpus
     // pairs by LSH design) but referenced three times by the scorer — without
     // this the signature aggregation + self-join would replay per reference.
-    val pairs = sig.as("a").join(sig.as("b"), cond)
+    sig.as("a").join(sig.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .localCheckpoint()
-    scoreExactJaccard(s, dir, pairs)
   }
+
+  private def lshPairs(s: SparkSession, dir: String, bands: Int): DataFrame =
+    scoreExactJaccard(s, dir, lshCandidates(s, dir, bands))
 
   // ---- queries ----------------------------------------------------------
 
@@ -165,13 +181,18 @@ object Dedup {
   def xDedupIncremental(s: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame = {
     val isNew = (col("doc_id") % 5) === 0
+    // Both small frames feed multiple joins (hashed 3x: exact-join sides +
+    // the new-doc spine; sig 2x: both candidate-join sides) — materialize
+    // once so the corpus scan + md5 / shingle-signature build doesn't
+    // replay per reference (the lshPairs idiom).
     val hashed = Tables.load(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint()
     val exact = hashed.filter(isNew).as("n")
       .join(hashed.filter(!isNew).select(col("fp"), col("doc_id").as("cid")),
         "fp")
       .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
-    val sig = docSignatures(s, dir, bands = 1)
+    val sig = docSignatures(s, dir, bands = 1).localCheckpoint()
     val cand = sig.filter(isNew).as("a")
       .join(sig.filter(!isNew).as("b"), col("a.b0") === col("b.b0"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -408,6 +429,21 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Directed n-gram containment over the same LSH candidates as
+    * [[xMinhashPairs]]: `cont_a = |A∩B| / |A|` and symmetrically `cont_b` —
+    * the asymmetric measure that catches quote/subset duplication Jaccard
+    * dilutes (a short doc fully embedded in a long one has tiny Jaccard but
+    * containment 1.0; CCNet/RefinedWeb-style pipelines gate on it to drop
+    * the contained side). Same sub-quadratic shape as the Jaccard scorer:
+    * band equi-join candidates, explode-join intersection counts, ids+sizes
+    * through every shuffle. */
+  def xContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    scoreIntersections(s, dir, lshCandidates(s, dir, bands = 1))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") / col("n_a"), 4).as("cont_a"),
+        round(col("ni") / col("n_b"), 4).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+
   /** Two-band LSH variant: candidates must share BOTH band-0 and band-1
     * min-shingle hashes — candidate count drops ~quadratically in the match
     * probability (330 vs 10.6k pairs at sf0.1), which is the knob that keeps
@@ -448,6 +484,7 @@ object Dedup {
     "x_minhash_signatures" -> xMinhashSignatures,
     "x_minhash_pairs" -> xMinhashPairs,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
+    "x_containment_pairs" -> xContainmentPairs,
     "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
     "x_simhash" -> xSimhash,
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
@@ -531,6 +568,19 @@ object Dedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+        |  / len(list_distinct(a.sh)), 4) AS cont_a,
+        |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+        |  / len(list_distinct(b.sh)), 4) AS cont_b
         |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_minhash_pairs_2band" ->

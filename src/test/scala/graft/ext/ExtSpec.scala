@@ -117,6 +117,21 @@ class ExtSpec extends AnyFunSuite {
     assert(typed.toSeq == native.toSeq)
   }
 
+  test("containment pairs: same candidates as minhash pairs, bounds hold") {
+    val cont = Dedup.xContainmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val jac = Dedup.xMinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical candidate sets (both are band-0 LSH), and for every pair
+    // containment dominates Jaccard: |A∩B|/|A| >= |A∩B|/|A∪B|
+    assert(cont.keySet == jac.keySet && cont.nonEmpty)
+    cont.foreach { case (k, (ca, cb)) =>
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0, s"$k bounds")
+      assert(math.max(ca, cb) >= jac(k) - 1e-9, s"$k containment < jaccard")
+    }
+  }
+
   test("jaccard: identity is 1, disjoint is 0") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")))
