@@ -149,6 +149,43 @@ object Curation {
       .drop("k0")
   }
 
+  /** Source-level overlap matrix: directed shingle containment
+    * `|S_a ∩ S_b| / |S_a|` for every ordered source pair — the corpus-
+    * provenance question ("how much of source A is already in source B?")
+    * that decides which feeds to drop before doc-level dedup ever runs.
+    *
+    * Shape for 100 TB: ONE corpus pass builds distinct (source, shingle)
+    * rows; the per-shingle source set is a groupBy collect_set BOUNDED by
+    * the source count (map-side combine collapses hot shingles — the exact
+    * reason this is not a shingle self-join, which would explode every
+    * corpus-wide shingle into |srcs|² rows in the shuffle); pair counts then
+    * come from exploding those tiny sets. The materialized frame feeds both
+    * the sizes and the overlap aggregate (the xBoilerplate tradeoff:
+    * shingle-level checkpoint vs recompute — spill to a checkpoint dir at
+    * cluster scale). */
+  def xCorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.load(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
+        explode(array_distinct(Dedup.shingles(col("toks")))).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_a"))
+    val shared = ss.groupBy("shingle")
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("source", "source_a"), "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a"), 4)
+          .as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Corpus length distribution: documents bucketed by token count (width
     * 50) — the introspection histogram every curation run reports. One
     * narrow map + one tiny aggregate. */
@@ -511,6 +548,7 @@ object Curation {
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
     "x_sample_mixture" -> xSampleMixture,
     "x_length_histogram" -> xLengthHistogram,
+    "x_corpus_overlap" -> xCorpusOverlap,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
@@ -681,6 +719,19 @@ object Curation {
     "x_length_histogram" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50) * 50 AS BIGINT) AS bucket_lo,
         |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_corpus_overlap" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
+        |ss AS (SELECT DISTINCT source, shingle FROM sh),
+        |sz AS (SELECT source, count(*) AS n_a FROM ss GROUP BY 1),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |round(CAST(n_shared AS DOUBLE) / n_a, 4) AS containment
+        |FROM iv JOIN sz ON sz.source = iv.source_a
+        |ORDER BY source_a, source_b""".stripMargin,
     "x_sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id, row_number() OVER (
         |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk

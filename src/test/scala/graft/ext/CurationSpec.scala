@@ -162,6 +162,19 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact == bloom)
   }
 
+  test("corpus overlap: symmetric shared counts, containment bounded") {
+    val rows = Curation.xCorpusOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (n, c)) =>
+      assert(a != b, "self pairs excluded")
+      // |S_a ∩ S_b| is symmetric even though containment is directed
+      assert(rows((b, a))._1 == n, s"asymmetric shared count for ($a,$b)")
+      assert(n > 0 && c > 0.0 && c <= 1.0, s"($a,$b) out of bounds: $n, $c")
+    }
+  }
+
   test("vocab top-k: deterministic ranking, doc frequency bounded by count") {
     // (token, n_occurrences, n_docs)
     val rows = Curation.xVocabTopk(spark, dir, k = 50).collect()
