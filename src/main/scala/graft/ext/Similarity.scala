@@ -235,6 +235,36 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then drop a vector when a near-twin
+    * (cosine above threshold) exists WITHIN ITS CELL — cross-cell pairs are
+    * never scored. Keeper = lowest vec_id of a twin group (deterministic,
+    * same convention as the text-side dedup keepers). Per-cell all-pairs is
+    * the SemDeDup design point: the quadratic term is bounded by cell size,
+    * and at 100 TB the knob is k — centroid count grows with the corpus so
+    * cells stay ~constant-sized and the cell equi-join stays the only
+    * shuffle. Threshold 0.45 is calibrated to this synthetic corpus (random
+    * embeddings have no 0.95-twins; real corpora tune this). */
+  def xSemdedup(s: SparkSession, dir: String,
+                threshold: Double = 0.45): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val assigned = ivfAssignments(s, dir)
+      .select(col("vec_id"), col("v"), col("c_label"))
+      .localCheckpoint() // both self-join sides + the verdict spine
+    val twins = assigned.as("a").join(assigned.as("b"),
+        col("a.c_label") === col("b.c_label") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v)") > threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_twins"))
+    assigned.select(col("vec_id"), col("c_label").as("cell"))
+      .join(twins, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_twins"), lit(0L)).as("n_twins"),
+        when(col("n_twins").isNotNull, "drop").otherwise("keep").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** The bucketed ANN probe — the scale path the brute-force top-k is the
     * baseline for: each query vector scores ONLY the corpus vectors assigned
     * to its own IVF cell (an equi-join on the cell key), top-5 within the
@@ -344,6 +374,7 @@ object Similarity {
     "x_knn_graph" -> ((s, dir) => xKnnGraph(s, dir)),
     "x_label_centroids" -> xLabelCentroids,
     "x_ivf_assign" -> xIvfAssign,
+    "x_semdedup" -> ((s, dir) => xSemdedup(s, dir)),
     "x_ann_ivf_topk" -> xAnnIvfTopk,
     "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir)),
     "x_kmeans_step" -> ((s, dir) => xKmeansStep(s, dir)),
@@ -434,6 +465,27 @@ object Similarity {
         |  WHERE embedding IS NOT NULL
         |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "x_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
+        |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
+        |p AS (SELECT vec_id, v, c_label,
+        |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM e, c),
+        |a AS (SELECT vec_id, v, c_label FROM (SELECT vec_id, v, c_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
+        |  WHERE rn = 1),
+        |tw AS (SELECT x.vec_id, count(*) AS n_twins FROM a x JOIN a y
+        |  ON x.c_label = y.c_label AND y.vec_id < x.vec_id
+        |  WHERE list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) > 0.45
+        |  GROUP BY 1)
+        |SELECT a.vec_id, c_label AS cell, CAST(COALESCE(n_twins, 0) AS BIGINT) AS n_twins,
+        |CASE WHEN n_twins IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM a LEFT JOIN tw USING (vec_id) ORDER BY vec_id""".stripMargin,
     "x_ivf_assign" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL

@@ -152,6 +152,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getString(2) == Seq(r.getString(0), r.getString(1)).min)
   }
 
+  test("semdedup: full partition, drops have twins, cell minimum kept") {
+    val rows = Similarity.xSemdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, _, n, v) =>
+      assert(if (v == "drop") n > 0 else n == 0, s"vec $id: $v with $n twins")
+    }
+    // the lowest vec_id of every cell has no lower-id neighbor → always kept
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      assert(members.minBy(_._1)._4 == "keep", s"cell $cell min dropped")
+    }
+    assert(rows.exists(_._4 == "drop"), "threshold never fires — vacuous")
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 2.0), Seq(0.0, 3.0, 0.0))).toDF("v", "w")
