@@ -149,6 +149,46 @@ object Curation {
       .drop("k0")
   }
 
+  /** Token-budget source rebalancing — the data-mixing step that turns raw
+    * feed proportions into target training proportions: every source gets an
+    * equal slice of a global token budget (here half the corpus), a
+    * deterministic per-source keep-rate = min(1, slice / actual_tokens)
+    * downsamples the overweight feeds (underweight feeds keep everything),
+    * and membership is the md5(doc_id) uniform draw — reproducible across
+    * engines, runs, and repartitions, like every sampler here.
+    *
+    * Two tiny aggregates (per-source, then one global row broadcast back)
+    * plus ONE corpus pass with a narrow hash filter — rates never leave the
+    * driver-side-sized dimension, the corpus is never shuffled. */
+  def xSourceBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .localCheckpoint() // feeds the rate build AND the kept aggregate
+    val bySrc = docs.groupBy("source")
+      .agg(sum("n_tok").as("tokens_total"), count(lit(1)).as("n_docs"))
+    val g = bySrc.agg(sum("tokens_total").cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_src"))
+    val rates = bySrc.crossJoin(broadcast(g)) // one-row broadcast idiom
+      .select(col("source"), col("tokens_total"), col("n_docs"),
+        least(lit(1.0),
+          col("total") * 0.5 / col("n_src") / col("tokens_total"))
+          .as("rate"))
+    // md5 first 8 hex chars as an integer in [0, 2^32) -> u in [0, 1)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val kept = docs.join(broadcast(rates.select("source", "rate")), "source")
+      .filter(u < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tokens_kept"))
+    rates.join(kept, Seq("source"), "left") // a fully-sampled-out source → 0
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        round(col("rate") * 1e6 + lit(1e-9), 4).as("rate_ppm"))
+      .orderBy("source")
+  }
+
   /** Source-level overlap matrix: directed shingle containment
     * `|S_a ∩ S_b| / |S_a|` for every ordered source pair — the corpus-
     * provenance question ("how much of source A is already in source B?")
@@ -549,6 +589,7 @@ object Curation {
     "x_sample_mixture" -> xSampleMixture,
     "x_length_histogram" -> xLengthHistogram,
     "x_corpus_overlap" -> xCorpusOverlap,
+    "x_source_budget" -> xSourceBudget,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
@@ -719,6 +760,29 @@ object Curation {
     "x_length_histogram" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50) * 50 AS BIGINT) AS bucket_lo,
         |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_source_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |b AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  count(*) AS n_docs FROM d GROUP BY 1),
+        |g AS (SELECT CAST(sum(tokens_total) AS DOUBLE) AS total,
+        |  CAST(count(*) AS DOUBLE) AS n_src FROM b),
+        |r AS (SELECT source, tokens_total, n_docs,
+        |  least(1.0, total * 0.5 / n_src / tokens_total) AS rate FROM b, g),
+        |u AS (SELECT doc_id, source, n_tok,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS DOUBLE)
+        |      * 16 ** (8 - j))) / 4294967296.0 AS uv FROM d),
+        |k AS (SELECT u.source, count(*) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+        |  FROM u JOIN r USING (source) WHERE uv < rate GROUP BY 1)
+        |SELECT r.source, n_docs, tokens_total,
+        |CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+        |round(rate * 1e6 + 1e-9, 4) AS rate_ppm
+        |FROM r LEFT JOIN k ON k.source = r.source
+        |ORDER BY r.source""".stripMargin,
     "x_corpus_overlap" ->
       """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),

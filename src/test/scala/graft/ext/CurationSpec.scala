@@ -162,6 +162,23 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact == bloom)
   }
 
+  test("source budget: kept within totals, overweight sources downsampled") {
+    val rows = Curation.xSourceBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum.toDouble
+    rows.foreach { case (src, nDocs, tokTotal, nKept, tokKept, ppm) =>
+      assert(nKept <= nDocs && tokKept <= tokTotal, s"$src kept > total")
+      assert(ppm > 0.0 && ppm <= 1e6 + 1, s"$src rate_ppm $ppm out of range")
+      // rate = min(1, (total/2/n_src)/tokens): exact per-source check
+      val expect = math.min(1.0, total * 0.5 / rows.length / tokTotal)
+      assert(math.abs(ppm - (expect * 1e6 + 1e-9)) < 0.51, s"$src rate wrong")
+    }
+    // the whole point: at least one source is actually downsampled
+    assert(rows.exists(r => r._4 < r._2), "no source downsampled — vacuous")
+  }
+
   test("corpus overlap: symmetric shared counts, containment bounded") {
     val rows = Curation.xCorpusOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
