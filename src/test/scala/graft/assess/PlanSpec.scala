@@ -291,6 +291,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("containment pairs: ids+sizes only, no per-pair set algebra") {
+    // same guard as the jaccard rewrite: scoring must stay an equi-join +
+    // count over exploded shingles, never array_intersect on full arrays
+    val opt = graft.ext.Dedup.xContainmentPairs(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array_intersect"), opt.take(2000))
+    assert(!opt.contains("array_union"), opt.take(2000))
+  }
+
+  test("corpus overlap: bounded collect_set, never a shingle self-join") {
+    val df = graft.ext.Curation.xCorpusOverlap(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // per-shingle source sets come from ONE aggregate over the checkpointed
+    // (source, shingle) frame; the only join is the tiny sizes dimension
+    assert(opt.contains("collect_set"), opt.take(2000))
+    assert("Join".r.findAllIn(opt).length <= 1,
+      s"overlap joins more than the sizes dim:\n${opt.take(2000)}")
+  }
+
+  test("semdedup: one cell equi-join, nothing quadratic or broadcast-corpus") {
+    val plan = planOf(graft.ext.Similarity.xSemdedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("source budget: rates ride broadcasts, corpus join is never sort-merge") {
+    val plan = planOf(graft.ext.Curation.xSourceBudget(spark, dir))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-source rates should broadcast, not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
