@@ -149,6 +149,31 @@ object Curation {
       .drop("k0")
   }
 
+  /** Per-document n-gram novelty — the marginal-utility curve of an
+    * ingestion order: a shingle's FIRST document (min doc_id) owns it; each
+    * doc reports the fraction of its distinct shingles it introduced.
+    * Streaming-ingest teams read this as "how much genuinely new content
+    * does each increment add" and cut feeds whose curve collapses.
+    *
+    * Same two-aggregate shape as [[xBoilerplate]]: one shared shingle
+    * stream (checkpointed — the same spill-vs-recompute tradeoff), a
+    * first-seen groupBy that partial-aggregates map-side (min collapses hot
+    * shingles before the shuffle), and an equi-join back on the shingle key
+    * that AQE can skew-split. Nothing is ever collected or broadcast at
+    * corpus scale. */
+  def xNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleRows(s, dir).localCheckpoint()
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        round(col("n_novel") / col("n_sh") + lit(1e-9), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget source rebalancing — the data-mixing step that turns raw
     * feed proportions into target training proportions: every source gets an
     * equal slice of a global token budget (here half the corpus), a
@@ -590,6 +615,7 @@ object Curation {
     "x_length_histogram" -> xLengthHistogram,
     "x_corpus_overlap" -> xCorpusOverlap,
     "x_source_budget" -> xSourceBudget,
+    "x_ngram_novelty" -> xNgramNovelty,
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
@@ -760,6 +786,16 @@ object Curation {
     "x_length_histogram" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50) * 50 AS BIGINT) AS bucket_lo,
         |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_sh,
+        |CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |round(CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) + 1e-9, 4) AS novelty
+        |FROM sh JOIN f USING (shingle) GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_source_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

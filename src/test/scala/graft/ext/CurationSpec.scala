@@ -162,6 +162,27 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact == bloom)
   }
 
+  test("ngram novelty: first doc all-novel, bounds hold, counts partition") {
+    val rows = Curation.xNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, nNovel, nov) =>
+      assert(nNovel >= 0 && nNovel <= nSh, s"doc $id novel > total")
+      assert(nov >= 0.0 && nov <= 1.0 + 1e-6, s"doc $id novelty $nov")
+    }
+    // the lowest doc_id owns every one of its shingles by construction
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3, s"doc ${first._1} not fully novel")
+    // conservation: every distinct shingle is owned by exactly one doc, so
+    // the novel counts partition the corpus-wide distinct shingle set
+    val distinctShingles = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(array_distinct(
+        Dedup.shingles(split(col("text"), " ")))).as("sh"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles,
+      "novel counts do not partition the distinct shingle set")
+  }
+
   test("source budget: kept within totals, overweight sources downsampled") {
     val rows = Curation.xSourceBudget(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
