@@ -149,6 +149,40 @@ object Curation {
       .drop("k0")
   }
 
+  /** Deterministic training-shard manifest: every doc hashes to one of
+    * `shards` output shards (md5 draw — stable across engines, runs, and
+    * repartitions), and each shard reports doc/token counts plus a content
+    * checksum. The checksum is the XOR of member content fingerprints
+    * (md5 split into four 32-bit words, bit_xor-aggregated, reassembled as
+    * 32 hex chars): order-independent and MERGEABLE, so it partial-
+    * aggregates map-side and never funnels a shard's fingerprints through
+    * one reducer the way a sorted string_agg would — the property that
+    * makes per-shard checksums feasible at 100 TB. Byte-identical rebuild
+    * of a shard ⇒ identical checksum; any dropped/added/changed doc flips
+    * it. */
+  def xShardManifest(s: SparkSession, dir: String,
+                     shards: Int = 8): DataFrame = {
+    val fp = md5(col("text"))
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long"), lit(shards))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum("n_tok").as("n_tokens") +:
+      (0 until 4).map { i =>
+        bit_xor(conv(substring(col("fp"), 1 + 8 * i, 8), 16, 10)
+          .cast("long")).as(s"w$i")
+      }
+    Tables.load(s, dir, "documents")
+      .select(shard.as("shard"), fp.as("fp"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .groupBy("shard")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        concat((0 until 4).map(i =>
+          format_string("%08x", col(s"w$i"))): _*).as("checksum"))
+      .orderBy("shard")
+  }
+
   /** Per-document n-gram novelty — the marginal-utility curve of an
     * ingestion order: a shingle's FIRST document (min doc_id) owns it; each
     * doc reports the fraction of its distinct shingles it introduced.
@@ -616,6 +650,7 @@ object Curation {
     "x_corpus_overlap" -> xCorpusOverlap,
     "x_source_budget" -> xSourceBudget,
     "x_ngram_novelty" -> xNgramNovelty,
+    "x_shard_manifest" -> ((s, dir) => xShardManifest(s, dir)),
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
@@ -786,6 +821,26 @@ object Curation {
     "x_length_histogram" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50) * 50 AS BIGINT) AS bucket_lo,
         |count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS shard
+        |  FROM documents),
+        |w AS (SELECT shard, fp, n_tok,
+        |  CAST(list_sum(list_transform(range(1, 9), j ->
+        |    CAST(strpos('0123456789abcdef', substring(fp, j, 1)) - 1 AS DOUBLE) * 16 ** (8 - j))) AS BIGINT) AS w0,
+        |  CAST(list_sum(list_transform(range(9, 17), j ->
+        |    CAST(strpos('0123456789abcdef', substring(fp, j, 1)) - 1 AS DOUBLE) * 16 ** (16 - j))) AS BIGINT) AS w1,
+        |  CAST(list_sum(list_transform(range(17, 25), j ->
+        |    CAST(strpos('0123456789abcdef', substring(fp, j, 1)) - 1 AS DOUBLE) * 16 ** (24 - j))) AS BIGINT) AS w2,
+        |  CAST(list_sum(list_transform(range(25, 33), j ->
+        |    CAST(strpos('0123456789abcdef', substring(fp, j, 1)) - 1 AS DOUBLE) * 16 ** (32 - j))) AS BIGINT) AS w3
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |printf('%08x', bit_xor(w0)) || printf('%08x', bit_xor(w1))
+        |  || printf('%08x', bit_xor(w2)) || printf('%08x', bit_xor(w3)) AS checksum
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),

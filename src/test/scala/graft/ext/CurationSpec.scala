@@ -162,6 +162,28 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact == bloom)
   }
 
+  test("shard manifest: full partition, checksum flips when a doc changes") {
+    val rows = Curation.xShardManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total, "shards do not partition the corpus")
+    assert(rows.forall(_._4.matches("[0-9a-f]{32}")), "malformed checksum")
+    // deterministic across runs
+    val again = Curation.xShardManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == again.toSeq)
+    // XOR property: identical twin docs cancel — a shard containing exactly
+    // two copies of one text contributes zero words from those copies
+    import spark.implicits._
+    val tiny = Seq((0L, "a b c"), (8L, "a b c")) // both hash to one shard set
+      .toDF("doc_id", "text")
+    tiny.createOrReplaceTempView("x") // exercise via direct aggregation
+    val w = tiny.select(expr("conv(substring(md5(text), 1, 8), 16, 10)")
+      .cast("long").as("w0"))
+      .agg(expr("bit_xor(w0)")).head().getLong(0)
+    assert(w == 0L, "identical fingerprints must cancel under XOR")
+  }
+
   test("ngram novelty: first doc all-novel, bounds hold, counts partition") {
     val rows = Curation.xNgramNovelty(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
