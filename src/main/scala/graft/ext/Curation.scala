@@ -633,6 +633,35 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Zipf-law fit over the head of the vocabulary — the one-row corpus
+    * diagnostic that flags synthetic or template-heavy text: natural corpora
+    * fit ln(freq) ≈ a + s·ln(rank) with slope s near −1; a much flatter or
+    * steeper slope means the token distribution is off (boilerplate floods,
+    * truncated vocab, generator artifacts). Fit by least squares over the
+    * top-256 tokens.
+    *
+    * Scale shape: the vocabulary aggregate partial-aggregates map-side, the
+    * head selection is TakeOrdered (per-partition top-k + a k-row merge,
+    * never a full sort), and the rank window + regression run on 256 rows in
+    * one partition — constant post-aggregate work at any corpus size. */
+  def xZipfFit(s: SparkSession, dir: String, topN: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .groupBy()
+      .agg(count(lit(1)).as("vocab_n"),
+        round(regr_slope(log(col("freq")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("freq")), log(col("rank"))), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Corpus health report — the per-(lang, source) dashboard a curation
     * run is monitored by: document counts, exact-dup rate (distinct content
     * hashes vs rows), and token-length stats. One grouped aggregate; the
@@ -658,6 +687,7 @@ object Curation {
     "x_canonical_docs" -> xCanonicalDocs,
     "x_split_leakage_safe" -> xSplitLeakageSafe,
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
+    "x_zipf_fit" -> ((s, dir) => xZipfFit(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
     "x_decontaminate_bloom" -> xDecontaminateBloom,
@@ -822,6 +852,15 @@ object Curation {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    "x_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 0
+        |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 256),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM v)
+        |SELECT count(*) AS vocab_n,
+        |round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
+        |FROM r""".stripMargin,
     "x_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'

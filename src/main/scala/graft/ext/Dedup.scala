@@ -429,6 +429,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-document repeated-span coverage — the exact-substring-duplication
+    * diagnostic behind suffix-array training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022),
+    * re-expressed for Spark with a fixed-length gram index instead of a
+    * suffix array: every positional L-token gram is hashed, a gram is
+    * "duplicated" iff it occurs in two distinct documents, and each document
+    * reports how many of its token positions are covered by at least one
+    * duplicated gram. The per-doc `dup_ratio` is the gate a pipeline uses to
+    * drop boilerplate-heavy pages; the span starts are what a surgical
+    * span-removal pass consumes.
+    *
+    * Scale shape: one explode to (gram-hash, doc, pos) — the same volume as
+    * the shingle stream; duplication is min(doc)≠max(doc) per gram, a fully
+    * map-side-combinable aggregate (never a count-distinct); the equi-join
+    * back to starts carries ids and positions only; coverage is a per-doc
+    * aggregate. A true suffix array finds *maximal* repeats of any length —
+    * the fixed-L index trades that for pure map/agg/join at corpus scale
+    * (standard practice; L tunes the minimum span worth reporting). */
+  def xRepeatedSpans(s: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (L - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(L))))))
+          .as(Seq("pos0", "gram")))
+    // Duplicated across documents ⇔ the gram's doc set is not a singleton —
+    // min≠max needs no distinct expansion and partial-aggregates map-side.
+    val dup = grams.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    grams.join(dup, "gram")
+      .select(col("doc_id"), col("n_tokens"), col("pos0"),
+        explode(sequence(col("pos0") + 1, col("pos0") + L)).as("p"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(countDistinct(col("pos0")).as("n_dup_spans"),
+        countDistinct(col("p")).as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Directed n-gram containment over the same LSH candidates as
     * [[xMinhashPairs]]: `cont_a = |A∩B| / |A|` and symmetrically `cont_b` —
     * the asymmetric measure that catches quote/subset duplication Jaccard
@@ -490,7 +535,8 @@ object Dedup {
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_simhash_md5" -> xSimhashMd5,
     "x_simhash_pairs_md5" -> ((s, dir) => xSimhashPairsMd5(s, dir)),
-    "x_kmv_sketch" -> xKmvSketch
+    "x_kmv_sketch" -> xKmvSketch,
+    "x_repeated_spans" -> ((s, dir) => xRepeatedSpans(s, dir))
   )
 
   /** 64 per-bit sign sums from md5 nibbles — DuckDB half of the SimHash
@@ -609,6 +655,21 @@ object Dedup {
         |WHERE round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
         |  / len(list_distinct(a.bg || b2.bg)), 4) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, n_tokens, i AS pos,
+        |  md5(array_to_string(toks[i:i+7], ' ')) AS gram
+        |  FROM d, unnest(range(1, n_tokens - 8 + 2)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+        |ds AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+        |cov AS (SELECT doc_id, n_tokens, pos, p
+        |  FROM ds, unnest(range(pos, pos + 8)) AS v(p))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |count(DISTINCT pos) AS n_dup_spans,
+        |count(DISTINCT p) AS covered_tokens,
+        |round(CAST(count(DISTINCT p) AS DOUBLE) / n_tokens, 6) AS dup_ratio
+        |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "x_kmv_sketch" -> KmvOracleSql,
     "x_kmv_native" -> KmvOracleSql, // native aggregate, identical sketch
     "x_simhash_md5" ->

@@ -366,8 +366,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011) — the compression half of an IVF-PQ
+    * index: the 64-d vector splits into m=8 contiguous 8-d subvectors, each
+    * encoded as the id of its nearest codebook centroid, so a vector
+    * becomes 8 small codes (here 3 bits each) plus a shared codebook.
+    * Codebooks are seeded deterministically from the subvectors of
+    * `vec_id < k` (same convention as [[xKmeansStep]]'s init — one Lloyd
+    * round over these codes IS PQ codebook training).
+    *
+    * Scale shape: the codebook (m·k tiny rows) is broadcast; the corpus
+    * explodes to m rows per vector (fixed fan-out, never corpus²), the
+    * nearest-centroid argmin is `min(struct(d2, c_id))` — an ordinary
+    * map-side-combinable aggregate with a deterministic tie-break, not a
+    * window — and the codes regroup per vector. Emits the code string and
+    * the fold-ordered total reconstruction error. */
+  def xPqCodes(s: SparkSession, dir: String,
+               m: Int = 8, d: Int = 8, k: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    val subs = e.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * d + 1, lit(d)))).as(Seq("sub", "sv")))
+    val cb = subs.filter(col("vec_id") < k)
+      .select(col("sub").as("csub"), col("vec_id").as("c_id"),
+        col("sv").as("cv"))
+    val diff = zip_with(col("sv"), col("cv"), (x, y) => x - y)
+    val best = subs.join(broadcast(cb), col("sub") === col("csub"))
+      .select(col("vec_id"), col("sub"), col("c_id"), dot(diff, diff).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.c_id").as("code"), col("best.d2").as("d2"))
+    best.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("d2"))))
+        .as("arr"))
+      .select(col("vec_id"),
+        array_join(transform(col("arr"), t => t.getField("code"))
+          .cast("array<string>"), ",").as("codes"),
+        round(aggregate(transform(col("arr"), t => t.getField("d2")),
+          lit(0.0), (acc, x) => acc + x), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_embed_quantize" -> xEmbedQuantize,
+    "x_pq_codes" -> ((s, dir) => xPqCodes(s, dir)),
     "x_ann_cosine_topk" -> xAnnCosineTopk,
     "x_ann_cosine_fused" -> xAnnCosineFused,
     "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
@@ -382,6 +425,24 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+        |  FROM e, unnest(range(0, 8)) AS u(j)),
+        |c AS (SELECT sub AS csub, vec_id AS c_id, sv AS cv FROM s WHERE vec_id < 8),
+        |p AS (SELECT s.vec_id, s.sub, c.c_id,
+        |  list_dot_product(list_transform(range(1, 9), i -> s.sv[i] - c.cv[i]),
+        |                   list_transform(range(1, 9), i -> s.sv[i] - c.cv[i])) AS d2
+        |  FROM s JOIN c ON s.sub = c.csub),
+        |b AS (SELECT vec_id, sub, c_id AS code, d2 FROM (
+        |  SELECT vec_id, sub, c_id, d2,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_id) AS rn
+        |  FROM p) WHERE rn = 1)
+        |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes,
+        |round(list_sum(list(d2 ORDER BY sub)), 6) AS recon_err
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "x_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL

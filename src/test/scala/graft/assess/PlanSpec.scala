@@ -323,6 +323,33 @@ class PlanSpec extends AnyFunSuite {
       s"per-source rates should broadcast, not shuffle the corpus:\n${plan.take(2000)}")
   }
 
+  test("repeated spans: map-side-combinable dup detection, no set algebra") {
+    val df = graft.ext.Dedup.xRepeatedSpans(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // duplication is min(doc)!=max(doc) per gram — never a count-distinct
+    // expansion over the gram stream, never per-pair array algebra
+    assert(!opt.contains("array_intersect"), opt.take(2000))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("pq codes: codebook broadcasts, argmin is an aggregate not a window") {
+    val df = graft.ext.Similarity.xPqCodes(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"codebook should broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"nearest-centroid must be min(struct), not row_number:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("zipf fit: head selection is TakeOrdered, never a full sort") {
+    val plan = planOf(graft.ext.Curation.xZipfFit(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-256 head must be TakeOrdered:\n${plan.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

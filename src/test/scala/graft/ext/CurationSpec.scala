@@ -250,6 +250,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit: one row, negative slope, matches a direct least-squares") {
+    val row = Curation.xZipfFit(spark, dir).head()
+    assert(row.getLong(0) > 0 && row.getLong(0) <= 256)
+    val slope = row.getDouble(1)
+    assert(slope < 0.0, s"zipf slope $slope must be negative (freq falls with rank)")
+    // reconstruct: same head, closed-form least squares
+    val head = Curation.xVocabTopk(spark, dir, k = 256).collect()
+      .map(r => r.getLong(1).toDouble)
+    val pts = head.zipWithIndex.map { case (f, i) =>
+      (math.log(i + 1.0), math.log(f)) }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val direct = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - direct) < 1e-6,
+      s"regr_slope $slope vs direct fit $direct")
+  }
+
   test("vocab top-k: deterministic ranking, doc frequency bounded by count") {
     // (token, n_occurrences, n_docs)
     val rows = Curation.xVocabTopk(spark, dir, k = 50).collect()

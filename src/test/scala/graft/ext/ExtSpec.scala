@@ -252,6 +252,65 @@ class ExtSpec extends AnyFunSuite {
     assert(dup == List("a", "b"))
   }
 
+  test("repeated spans: exact match of a brute-force reconstruction") {
+    val L = 8
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= L)
+    // positional L-gram -> set of docs; duplicated iff in >= 2 docs
+    val occ = for ((id, toks) <- docs; i <- 0 to toks.length - L)
+      yield (toks.slice(i, i + L).mkString(" "), id, i)
+    val dupGrams = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keySet
+    val expect = occ.filter(o => dupGrams(o._1)).groupBy(_._2).map {
+      case (id, starts) =>
+        val covered = starts.flatMap(o => o._3 until o._3 + L).distinct.size
+        val n = docs.toMap.apply(id).length
+        (id, n.toLong, starts.map(_._3).distinct.size.toLong, covered.toLong,
+          BigDecimal(covered.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.xRepeatedSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.nonEmpty, "no cross-doc repeated spans at test scale — vacuous")
+    assert(got == expect)
+  }
+
+  test("pq codes: seed vectors reconstruct exactly; codes match brute force") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter(_._2.map(x => x * x).sum > 0)
+    val cents = e.filter(_._1 < 8).sortBy(_._1)
+    val expect = e.sortBy(_._1).map { case (id, v) =>
+      val perSub = (0 until 8).map { sub =>
+        val sv = v.slice(sub * 8, sub * 8 + 8)
+        cents.map { case (cId, cv) =>
+          val csv = cv.slice(sub * 8, sub * 8 + 8)
+          val d2 = sv.zip(csv).foldLeft(0.0) { case (a, (x, y)) =>
+            a + (x - y) * (x - y) }
+          (d2, cId)
+        }.min
+      }
+      (id, perSub.map(_._2).mkString(","), perSub.map(_._1).sum)
+    }
+    val got = Similarity.xPqCodes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gi, gc, ge), (ei, ec, ee)) =>
+      assert(gi == ei && gc == ec, s"codes differ for vec $ei: $gc vs $ec")
+      assert(math.abs(ge - ee) < 1e-5, s"recon_err differs for vec $ei")
+    }
+    // a codebook seed vector is its own nearest centroid in every subspace
+    got.filter(_._1 < 8).foreach { case (id, _, err) =>
+      assert(err == 0.0, s"seed vec $id reconstruction error $err != 0")
+    }
+  }
+
   test("language guess is deterministic and total over the corpus") {
     // NB: the synthetic corpus uses one shared English vocabulary for every
     // lang label, so no text-based classifier can recover the label; the
