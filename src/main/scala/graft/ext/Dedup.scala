@@ -522,8 +522,63 @@ object Dedup {
         .as("kmv"))
       .orderBy("doc_id")
 
+  /** KMV set operations between sources (Beyer et al., "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007):
+    * per-source bottom-k sketches merged pairwise into union / intersection
+    * / Jaccard cardinality estimates. The union sketch of two KMV sketches
+    * is the bottom-k of their union; with `v_k` the k-th smallest hash as a
+    * fraction of the hash space, `|A∪B| ≈ (k-1)/v_k`, the Jaccard estimate
+    * is the fraction of the merged sketch present in BOTH input sketches,
+    * and `|A∩B| ≈ ρ·|A∪B|`. When the merged sketch holds fewer than k
+    * values the counts are exact and reported directly.
+    *
+    * Scale shape: this is the 100 TB way to ask "how much do two corpus
+    * sources overlap" — per-source state is bounded at k 32-char hashes
+    * regardless of corpus size (TreeSet-mergeable TypedImperativeAggregate,
+    * map-side partials), the only corpus-wide shuffle is the fixed-width
+    * per-source aggregate, and the pairwise merge runs on a #sources-row
+    * dimension table. The exact twin (`x_corpus_overlap`) shuffles the
+    * shingle stream; this one shuffles k hashes per source. */
+  def xKmvSetops(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val sk = Tables.load(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("sh", shingles(col("toks")))
+      .select(col("source"), explode(array_distinct(col("sh"))).as("shingle"))
+      .groupBy("source")
+      .agg(split(graft.functions.BottomKNative.bottomK(k)(md5(col("shingle"))),
+        ",").as("kmv"))
+      // #sources rows of k hashes: materialize so the corpus-wide sketch
+      // aggregate runs once, not once per side of the pair join.
+      .localCheckpoint()
+    val a = sk.select(col("source").as("source_a"), col("kmv").as("ka"))
+    val b = sk.select(col("source").as("source_b"), col("kmv").as("kb"))
+    // Lexicographic sort of fixed-width lowercase-hex md5 IS numeric order,
+    // so bottom-k of the union is a plain array_sort + slice; v_k derives
+    // from the first 8 hex chars (exact 32-bit integer in a double, the
+    // same nibble arithmetic as the DuckDB side).
+    val merged = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val vk = conv(substring(element_at(col("merged"), k), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val pairs = a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .withColumn("merged", merged)
+      .withColumn("k_used", size(col("merged")))
+      .withColumn("union_est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / vk))
+      .withColumn("jac",
+        size(filter(col("merged"), x =>
+          array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+          .cast("double") / col("k_used"))
+    pairs.select(col("source_a"), col("source_b"), col("k_used"),
+        round(col("union_est") + lit(1e-9), 2).as("union_est"),
+        round(col("union_est") * col("jac") + lit(1e-9), 2).as("inter_est"),
+        round(col("jac") + lit(1e-9), 6).as("jaccard_est"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_incremental" -> ((s, dir) => xDedupIncremental(s, dir)),
+    "x_kmv_setops" -> ((s, dir) => xKmvSetops(s, dir)),
     "x_dedup_exact" -> xDedupExact,
     "x_kmv_native" -> xKmvNative,
     "x_minhash_signatures" -> xMinhashSignatures,
@@ -672,6 +727,35 @@ object Dedup {
         |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "x_kmv_sketch" -> KmvOracleSql,
     "x_kmv_native" -> KmvOracleSql, // native aggregate, identical sketch
+    // v_k from the first 8 md5 hex chars via exact nibble arithmetic
+    // (every intermediate < 2^32, so the DOUBLE math matches Spark's conv).
+    "x_kmv_setops" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks)-1, 2)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t),
+        |sk AS (SELECT source,
+        |  list_sort(list_distinct(list(md5(shingle))))[1:64] AS kmv
+        |  FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  a.kmv AS ka, b.kmv AS kb,
+        |  list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS merged
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |e AS (SELECT source_a, source_b, len(merged) AS k_used,
+        |  CASE WHEN len(merged) < 64 THEN CAST(len(merged) AS DOUBLE)
+        |    ELSE 63.0 / (list_sum(list_transform(range(1, 9), j ->
+        |      CAST(strpos('0123456789abcdef', substring(merged[64], j, 1)) - 1
+        |        AS DOUBLE) * 16 ** (8 - j))) / 4294967296.0) END AS union_est,
+        |  CAST(len(list_filter(merged, x ->
+        |    list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
+        |    / len(merged) AS jac
+        |  FROM p)
+        |SELECT source_a, source_b, CAST(k_used AS INT) AS k_used,
+        |round(union_est + 1e-9, 2) AS union_est,
+        |round(union_est * jac + 1e-9, 2) AS inter_est,
+        |round(jac + 1e-9, 6) AS jaccard_est
+        |FROM e ORDER BY source_a, source_b""".stripMargin,
     "x_simhash_md5" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |bits AS (SELECT doc_id, $SimhashMd5BitsSql FROM toks GROUP BY doc_id)

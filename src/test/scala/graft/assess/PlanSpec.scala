@@ -350,6 +350,15 @@ class PlanSpec extends AnyFunSuite {
       s"top-256 head must be TakeOrdered:\n${plan.take(2000)}")
   }
 
+  test("kmv setops: pair merge joins checkpointed sketches, no corpus rescan") {
+    val plan = planOf(graft.ext.Dedup.xKmvSetops(spark, dir))
+    // the corpus-wide sketch aggregate ran once, eagerly; the pair plan
+    // touches only the #sources-row checkpointed frame
+    assert(!plan.contains("Scan parquet"),
+      s"pair join must not rescan the corpus:\n${plan.take(2000)}")
+    assert("Join".r.findAllIn(plan).length <= 1, plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -252,6 +252,43 @@ class ExtSpec extends AnyFunSuite {
     assert(dup == List("a", "b"))
   }
 
+  test("kmv setops: exact under k, within KMV error bounds when saturated") {
+    import spark.implicits._
+    // Controlled corpus: big sources sa/sb (300 one-shingle docs each,
+    // 150 shared => union 450, inter 150, J=1/3) saturate the k=64 sketch;
+    // tiny sources sc/sd (5 and 5 docs, 3 shared => union 7, inter 3) stay
+    // under k, where the sketch must report EXACT counts.
+    def doc(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val rows =
+      (0 until 300).map(i => doc(i, s"w${i}a w${i}b w${i}c", "sa")) ++
+      (150 until 450).map(i => doc(1000 + i, s"w${i}a w${i}b w${i}c", "sb")) ++
+      (0 until 5).map(i => doc(2000 + i, s"x${i}a x${i}b x${i}c", "sc")) ++
+      (2 until 7).map(i => doc(3000 + i, s"x${i}a x${i}b x${i}c", "sd"))
+    val tmp = java.nio.file.Files.createTempDirectory("kmvsetops").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.xKmvSetops(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Int]("k_used"), r.getAs[Double]("union_est"),
+         r.getAs[Double]("inter_est"), r.getAs[Double]("jaccard_est"))).toMap
+    assert(got.size == 6)
+    // small pair: sketches unsaturated => exact set-operation counts
+    val (kcd, ucd, icd, jcd) = got(("sc", "sd"))
+    assert(kcd == 7 && ucd == 7.0 && icd == 3.0)
+    assert(math.abs(jcd - 3.0 / 7.0) < 1e-6)
+    // big pair: saturated => KMV estimates; sd(union)/union ~ 1/sqrt(63),
+    // so 4-sigma bounds are ~50% relative for the union and the Jaccard
+    // binomial gets |rho - 1/3| < 4*sqrt(p(1-p)/64) ~ 0.24
+    val (kab, uab, iab, jab) = got(("sa", "sb"))
+    assert(kab == 64)
+    assert(uab > 225 && uab < 675, s"union_est $uab vs exact 450")
+    assert(math.abs(jab - 1.0 / 3.0) < 0.24, s"jaccard_est $jab vs 1/3")
+    assert(iab > 30 && iab < 400, s"inter_est $iab vs exact 150")
+    // disjoint big/small pairs: nothing shared
+    assert(got(("sa", "sc"))._4 == 0.0 && got(("sb", "sd"))._4 == 0.0)
+  }
+
   test("repeated spans: exact match of a brute-force reconstruction") {
     val L = 8
     val docs = spark.read.parquet(s"$dir/documents.parquet")
