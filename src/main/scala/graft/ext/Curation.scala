@@ -219,6 +219,50 @@ object Curation {
     * Two tiny aggregates (per-source, then one global row broadcast back)
     * plus ONE corpus pass with a narrow hash filter — rates never leave the
     * driver-side-sized dimension, the corpus is never shuffled. */
+  /** DSIR importance-weighted data selection (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the mean log-likelihood ratio of its tokens under a
+    * hashed-unigram model of a TARGET domain (here the `en` slice) versus
+    * the RAW pool, then keep the top-k — the standard cheap way to tilt a
+    * web-scale corpus toward a domain without training a classifier.
+    * Tokens hash into 256 buckets (first 4 md5 hex chars, exact 16-bit
+    * arithmetic on both engines); both distributions are add-one smoothed.
+    *
+    * Scale shape: the two distributions are 256-row aggregates over the
+    * token stream (map-side combinable) and ride a broadcast join back onto
+    * the stream; totals are one-row broadcast aggregates inside the plan
+    * (never a driver-side count); per-doc scoring is one aggregate; the
+    * final top-k is TakeOrdered. Nothing here grows with corpus size except
+    * the token-stream passes. */
+  def xDsirSelect(s: SparkSession, dir: String,
+                  buckets: Int = 256, k: Int = 50): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % buckets)
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val tot = toks.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+        .as("nt_total"),
+      count(lit(1)).cast("double").as("nr_total"))
+    val dist = raw.crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("n_t") + 1.0) / (col("nt_total") + buckets)) /
+            ((col("n_r") + 1.0) / (col("nr_total") + buckets))).as("llr"))
+    toks.join(broadcast(dist), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("llr")).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        // + 0.0 collapses IEEE -0.0 to 0.0 (engines disagree on the sign
+        // of a rounded-away negative otherwise)
+        (round(col("m") + lit(1e-9), 4) + lit(0.0)).as("dsir_logratio"))
+      .orderBy(col("dsir_logratio").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def xSourceBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -695,6 +739,7 @@ object Curation {
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_sample_hash" -> xSampleHash,
+    "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
     "x_sample_mixture" -> xSampleMixture,
     "x_length_histogram" -> xLengthHistogram,
@@ -865,6 +910,28 @@ object Curation {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
         |ORDER BY doc_id""".stripMargin,
+    // bucket from the first 4 md5 hex chars: exact 16-bit nibble arithmetic
+    // (matches Spark's conv), add-one smoothing on both distributions
+    "x_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(1, 5), j ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(tok), j, 1)) - 1
+        |      AS DOUBLE) * 16 ** (4 - j))) AS BIGINT) % 256 AS b
+        |  FROM toks),
+        |raw AS (SELECT b, count(*) AS n_r,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+        |  FROM bk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS nt_total,
+        |  CAST(count(*) AS DOUBLE) AS nr_total FROM bk),
+        |dist AS (SELECT b, ln(((n_t + 1.0) / (nt_total + 256)) /
+        |  ((n_r + 1.0) / (nr_total + 256))) AS llr FROM raw, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |round(avg(llr) + 1e-9, 4) + 0.0 AS dsir_logratio
+        |FROM bk JOIN dist USING (b)
+        |GROUP BY doc_id ORDER BY dsir_logratio DESC, doc_id LIMIT 50""".stripMargin,
     // u from the first 8 md5 hex chars (exact integer arithmetic on nibbles;
     // every intermediate < 2^32 so the DOUBLE math is exact and matches
     // Spark's conv()); ordering ties broken by doc_id on both sides.

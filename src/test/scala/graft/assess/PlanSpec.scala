@@ -359,6 +359,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).length <= 1, plan.take(2000))
   }
 
+  test("dsir select: distributions broadcast, selection is TakeOrdered") {
+    val plan = planOf(graft.ext.Curation.xDsirSelect(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 256-row distribution must broadcast onto the token stream:\n${plan.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -281,6 +281,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir selection tilts toward the target domain") {
+    val sel = Curation.xDsirSelect(spark, dir).collect()
+    assert(sel.length == 50)
+    // scores are presented sorted, ties broken by doc_id
+    val scores = sel.map(_.getAs[Double]("dsir_logratio"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the whole point: the en-targeted selection must over-represent en
+    // relative to its ~39% base rate in the corpus
+    val langOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nEn = sel.count(r => langOf(r.getAs[Long]("doc_id")) == "en")
+    assert(nEn >= 25, s"only $nEn/50 selected docs are en — no tilt")
+  }
+
   test("repetition: ratio bounded by construction and consistent") {
     // (doc_id, n_tokens, n_trigrams, n_distinct, rep_ratio)
     val rows = TextOps.xRepetition(spark, dir).collect()
