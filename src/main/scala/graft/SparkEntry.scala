@@ -27,6 +27,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
       ext.Curation.queries ++
+      ext.Layout.queries ++
       ext.Fingerprint.queries ++
       ext.StreamCuration.queries ++
       ext.SqlSurface.queries)
@@ -44,6 +45,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.Multimodal.oracles ++
       ext.Curation.oracles ++
+      ext.Layout.oracles ++
       ext.Fingerprint.oracles ++
       ext.StreamCuration.oracles ++
       ext.SqlSurface.oracles +

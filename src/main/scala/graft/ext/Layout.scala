@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout optimization: Z-order clustering and its data-skipping
+  * payoff (the capability behind Delta/Iceberg `OPTIMIZE ZORDER BY` —
+  * Morton-interleave the hot filter dimensions so min/max file statistics
+  * prune multi-dimensional box queries; linear layouts only prune the one
+  * leading dimension).
+  */
+object Layout {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Morton/Z-value: interleave the low `bits` bits of `a` (even positions)
+    * and `b` (odd positions). Unrolled into 2·bits shift-and-mask terms so
+    * the whole thing stays one codegen'd integer expression — no UDF, no
+    * loop at runtime. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Data-skipping report: lay `lineitem` out into 32 files two ways —
+    * Z-ordered on (ship-day, partkey) versus linearly ordered on ship-day
+    * alone — collect per-file min/max statistics for both dimensions, and
+    * count how many files a two-dimensional box predicate must read under
+    * each layout. The emitted `files_hit` / `rows_in_hit_files` gap IS the
+    * scan I/O a 100 TB table saves from Z-ordering its two hot filter
+    * columns.
+    *
+    * Scale shape: file assignment is VALUE-range bucketing against
+    * broadcast global bounds (a narrow map — exactly what
+    * `repartitionByRange` does with sampled bounds at scale; never a
+    * global-sort `ntile` window); the per-file statistics are two 32-row
+    * aggregates; the box probe runs on those 32-row frames. Everything
+    * corpus-wide is map + partial aggregate. */
+  def xZorderLayout(s: SparkSession, dir: String,
+                    files: Int = 32, bits: Int = 12): DataFrame = {
+    val mask = (1 << bits) - 1
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(
+        (datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+          .cast("long") % mask).as("a"),
+        (col("l_partkey").cast("long") % mask).as("b"))
+      .withColumn("z", zValue(col("a"), col("b"), bits))
+    val bounds = fact.agg(
+      (max(col("z")) + 1).cast("double").as("z_hi"),
+      (max(col("a")) + 1).cast("double").as("a_hi"),
+      min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+      min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+    val placed = fact.crossJoin(broadcast(bounds))
+      .select(col("a"), col("b"),
+        floor(col("z") * files / col("z_hi")).as("file_z"),
+        floor(col("a") * files / col("a_hi")).as("file_lin"))
+    def stats(fileCol: String, layout: String): DataFrame =
+      placed.groupBy(col(fileCol).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .select(lit(layout).as("layout"), col("file"), col("n_rows"),
+          col("min_a"), col("max_a"), col("min_b"), col("max_b"))
+    // Two probes, box edges derived from the OBSERVED dimension ranges (an
+    // absolute box would silently go vacuous on a corpus whose dates sit
+    // elsewhere): `band_a` filters the middle 10% of ship-days, `band_b`
+    // the middle 10% of partkeys. The min/max overlap test is exactly the
+    // file-pruning decision a lakehouse reader makes from footer stats —
+    // linear can only prune `band_a`; Z-order prunes both.
+    def band(lo: Column, hi: Column): (Column, Column) =
+      (floor(lo + (hi - lo) * 0.45), floor(lo + (hi - lo) * 0.55))
+    val (aLo, aHi) = band(col("a_min"), col("a_max"))
+    val (bLo, bHi) = band(col("b_min"), col("b_max"))
+    val hitA = col("min_a") <= aHi && col("max_a") >= aLo
+    val hitB = col("min_b") <= bHi && col("max_b") >= bLo
+    stats("file_z", "zorder").unionAll(stats("file_lin", "linear"))
+      .crossJoin(broadcast(bounds))
+      .select(col("layout"), col("n_rows"),
+        explode(array(
+          struct(lit("band_a").as("probe"), hitA.as("hit")),
+          struct(lit("band_b").as("probe"), hitB.as("hit"))))
+          .as("p"))
+      .groupBy(col("layout"), col("p.probe").as("probe"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("p.hit"), 1L).otherwise(0L)).as("files_hit"),
+        sum(when(col("p.hit"), col("n_rows")).otherwise(0L))
+          .as("rows_in_hit_files"))
+      .orderBy("layout", "probe")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_zorder_layout" -> ((s, dir) => xZorderLayout(s, dir))
+  )
+
+  // Morton interleave in DuckDB: the same 24 shift-and-mask terms, summed.
+  private val ZTerms: String = (0 until 12).map { i =>
+    s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "x_zorder_layout" ->
+      s"""WITH f AS (SELECT
+        |  CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+        |    % 4095 AS a,
+        |  CAST(l_partkey AS BIGINT) % 4095 AS b FROM lineitem),
+        |z AS (SELECT a, b, $ZTerms AS z FROM f),
+        |bounds AS (SELECT CAST(max(z) + 1 AS DOUBLE) AS z_hi,
+        |  CAST(max(a) + 1 AS DOUBLE) AS a_hi,
+        |  min(a) AS a_min, max(a) AS a_max,
+        |  min(b) AS b_min, max(b) AS b_max FROM z),
+        |placed AS (SELECT a, b,
+        |  CAST(floor(z * 32 / z_hi) AS BIGINT) AS file_z,
+        |  CAST(floor(a * 32 / a_hi) AS BIGINT) AS file_lin FROM z, bounds),
+        |sz AS (SELECT 'zorder' AS layout, file_z AS file, count(*) AS n_rows,
+        |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+        |  FROM placed GROUP BY 2),
+        |sl AS (SELECT 'linear' AS layout, file_lin AS file, count(*) AS n_rows,
+        |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+        |  FROM placed GROUP BY 2),
+        |u AS (SELECT * FROM sz UNION ALL SELECT * FROM sl),
+        |e AS (SELECT floor(a_min + 0.45 * (a_max - a_min)) AS a_lo,
+        |  floor(a_min + 0.55 * (a_max - a_min)) AS a_hi2,
+        |  floor(b_min + 0.45 * (b_max - b_min)) AS b_lo,
+        |  floor(b_min + 0.55 * (b_max - b_min)) AS b_hi2 FROM bounds),
+        |h AS (SELECT layout, n_rows, probe,
+        |  CASE WHEN probe = 'band_a'
+        |    THEN (min_a <= a_hi2 AND max_a >= a_lo)
+        |    ELSE (min_b <= b_hi2 AND max_b >= b_lo) END AS hit
+        |  FROM u, e, (VALUES ('band_a'), ('band_b')) p(probe))
+        |SELECT layout, probe, count(*) AS n_files,
+        |CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT)
+        |  AS rows_in_hit_files
+        |FROM h GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+  )
+}

@@ -367,6 +367,13 @@ class PlanSpec extends AnyFunSuite {
       s"the 256-row distribution must broadcast onto the token stream:\n${plan.take(2000)}")
   }
 
+  test("zorder layout: value-range file placement, never a global-sort window") {
+    val plan = planOf(graft.ext.Layout.xZorderLayout(spark, dir))
+    assert(!plan.contains("Window"),
+      s"file placement must be value-range bucketing, not ntile:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

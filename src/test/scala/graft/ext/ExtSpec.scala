@@ -289,6 +289,35 @@ class ExtSpec extends AnyFunSuite {
     assert(got(("sa", "sc"))._4 == 0.0 && got(("sb", "sd"))._4 == 0.0)
   }
 
+  test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
+        (2L, 3L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 12).as("z"))
+      .collect().map(_.getLong(0)).toList
+    // reference: bit i of a -> bit 2i, bit i of b -> bit 2i+1
+    def ref(a: Long, b: Long) = (0 until 12).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+    assert(got == List(ref(0, 0), ref(1, 0), ref(0, 1), ref(1, 1),
+      ref(4095, 4095), ref(2, 3)))
+    assert(got(4) == (1L << 24) - 1) // all 24 bits set
+    // the report must demonstrate actual pruning: linear cannot prune the
+    // non-leading dimension (hits every file), zorder prunes both probes.
+    // sf0.01: at sf0.001 the 6k-row layout leaves too few non-empty files
+    // for the 10% band to miss any — the property needs realistic density
+    val rep = Layout.xZorderLayout(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("probe")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("files_hit"))).toMap
+    val (linFiles, linHitB) = rep(("linear", "band_b"))
+    assert(linHitB == linFiles, "linear should read every file for band_b")
+    val (zFiles, zHitB) = rep(("zorder", "band_b"))
+    assert(zHitB > 0 && zHitB < zFiles,
+      s"zorder must prune band_b: hit $zHitB of $zFiles")
+    assert(rep(("linear", "band_a"))._2 > 0, "band_a probe vacuous")
+  }
+
   test("repeated spans: exact match of a brute-force reconstruction") {
     val L = 8
     val docs = spark.read.parquet(s"$dir/documents.parquet")
