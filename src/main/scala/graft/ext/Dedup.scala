@@ -576,8 +576,59 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Content-defined chunking (Muthitacharoen et al., "A Low-Bandwidth
+    * Network File System", SOSP 2001 — the LBFS/rsync family): chunk
+    * boundaries fall where a rolling content hash crosses a threshold, so
+    * an insertion shifts at most the chunk it lands in — unlike fixed-L
+    * grams, whose positions all shift. Here the boundary test is
+    * "md5 of the adjacent token pair taken mod 32 == 0" (avg chunk ≈ 32
+    * tokens); each chunk is hashed whole and a chunk is duplicated iff it
+    * occurs in two distinct documents.
+    *
+    * Scale shape: tokenization and boundary flags are narrow maps; the
+    * chunk-id running count is a per-document window (the one inherently
+    * sequential step — partitioned on doc_id, never global); chunk
+    * assembly is a grouped sort-struct aggregate; cross-doc duplication is
+    * the same min≠max map-side-combinable test as [[xRepeatedSpans]], never
+    * a count-distinct. Shuffles carry (doc, pos, token) then (hash, ids) —
+    * no text bodies. */
+  def xCdcChunks(s: SparkSession, dir: String, modulus: Int = 32): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+    // boundary BEFORE token i when the (tok[i-1], tok[i]) pair hashes to 0
+    // mod 32; the first token of a doc never opens a new chunk
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val flagged = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("bnd",
+        when(col("prev").isNotNull &&
+          conv(substring(md5(concat_ws(" ", col("prev"), col("tok"))), 1, 4),
+            16, 10).cast("long") % modulus === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("bnd")).over(w))
+    val chunks = flagged.groupBy("doc_id", "chunk")
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok")))).as("h"),
+        count(lit(1)).as("n_toks"))
+    val dup = chunks.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"), lit(1L).as("is_dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"),
+        round(avg(col("n_toks")) + lit(1e-9), 2).as("avg_chunk_toks"))
+      .withColumn("dup_chunk_ratio",
+        round(col("n_dup_chunks") / col("n_chunks") + lit(1e-9), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_incremental" -> ((s, dir) => xDedupIncremental(s, dir)),
+    "x_cdc_chunks" -> ((s, dir) => xCdcChunks(s, dir)),
     "x_kmv_setops" -> ((s, dir) => xKmvSetops(s, dir)),
     "x_dedup_exact" -> xDedupExact,
     "x_kmv_native" -> xKmvNative,
@@ -727,6 +778,35 @@ object Dedup {
         |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "x_kmv_sketch" -> KmvOracleSql,
     "x_kmv_native" -> KmvOracleSql, // native aggregate, identical sketch
+    // boundary hash from the first 4 md5 hex chars: exact 16-bit nibble
+    // arithmetic, same convention as the Spark conv() side
+    "x_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+        |  CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS prev
+        |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+        |f AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN prev IS NOT NULL AND
+        |    CAST(list_sum(list_transform(range(1, 5), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(prev || ' ' || tok), j, 1)) - 1 AS DOUBLE)
+        |        * 16 ** (4 - j))) AS BIGINT) % 32 = 0
+        |    THEN 1 ELSE 0 END AS bnd FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |  sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS chunk FROM f),
+        |ch AS (SELECT doc_id, chunk,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+        |  count(*) AS n_toks FROM c GROUP BY 1, 2),
+        |dup AS (SELECT h, 1 AS is_dup FROM ch GROUP BY h
+        |  HAVING min(doc_id) <> max(doc_id))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |CAST(sum(COALESCE(is_dup, 0)) AS BIGINT) AS n_dup_chunks,
+        |round(avg(n_toks) + 1e-9, 2) AS avg_chunk_toks,
+        |round(CAST(sum(COALESCE(is_dup, 0)) AS DOUBLE) / count(*) + 1e-9, 6)
+        |  AS dup_chunk_ratio
+        |FROM ch LEFT JOIN dup USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // v_k from the first 8 md5 hex chars via exact nibble arithmetic
     // (every intermediate < 2^32, so the DOUBLE math matches Spark's conv).
     "x_kmv_setops" ->

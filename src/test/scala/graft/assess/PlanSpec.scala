@@ -374,6 +374,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("cdc chunks: windows partition on doc_id, never a global funnel") {
+    val plan = planOf(graft.ext.Dedup.xCdcChunks(spark, dir))
+    assert(plan.contains("Window"), "expected the per-doc running count")
+    // every window exchange must hash on doc_id; a SinglePartition window
+    // would serialize the whole corpus through one reducer
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global funnel in the chunk plan:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

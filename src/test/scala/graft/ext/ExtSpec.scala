@@ -289,6 +289,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got(("sa", "sc"))._4 == 0.0 && got(("sb", "sd"))._4 == 0.0)
   }
 
+  test("cdc chunks: boundaries survive a front insertion (shift resistance)") {
+    import spark.implicits._
+    // doc 2 is doc 1 with one token prepended — under FIXED-length chunking
+    // every chunk shifts and nothing dedups; under CDC only the prefix up
+    // to the first boundary differs
+    val base = (0 until 256).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, base, "en", "sa", base.length.toLong),
+      (2L, s"INSERTED $base", "en", "sa", base.length + 9L))
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.xCdcChunks(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toMap
+    val (n1, d1) = got(1L)
+    val (n2, d2) = got(2L)
+    assert(n1 > 3, s"expected several chunks, got $n1 — boundary never fired")
+    // all chunks except the (shifted) first one must dedup across the docs
+    assert(d1 >= n1 - 1, s"doc1: only $d1 of $n1 chunks survived the shift")
+    assert(d2 >= n2 - 1, s"doc2: only $d2 of $n2 chunks survived the shift")
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
