@@ -292,6 +292,54 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Recall@5 of the IVF single-probe ANN path ([[xAnnIvfTopk]]) against
+    * the exact brute-force top-5 — the index-quality eval every approximate
+    * search deployment runs before trusting its index. Per query: the
+    * candidate-set size its cell bought it (the efficiency side of the
+    * tradeoff) and how many of the 5 true neighbors the probe kept (the
+    * quality side).
+    *
+    * Scale shape: both arms broadcast the tiny query set and share one
+    * checkpointed assignment pass; the exact arm is a full corpus scan — the
+    * point of the eval, run over a SAMPLED query set (here vec_id < 10), so
+    * its cost is queries × corpus, never corpus². The hit-join and the
+    * per-query rollup shuffle only (q_id, vec_id) pairs. */
+  def xAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val assigned = ivfAssignments(s, dir)
+      .select(col("vec_id"), col("v"), col("c_label"))
+      .localCheckpoint() // four readers: 2 probe arms, query set, cell sizes
+    val qs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_label").as("q_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = assigned.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr("cosine_sim(v, qv)").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val probe = assigned.join(broadcast(qs),
+        col("c_label") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr("cosine_sim(v, qv)").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id").as("p_qid"), col("vec_id").as("p_vid"))
+    val hits = exact.join(probe,
+        col("q_id") === col("p_qid") && col("vec_id") === col("p_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(col("p_vid")).as("n_hits"))
+    val cand = qs.select(col("q_id"), col("q_cell"))
+      .join(assigned.groupBy("c_label").agg(count(lit(1)).as("cell_n")),
+        col("q_cell") === col("c_label"))
+      .select(col("q_id"), (col("cell_n") - 1).as("n_cand"))
+    hits.join(cand, Seq("q_id"))
+      .select(col("q_id"), col("n_cand"), col("n_hits"),
+        round(col("n_hits") / 5.0 + lit(1e-9), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
   /** One k-means (Lloyd) iteration — the training step that produces the
     * IVF coarse quantizer [[xIvfAssign]] consumes. Deterministic seeding
     * (centroid c = vector c, c < k) replaces random init so the oracle can
@@ -419,6 +467,7 @@ object Similarity {
     "x_ivf_assign" -> xIvfAssign,
     "x_semdedup" -> ((s, dir) => xSemdedup(s, dir)),
     "x_ann_ivf_topk" -> xAnnIvfTopk,
+    "x_ann_recall" -> xAnnRecall,
     "x_ann_lsh_buckets" -> ((s, dir) => xAnnLshBuckets(s, dir)),
     "x_kmeans_step" -> ((s, dir) => xKmeansStep(s, dir)),
     "x_embed_project" -> ((s, dir) => xEmbedProject(s, dir))
@@ -583,6 +632,41 @@ object Similarity {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sc)
         |SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Same assignment chain as x_ann_ivf_topk; exact arm scores all pairs,
+    // probe arm only in-cell; recall joins the two top-5 id sets.
+    "x_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
+        |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
+        |p AS (SELECT vec_id, v, c_label,
+        |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM e, c),
+        |a AS (SELECT vec_id, v, c_label FROM (SELECT vec_id, v, c_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM p)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, c_label AS q_cell FROM a WHERE vec_id < 10),
+        |sce AS (SELECT q_id, a.vec_id,
+        |  list_dot_product(a.v, qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |  FROM a, q WHERE a.vec_id <> q_id),
+        |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sce)
+        |  WHERE rnk <= 5),
+        |scp AS (SELECT q_id, a.vec_id,
+        |  list_dot_product(a.v, qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |  FROM a JOIN q ON a.c_label = q_cell AND a.vec_id <> q_id),
+        |ap AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM scp)
+        |  WHERE rnk <= 5),
+        |cs AS (SELECT c_label, count(*) AS n FROM a GROUP BY 1)
+        |SELECT ex.q_id, CAST(min(cs.n) - 1 AS BIGINT) AS n_cand,
+        |CAST(count(ap.vec_id) AS BIGINT) AS n_hits,
+        |round(count(ap.vec_id) / 5.0 + 1e-9, 6) AS recall_at_5
+        |FROM ex JOIN q ON q.q_id = ex.q_id JOIN cs ON cs.c_label = q.q_cell
+        |LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
     // Deterministic Lloyd step: init centroid c = vector c; squared-L2 via
     // list_dot_product on the element-wise difference (same fold order as
     // Spark's zip_with+aggregate); argmin tie-broken by centroid id.

@@ -384,6 +384,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("ann recall: query set broadcasts in both arms, no cartesian") {
+    val plan = planOf(graft.ext.Similarity.xAnnRecall(spark, dir))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"an unbroadcast arm would pair corpus x corpus:\n${plan.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -312,6 +312,26 @@ class ExtSpec extends AnyFunSuite {
     assert(d2 >= n2 - 1, s"doc2: only $d2 of $n2 chunks survived the shift")
   }
 
+  test("ann recall: n_hits is exactly |exact top5 ∩ ivf top5| per query") {
+    val exact = Similarity.xAnnCosineTopk(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val ivf = Similarity.xAnnIvfTopk(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val got = Similarity.xAnnRecall(spark, dir).collect()
+    assert(got.nonEmpty, "recall report is empty")
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = r.getAs[Long]("n_hits")
+      val want = (exact(q) & ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == want, s"q=$q: n_hits=$hits, set overlap=$want")
+      assert(hits >= 0 && hits <= 5)
+      assert(math.abs(r.getAs[Double]("recall_at_5") - hits / 5.0) < 1e-6)
+      assert(r.getAs[Long]("n_cand") >= ivf.getOrElse(q, Set.empty).size)
+    }
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
