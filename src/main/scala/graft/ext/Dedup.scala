@@ -626,8 +626,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Recall of the 1-band MinHash-LSH candidate generator against exact
+    * shingle-Jaccard ground truth, reported per similarity threshold — the
+    * text-side twin of [[Similarity.xAnnRecall]]: before trusting LSH to
+    * find the near-dups, measure how many true pairs it surfaces at each
+    * similarity level (by LSH theory recall rises with similarity; this
+    * report shows the actual curve on the actual corpus).
+    *
+    * Ground truth is EXACT, not sampled: any pair with Jaccard > 0 shares a
+    * shingle, so the inverted-index self-join (explode on shingle, equi-join,
+    * count per pair) enumerates every pair above any positive threshold —
+    * the same explode-join shape as [[scoreIntersections]], shuffling only
+    * (shingle, doc_id). At 100 TB the knob is a document-frequency cap on
+    * shingles (drop ubiquitous shingles from the index), which bounds the
+    * per-shingle quadratic exactly like LSH bucket width. */
+  def xLshRecall(s: SparkSession, dir: String,
+                 thresholds: Seq[Double] =
+                   Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)): DataFrame = {
+    val docShingles = docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .localCheckpoint() // both truth-join sides + the size aggregate
+    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = docShingles.as("a").join(docShingles.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (col("n_a") + col("n_b") - col("ni")), 4).as("jac"))
+    val cand = lshCandidates(s, dir, bands = 1)
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
+        lit(1L).as("cand_hit"))
+    val scored = truth.join(cand,
+        col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left")
+      .select(col("jac"), coalesce(col("cand_hit"), lit(0L)).as("cand_hit"))
+    val th = s.range(1)
+      .select(explode(typedLit(thresholds)).as("threshold"))
+    // 7 threshold rows broadcast against the (small) true-pair set; a
+    // threshold with zero qualifying pairs still reports a row
+    broadcast(th).join(scored, col("jac") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(count(col("jac")).as("n_true"),
+        sum(coalesce(col("cand_hit"), lit(0L))).as("n_hit"))
+      .select(col("threshold"), col("n_true"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit") / col("n_true") + lit(1e-9), 6))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_incremental" -> ((s, dir) => xDedupIncremental(s, dir)),
+    "x_lsh_recall" -> ((s, dir) => xLshRecall(s, dir)),
     "x_cdc_chunks" -> ((s, dir) => xCdcChunks(s, dir)),
     "x_kmv_setops" -> ((s, dir) => xKmvSetops(s, dir)),
     "x_dedup_exact" -> xDedupExact,
@@ -701,6 +757,36 @@ object Dedup {
     "x_dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Truth via the inverted index (any Jaccard>0 pair shares a shingle);
+    // candidates via the same band-0 min-hash as x_minhash_pairs.
+    "x_lsh_recall" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |ds AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b,
+        |  round(CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni), 4) AS jac
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b),
+        |sig AS (SELECT doc_id,
+        |  list_min(list_transform(sh, x -> substring(md5(x), 1, 8))) AS b0 FROM sh),
+        |cand AS (SELECT a.doc_id AS c_a, b.doc_id AS c_b, 1 AS cand_hit
+        |  FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.doc_id < b.doc_id),
+        |sc AS (SELECT jac, COALESCE(cand_hit, 0) AS cand_hit FROM truth
+        |  LEFT JOIN cand ON doc_a = c_a AND doc_b = c_b),
+        |th AS (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS threshold)
+        |SELECT threshold, CAST(count(jac) AS BIGINT) AS n_true,
+        |CAST(sum(CASE WHEN jac IS NULL THEN 0 ELSE cand_hit END) AS BIGINT) AS n_hit,
+        |CASE WHEN count(jac) > 0
+        |  THEN round(CAST(sum(CASE WHEN jac IS NULL THEN 0 ELSE cand_hit END) AS DOUBLE)
+        |    / count(jac) + 1e-9, 6)
+        |  ELSE 0.0 END AS recall
+        |FROM th LEFT JOIN sc ON jac >= threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
     "x_minhash_signatures" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),

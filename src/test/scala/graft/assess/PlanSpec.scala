@@ -391,6 +391,15 @@ class PlanSpec extends AnyFunSuite {
       s"an unbroadcast arm would pair corpus x corpus:\n${plan.take(2000)}")
   }
 
+  test("lsh recall: truth is the explode-join, never per-pair set algebra") {
+    val df = graft.ext.Dedup.xLshRecall(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array_intersect"), opt.take(2000))
+    val plan = planOf(df)
+    // the only nested-loop is the 7-row threshold dim riding a broadcast
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -332,6 +332,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh recall: n_hit(t) equals candidate pairs scoring >= t exactly") {
+    val candScores = Dedup.xMinhashPairs(spark, dir).collect()
+      .map(_.getAs[Double]("jaccard"))
+    val got = Dedup.xLshRecall(spark, dir).collect()
+    assert(got.length == 7, s"expected 7 threshold rows, got ${got.length}")
+    got.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      val nTrue = r.getAs[Long]("n_true")
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit <= nTrue, s"t=$t: hits $nHit exceed truth $nTrue")
+      val wantHits = candScores.count(_ >= t).toLong
+      assert(nHit == wantHits,
+        s"t=$t: n_hit=$nHit but ${wantHits} candidate pairs score >= $t")
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0 + 1e-9)
+      if (nTrue > 0)
+        assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-5)
+    }
+    // n_true is non-increasing in the threshold
+    val byT = got.map(r => r.getAs[Double]("threshold") ->
+      r.getAs[Long]("n_true")).sortBy(_._1).map(_._2)
+    assert(byT.zip(byT.tail).forall { case (a, b) => a >= b })
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
