@@ -706,6 +706,42 @@ object Curation {
           .as("zipf_intercept"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size N, the share
+    * of ALL token occurrences a top-N frequency vocabulary covers (1 −
+    * OOV rate) — the measurement that sizes a tokenizer's vocabulary
+    * against its corpus.
+    *
+    * Scale shape: the vocabulary aggregate partial-aggregates map-side; the
+    * head selection is TakeOrdered (per-partition top-k + k-row merge,
+    * never a full vocab sort); the rank/cumulative window runs on the
+    * CONSTANT-sized head (maxN rows, one partition — the [[xZipfFit]]
+    * shape), and the candidate sizes ride a 5-row broadcast. Corpus size
+    * only ever flows through the one grouped aggregate. */
+  def xVocabCoverage(s: SparkSession, dir: String,
+                     sizes: Seq[Long] = Seq(64L, 256L, 1024L, 4096L, 16384L))
+      : DataFrame = {
+    val vocab = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // head + grand total both read it
+    val total = vocab.agg(sum("freq").as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val head = vocab
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(sizes.max.toInt)
+      .withColumn("rank", row_number().over(w))
+    val ns = s.range(1).select(explode(typedLit(sizes)).as("n_vocab"))
+    broadcast(ns).join(head, col("rank") <= col("n_vocab"))
+      .groupBy("n_vocab").agg(sum("freq").as("covered"))
+      .crossJoin(broadcast(total)) // one-row grand total
+      .select(col("n_vocab"), col("covered"), col("total_tokens"),
+        round(col("covered") / col("total_tokens") + lit(1e-9), 6)
+          .as("coverage"))
+      .orderBy("n_vocab")
+  }
+
   /** Corpus health report — the per-(lang, source) dashboard a curation
     * run is monitored by: document counts, exact-dup rate (distinct content
     * hashes vs rows), and token-length stats. One grouped aggregate; the
@@ -731,6 +767,7 @@ object Curation {
     "x_canonical_docs" -> xCanonicalDocs,
     "x_split_leakage_safe" -> xSplitLeakageSafe,
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
+    "x_vocab_coverage" -> ((s, dir) => xVocabCoverage(s, dir)),
     "x_zipf_fit" -> ((s, dir) => xZipfFit(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
@@ -897,6 +934,17 @@ object Curation {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    "x_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM v),
+        |head AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM (SELECT token, freq FROM v ORDER BY freq DESC, token LIMIT 16384)),
+        |ns AS (SELECT CAST(unnest([64, 256, 1024, 4096, 16384]) AS BIGINT) AS n_vocab)
+        |SELECT n_vocab, CAST(sum(freq) AS BIGINT) AS covered, total_tokens,
+        |round(CAST(sum(freq) AS DOUBLE) / total_tokens + 1e-9, 6) AS coverage
+        |FROM ns CROSS JOIN tot JOIN head ON head.rank <= ns.n_vocab
+        |GROUP BY n_vocab, total_tokens ORDER BY n_vocab""".stripMargin,
     "x_zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |v AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 0

@@ -400,6 +400,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("vocab coverage: head is TakeOrdered, never a full vocab sort") {
+    val plan = planOf(graft.ext.Curation.xVocabCoverage(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + k-row merge:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>

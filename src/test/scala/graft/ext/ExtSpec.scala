@@ -356,6 +356,25 @@ class ExtSpec extends AnyFunSuite {
     assert(byT.zip(byT.tail).forall { case (a, b) => a >= b })
   }
 
+  test("vocab coverage: monotone curve, head sum matches vocab topk") {
+    val got = Curation.xVocabCoverage(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_vocab"), r.getAs[Long]("covered"),
+        r.getAs[Long]("total_tokens"), r.getAs[Double]("coverage")))
+      .sortBy(_._1)
+    assert(got.length == 5)
+    got.foreach { case (n, cov, tot, share) =>
+      assert(cov <= tot, s"N=$n: covered $cov > total $tot")
+      assert(share >= 0.0 && share <= 1.0 + 1e-9)
+    }
+    assert(got.zip(got.tail).forall { case (a, b) => a._2 <= b._2 },
+      "coverage must be non-decreasing in vocab size")
+    // covered(64) is exactly the occurrence mass of the top-64 vocabulary
+    val top64 = Curation.xVocabTopk(spark, dir, k = 64).collect()
+      .map(_.getAs[Long]("n_occurrences")).sum
+    assert(got.head._2 == top64,
+      s"covered(64)=${got.head._2} != top-64 vocab mass $top64")
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
