@@ -742,6 +742,39 @@ object Curation {
       .orderBy("n_vocab")
   }
 
+  /** Context-length fit curve: for each candidate training sequence length
+    * L, what chunking the corpus into L-token windows costs — padding waste
+    * (unfilled tail of each doc's last chunk, the packing-efficiency upper
+    * bound) and single-chunk truncation loss (tokens beyond L, what a
+    * truncate-don't-chunk policy throws away). The two ratios bracket the
+    * context-length decision the same way [[xVocabCoverage]] brackets vocab
+    * size.
+    *
+    * Scale shape: one narrow map over the corpus (token count only — text
+    * never leaves the scan), replicated against a 3-row broadcast length
+    * dimension, then a single 3-group aggregate. */
+  def xContextFit(s: SparkSession, dir: String,
+                  lens: Seq[Long] = Seq(128L, 512L, 2048L)): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ls = s.range(1).select(explode(typedLit(lens)).as("seq_len"))
+    docs.crossJoin(broadcast(ls))
+      .select(col("seq_len"), col("n_tok"),
+        floor((col("n_tok") + col("seq_len") - lit(1.0)) / col("seq_len"))
+          .cast("long").as("ch"),
+        greatest(col("n_tok") - col("seq_len"), lit(0L)).as("tr"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum("ch").as("n_chunks"),
+        sum("n_tok").as("tot"), sum("tr").as("trunc"))
+      .select(col("seq_len"), col("n_docs"), col("n_chunks"),
+        round((col("n_chunks") * col("seq_len") - col("tot")).cast("double") /
+          (col("n_chunks") * col("seq_len")) + lit(1e-9), 6)
+          .as("pad_waste_ratio"),
+        round(col("trunc").cast("double") / col("tot") + lit(1e-9), 6)
+          .as("trunc_loss_ratio"))
+      .orderBy("seq_len")
+  }
+
   /** Corpus health report — the per-(lang, source) dashboard a curation
     * run is monitored by: document counts, exact-dup rate (distinct content
     * hashes vs rows), and token-length stats. One grouped aggregate; the
@@ -768,6 +801,7 @@ object Curation {
     "x_split_leakage_safe" -> xSplitLeakageSafe,
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
     "x_vocab_coverage" -> ((s, dir) => xVocabCoverage(s, dir)),
+    "x_context_fit" -> ((s, dir) => xContextFit(s, dir)),
     "x_zipf_fit" -> ((s, dir) => xZipfFit(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
@@ -934,6 +968,19 @@ object Curation {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    "x_context_fit" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+        |ls AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS seq_len),
+        |x AS (SELECT seq_len, n_tok,
+        |  CAST(floor((n_tok + seq_len - 1.0) / seq_len) AS BIGINT) AS ch,
+        |  CASE WHEN n_tok > seq_len THEN n_tok - seq_len ELSE 0 END AS tr
+        |  FROM d CROSS JOIN ls)
+        |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(ch) AS BIGINT) AS n_chunks,
+        |round(CAST(sum(ch) * seq_len - sum(n_tok) AS DOUBLE)
+        |  / (sum(ch) * seq_len) + 1e-9, 6) AS pad_waste_ratio,
+        |round(CAST(sum(tr) AS DOUBLE) / sum(n_tok) + 1e-9, 6) AS trunc_loss_ratio
+        |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin,
     "x_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |v AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 0 GROUP BY 1),

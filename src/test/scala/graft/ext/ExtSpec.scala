@@ -375,6 +375,22 @@ class ExtSpec extends AnyFunSuite {
       s"covered(64)=${got.head._2} != top-64 vocab mass $top64")
   }
 
+  test("context fit: longer L means fewer chunks and less truncation loss") {
+    val got = Curation.xContextFit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("seq_len"), r.getAs[Long]("n_chunks"),
+        r.getAs[Double]("pad_waste_ratio"), r.getAs[Double]("trunc_loss_ratio")))
+      .sortBy(_._1)
+    assert(got.length == 3)
+    got.foreach { case (l, ch, pad, tr) =>
+      assert(ch > 0)
+      assert(pad >= 0.0 && pad < 1.0, s"L=$l pad=$pad")
+      assert(tr >= 0.0 && tr < 1.0, s"L=$l trunc=$tr")
+    }
+    // longer contexts: fewer chunks, more padding waste, less truncated
+    assert(got.zip(got.tail).forall { case (a, b) => a._2 >= b._2 })
+    assert(got.zip(got.tail).forall { case (a, b) => a._4 >= b._4 })
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
