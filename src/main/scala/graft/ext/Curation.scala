@@ -775,6 +775,60 @@ object Curation {
       .orderBy("seq_len")
   }
 
+  /** Source-drift matrix: directed KL divergence between the unigram
+    * distributions of every source pair, measured over the global top-N
+    * vocabulary plus an out-of-vocabulary bucket (the standard bounded-
+    * support drift monitor: a fixed category set makes the divergence
+    * well-defined and cheap no matter how large the long tail is).
+    * Add-one smoothing over the N+1 categories keeps every term finite;
+    * each distribution sums to exactly 1 by construction. Complements
+    * [[xCorpusOverlap]] (set containment) with a frequency-shape signal —
+    * the input a mixture tuner reads before re-weighting sources.
+    *
+    * Scale shape: the corpus flows through ONE (source, token) aggregate;
+    * the head is TakeOrdered; the dense source×(N+1) grid, totals, and the
+    * pair join all operate on #sources·(N+1) rows — constant-sized
+    * regardless of corpus scale. */
+  def xSourceDrift(s: SparkSession, dir: String, topN: Int = 256): DataFrame = {
+    val sct = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // head + totals + head-counts all read it
+    val head = sct.groupBy("token").agg(sum("c").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+      .select("token")
+    val totals = sct.groupBy("source").agg(sum("c").as("n_s"))
+    val headCounts = sct.join(broadcast(head), "token")
+      .select(col("source"), col("token"), col("c"))
+    val grid = totals.select("source").crossJoin(broadcast(head))
+      .join(headCounts, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val oov = totals
+      .join(headCounts.groupBy("source").agg(sum("c").as("hs")),
+        Seq("source"), "left")
+      .select(col("source"), lit("#OOV#").as("token"),
+        (col("n_s") - coalesce(col("hs"), lit(0L))).as("c"))
+    // categories = |head| + 1 (OOV) — the head can be smaller than topN on
+    // small vocabularies, and the smoothing denominator must match the
+    // actual support size or the distributions don't sum to 1
+    val nCat = head.agg((count(lit(1)) + lit(1)).as("n_cat"))
+    val dist = grid.union(oov).join(totals, "source")
+      .crossJoin(broadcast(nCat))
+      .select(col("source"), col("token"),
+        ((col("c") + lit(1)).cast("double") /
+          (col("n_s") + col("n_cat"))).as("p"))
+    dist.as("a").join(dist.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(round(sum(col("a.p") * log(col("a.p") / col("b.p"))) + lit(1e-9), 6)
+        .as("kl"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Corpus health report — the per-(lang, source) dashboard a curation
     * run is monitored by: document counts, exact-dup rate (distinct content
     * hashes vs rows), and token-length stats. One grouped aggregate; the
@@ -802,6 +856,7 @@ object Curation {
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
     "x_vocab_coverage" -> ((s, dir) => xVocabCoverage(s, dir)),
     "x_context_fit" -> ((s, dir) => xContextFit(s, dir)),
+    "x_source_drift" -> ((s, dir) => xSourceDrift(s, dir)),
     "x_zipf_fit" -> ((s, dir) => xZipfFit(s, dir)),
     "x_curate_corpus" -> ((s, dir) => xCurateCorpus(s, dir)),
     "x_decontaminate" -> xDecontaminate,
@@ -968,6 +1023,32 @@ object Curation {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    // Same top-256 head + '#OOV#' bucket + add-one smoothing; the per-pair
+    // sum is 257 double terms, fp-order noise absorbed by round(+1e-9, 6)
+    "x_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |sct AS (SELECT source, token, count(*) AS c FROM tok
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |head AS (SELECT token FROM (SELECT token, sum(c) AS freq FROM sct
+        |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 256)),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sct GROUP BY 1),
+        |hc AS (SELECT sct.source, sct.token, c FROM sct JOIN head USING (token)),
+        |grid AS (SELECT t.source, h.token, COALESCE(hc.c, 0) AS c
+        |  FROM tot t CROSS JOIN head h
+        |  LEFT JOIN hc ON hc.source = t.source AND hc.token = h.token),
+        |oov AS (SELECT t.source, '#OOV#' AS token,
+        |  t.n_s - COALESCE(s.hs, 0) AS c FROM tot t
+        |  LEFT JOIN (SELECT source, sum(c) AS hs FROM hc GROUP BY 1) s
+        |    ON s.source = t.source),
+        |nc AS (SELECT count(*) + 1 AS n_cat FROM head),
+        |dist AS (SELECT g.source, g.token,
+        |  CAST(g.c + 1 AS DOUBLE) / (t.n_s + n_cat) AS p
+        |  FROM (SELECT * FROM grid UNION ALL SELECT * FROM oov) g
+        |  JOIN tot t ON t.source = g.source CROSS JOIN nc)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |round(sum(a.p * ln(a.p / b.p)) + 1e-9, 6) AS kl
+        |FROM dist a JOIN dist b ON a.token = b.token AND a.source <> b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_context_fit" ->
       """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
         |ls AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS seq_len),

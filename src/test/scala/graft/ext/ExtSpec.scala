@@ -391,6 +391,23 @@ class ExtSpec extends AnyFunSuite {
     assert(got.zip(got.tail).forall { case (a, b) => a._4 >= b._4 })
   }
 
+  test("source drift: full directed matrix, KL non-negative, asymmetric") {
+    val got = Curation.xSourceDrift(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Double]("kl")))
+    val sources = (got.map(_._1) ++ got.map(_._2)).distinct
+    assert(got.length == sources.length * (sources.length - 1),
+      s"expected a full off-diagonal matrix over ${sources.length} sources")
+    got.foreach { case (a, b, kl) =>
+      assert(a != b)
+      assert(kl >= -1e-9, s"KL($a||$b)=$kl negative")
+    }
+    // KL is directed; at least one pair must differ between directions
+    val m = got.map { case (a, b, kl) => (a, b) -> kl }.toMap
+    assert(got.exists { case (a, b, kl) => math.abs(m((b, a)) - kl) > 1e-9 },
+      "every pair symmetric — suspicious for KL")
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
