@@ -78,6 +78,33 @@ object Curation {
     labels.orderBy("doc_id")
   }
 
+  /** Duplicate-cluster size histogram — the one-screen summary of a dedup
+    * run: how many clusters of each size exist and how many documents they
+    * hold, with unclustered documents reported as size-1 clusters so the
+    * histogram partitions the whole corpus. The (size-2 mass vs long-tail)
+    * shape is what decides between keep-one-per-cluster and
+    * threshold-retuning.
+    *
+    * Scale shape: everything downstream of the cluster labels is
+    * cluster-count-sized; the corpus appears only in the one-row total. */
+  def xClusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sizes = xDupClusters(s, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val total = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n_total"))
+    val clustered = sizes.agg(coalesce(sum("cluster_size"), lit(0L))
+      .as("n_clustered"))
+    val singles = total.crossJoin(broadcast(clustered)) // two one-row frames
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    hist.unionByName(singles).orderBy("cluster_size")
+  }
+
   /** Deterministic 25% corpus sample: keep a doc iff the first hex char of
     * md5(doc_id) sorts at or below '3' (4 of 16 nibbles). Membership is a
     * pure function of the id — reproducible across runs, engines, and
@@ -864,6 +891,7 @@ object Curation {
     "x_contamination_report" -> xContaminationReport,
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
+    "x_cluster_histogram" -> xClusterHistogram,
     "x_sample_hash" -> xSampleHash,
     "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
@@ -996,6 +1024,20 @@ object Curation {
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
       (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    "x_cluster_histogram" ->
+      (ClusterLabelCte +
+        """
+          |, sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1),
+          |h AS (SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM documents),
+          |cd AS (SELECT COALESCE(sum(cluster_size), 0) AS n_clustered FROM sz)
+          |SELECT cluster_size, n_clusters,
+          |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs FROM h
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT) AS cluster_size,
+          |  CAST(n_total - n_clustered AS BIGINT) AS n_clusters,
+          |  CAST(n_total - n_clustered AS BIGINT) AS n_docs FROM tot, cd
+          |ORDER BY cluster_size""".stripMargin),
     "x_canonical_docs" ->
       (ClusterLabelCte +
         """

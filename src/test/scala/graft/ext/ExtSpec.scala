@@ -408,6 +408,24 @@ class ExtSpec extends AnyFunSuite {
       "every pair symmetric — suspicious for KL")
   }
 
+  test("cluster histogram: partitions the corpus, matches the label frame") {
+    val corpusN = spark.read.parquet(s"$dir/documents.parquet").count()
+    val labelSizes = Curation.xDupClusters(spark, dir).collect()
+      .groupBy(_.getAs[Long]("cluster")).map(_._2.length.toLong).toSeq
+    val got = Curation.xClusterHistogram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    got.foreach { case (sz, nc, nd) =>
+      assert(nd == sz * nc, s"size $sz: n_docs $nd != $sz*$nc")
+      if (sz > 1)
+        assert(labelSizes.count(_ == sz).toLong == nc,
+          s"size $sz: histogram says $nc clusters")
+    }
+    assert(got.map(_._3).sum == corpusN,
+      s"histogram mass ${got.map(_._3).sum} != corpus $corpusN")
+    assert(got.count(_._1 == 1L) == 1, "missing the singleton row")
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
