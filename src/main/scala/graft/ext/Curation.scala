@@ -105,6 +105,29 @@ object Curation {
     hist.unionByName(singles).orderBy("cluster_size")
   }
 
+  /** Near-dup × quality cross-tab — the diagnostic that decides what a
+    * dedup pass actually removes: if near-duplicated documents score like
+    * the uniques, dedup is pure win; if they skew high-quality, aggressive
+    * cluster collapsing is deleting good data and the keeper policy
+    * matters. Joins [[TextOps.xQualityScore]]'s soft score against
+    * [[xDupClusters]] membership, two summary rows.
+    *
+    * Scale shape: the score is a narrow map riding the scan; membership is
+    * the (cluster-member-sized) label frame; one 2-group aggregate. */
+  def xDupQuality(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextOps.xQualityScore(s, dir).select("doc_id", "score")
+    val members = xDupClusters(s, dir)
+      .select(col("doc_id"), lit("near_dup").as("st"))
+    scores.join(members, Seq("doc_id"), "left")
+      .select(col("score"), coalesce(col("st"), lit("unique")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score") + lit(1e-9), 4).as("avg_score"),
+        min("score").as("min_score"), // score pre-rounded to 4 dp
+        max("score").as("max_score"))
+      .orderBy("status")
+  }
+
   /** Deterministic 25% corpus sample: keep a doc iff the first hex char of
     * md5(doc_id) sorts at or below '3' (4 of 16 nibbles). Membership is a
     * pure function of the id — reproducible across runs, engines, and
@@ -892,6 +915,7 @@ object Curation {
     "x_boilerplate" -> ((s, dir) => xBoilerplate(s, dir)),
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_cluster_histogram" -> xClusterHistogram,
+    "x_dup_quality" -> xDupQuality,
     "x_sample_hash" -> xSampleHash,
     "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
@@ -1024,6 +1048,28 @@ object Curation {
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
       (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    "x_dup_quality" ->
+      (ClusterLabelCte +
+        """
+          |, q AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+          |f AS (SELECT doc_id,
+          |  CAST(len(list_filter(toks, x -> x IN
+          |    ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+          |    / len(toks) AS stop_ratio,
+          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+          |  least(1.0, len(toks) / 500.0) AS len_norm,
+          |  CAST(n_chars AS DOUBLE) / len(toks) AS cpt FROM q),
+          |sc AS (SELECT doc_id,
+          |  round(0.35 * stop_ratio + 0.35 * ttr + 0.2 * len_norm
+          |    + 0.1 * (1.0 - least(1.0, abs(cpt - 5) / 5.0)) + 1e-9, 4) AS score
+          |  FROM f),
+          |st AS (SELECT sc.doc_id, score,
+          |  CASE WHEN cl.doc_id IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS status
+          |  FROM sc LEFT JOIN cl ON cl.doc_id = sc.doc_id)
+          |SELECT status, count(*) AS n_docs,
+          |round(avg(score) + 1e-9, 4) AS avg_score,
+          |min(score) AS min_score, max(score) AS max_score
+          |FROM st GROUP BY 1 ORDER BY 1""".stripMargin),
     "x_cluster_histogram" ->
       (ClusterLabelCte +
         """

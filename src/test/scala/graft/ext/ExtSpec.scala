@@ -426,6 +426,21 @@ class ExtSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) == 1, "missing the singleton row")
   }
 
+  test("dup quality: two-row cross-tab accounting for every document") {
+    val corpusN = spark.read.parquet(s"$dir/documents.parquet").count()
+    val clusteredN = Curation.xDupClusters(spark, dir).count()
+    val got = Curation.xDupQuality(spark, dir).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_score"),
+          r.getAs[Double]("min_score"), r.getAs[Double]("max_score"))).toMap
+    assert(got.keySet == Set("near_dup", "unique"))
+    assert(got("near_dup")._1 == clusteredN)
+    assert(got("near_dup")._1 + got("unique")._1 == corpusN)
+    got.values.foreach { case (_, avg, mn, mx) =>
+      assert(mn <= avg + 1e-9 && avg <= mx + 1e-9, s"$mn <= $avg <= $mx")
+    }
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
