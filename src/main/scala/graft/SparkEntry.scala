@@ -30,6 +30,7 @@ object SparkEntry {
       ext.Layout.queries ++
       ext.Fingerprint.queries ++
       ext.StreamCuration.queries ++
+      ext.Changelog.queries ++
       ext.SqlSurface.queries)
       .map { case (k, f) =>
         // Ensure graft read-path configs even on a driver-created session.
@@ -48,6 +49,7 @@ object SparkEntry {
       ext.Layout.oracles ++
       ext.Fingerprint.oracles ++
       ext.StreamCuration.oracles ++
+      ext.Changelog.oracles ++
       ext.SqlSurface.oracles +
       ext.Similarity.fusedOracle
 }

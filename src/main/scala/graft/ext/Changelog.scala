@@ -1,0 +1,341 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog / lakehouse maintenance analytics: the MERGE-shaped operations a
+  * 100 TB table sees every day — latest-wins upsert compaction, SCD2 history
+  * reconstruction, time-series gap repair, and robust (median/MAD) outlier
+  * detection over ingestion volumes. The `events` table stands in for a CDC
+  * change stream keyed by (user_id, event_type).
+  *
+  * Scale notes per operator are inline; the common theme is that every
+  * operator reduces the corpus with ONE map-side-combinable aggregate or ONE
+  * key-partitioned window — no self-joins, no global sorts before the final
+  * presentation `orderBy`, and dimension frames (date grids, per-key medians)
+  * stay broadcast-sized.
+  */
+object Changelog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same valid-event contract as the assessment layer (Assessments.ev):
+    * rows missing ts/type/value can't participate, and engine-specific null
+    * semantics would otherwise diverge. */
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+    .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+      col("value").isNotNull)
+
+  private val EventsSql =
+    "SELECT * FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL"
+
+  /** Latest-wins CDC upsert: collapse a change log to its current-state
+    * snapshot, one row per (user_id, event_type) key carrying the most
+    * recent change (ties broken by event_id) and the change count.
+    *
+    * This is MERGE INTO's read side expressed as an aggregate:
+    * `max(struct(ts, event_id, value))` picks the winner with a PARTIAL,
+    * map-side-combinable aggregate — each input partition reduces to at most
+    * one candidate row per key before the shuffle, so the exchange carries
+    * ~|keys| rows no matter how many changes a hot key absorbed. The usual
+    * `row_number() = 1` formulation shuffles every change row and sorts each
+    * key group; at a billion changes per day the struct-max plan is the one
+    * that survives. */
+  def xCdcUpsert(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(
+        col("user_id"), col("event_type"),
+        unix_millis(col("last.ts")).as("last_ts_ms"),
+        col("last.event_id").as("last_event_id"),
+        round(col("last.value"), 6).as("last_value"),
+        col("n_changes"))
+      .orderBy("user_id", "event_type")
+
+  /** SCD2 history reconstruction: turn the change log into slowly-changing-
+    * dimension validity intervals — one row per change with
+    * [valid_from, valid_to) bounds, a per-key version number, and the
+    * is_current flag (open interval). The inverse of [[xCdcUpsert]]: upsert
+    * keeps the last version, this keeps them all with temporal extent.
+    *
+    * One window, partitioned on the dimension key and ordered by change
+    * time — the single required shuffle, and each key's history sorts
+    * independently (no global order). At 100 TB the partition count scales
+    * with keys, not history depth; a key's full history must fit an
+    * executor's sort spill, which SCD dimensions satisfy by construction. */
+  def xScd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_ms", unix_millis(col("ts")))
+      .withColumn("valid_to_ms", lead(unix_millis(col("ts")), 1).over(w))
+      .select(
+        col("user_id"), col("event_type"), col("version"),
+        col("event_id"), round(col("value"), 6).as("value"),
+        col("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  /** Daily gap-fill + forward fill: regularize a sparse per-user daily
+    * series onto the complete calendar grid, carrying the last observed
+    * value forward through gaps (the repair step before any
+    * fixed-frequency model reads the series). Bounded to user_id < 50 so
+    * the emitted grid stays presentation-sized at every sf.
+    *
+    * Scale shape: the events flow through one (user, day) aggregate
+    * (struct-max picks the day's last observation map-side); the calendar
+    * bounds are a ONE-ROW broadcast; the grid is |users| × |days| — the
+    * output size, unavoidable by definition — and the forward fill is a
+    * per-user window over that grid, partitioned on the same key as the
+    * aggregate so AQE can reuse the exchange. */
+  def xGapfillDaily(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("user_id").isNotNull && col("user_id") < 50)
+    val daily = e
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("day"), col("last.value").as("v"))
+    val bounds = e.agg(min(to_date(col("ts"))).as("mn"),
+      max(to_date(col("ts"))).as("mx"))
+    val grid = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds)) // one-row bounds frame
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("value"),
+        col("v").isNull.as("is_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Robust volume anomaly detection: median/MAD z-scores over daily
+    * per-type ingestion counts — the outlier-resistant twin of the
+    * mean/stddev a15 detector (a single crazy day inflates a stddev and
+    * hides itself; it cannot move a median). Uses the 0.6745 consistency
+    * constant so |z| ~ N(0,1) scale; MAD=0 (constant series) yields null z
+    * and is_outlier=false rather than a division blow-up.
+    *
+    * The corpus reduces through ONE (type, day) count; medians, deviation
+    * medians, and the flag math all run on the days×types frame (30×5 here,
+    * still tiny at any corpus scale). Exact interpolated `median` on that
+    * reduced frame is cheap — approximation is only warranted where the
+    * aggregate itself would explode, which a per-type-day count never does. */
+  def xMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(median(col("n")).as("med"))
+    val mad = daily.join(med, "event_type")
+      .groupBy("event_type")
+      .agg(median(abs(col("n") - col("med"))).as("mad"))
+    val z = when(col("mad") === 0, lit(null).cast("double"))
+      .otherwise(lit(0.6745) * (col("n") - col("med")) / col("mad"))
+    daily.join(med, "event_type").join(mad, "event_type")
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        round(z, 6).as("robust_z"),
+        coalesce(abs(z) > 3.5, lit(false)).as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Ordered conversion funnel: of the users who signed up, how many then
+    * clicked (at or after their first signup), and how many of those then
+    * purchased (at or after that first qualifying click) — the classic
+    * event-sequence analysis, with per-step user counts and conversion
+    * rates from the top of the funnel.
+    *
+    * Scale shape: each step PRE-AGGREGATES to one row per user before the
+    * next join (the same payload-shrinking discipline as a1), and every
+    * join is a user_id equi-join — co-partitioned with the groupBys, so
+    * the chain reuses one exchange layout. The final counts are one-row
+    * frames; the funnel table itself is 3 rows at any corpus scale. */
+  def xFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("user_id").isNotNull)
+    def first(tpe: String) = e.filter(col("event_type") === tpe)
+    val s1 = first("signup").groupBy("user_id").agg(min("ts").as("t1"))
+    val c1 = first("click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p1 = first("purchase").join(c1, "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def cnt(df: DataFrame, step: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"),
+        col("n_users"))
+    val top = s1.agg(count(lit(1)).as("n_top"))
+    cnt(s1, "1_signup")
+      .unionByName(cnt(c1, "2_click"))
+      .unionByName(cnt(p1, "3_purchase"))
+      .crossJoin(broadcast(top)) // one-row top-of-funnel count
+      .select(col("step"), col("n_users"),
+        round(col("n_users") /
+          when(col("n_top") === 0, lit(null).cast("double"))
+            .otherwise(col("n_top").cast("double")) + lit(1e-9), 6)
+          .as("conversion"))
+      .orderBy("step")
+  }
+
+  /** ANALYZE-style column statistics — the stats collector a cost-based
+    * optimizer (or a data-quality monitor) runs over a 100 TB fact table:
+    * per-column row count, null count, exact NDV, and min/max, for a
+    * representative column of each type class (int key, numeric measure,
+    * low-cardinality flag, event time).
+    *
+    * ONE full-table aggregate computes every statistic (each is
+    * map-side-combinable, including Spark's two-phase distinct expansion),
+    * then a 4-row `stack` unpivots the one-row result — the table is
+    * scanned exactly once, and only the four referenced columns are read
+    * (column pruning reaches the parquet scan). */
+  def xTableStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val one = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_orderkey")).as("nn_key"),
+      countDistinct(col("l_orderkey")).as("ndv_key"),
+      min(col("l_orderkey")).cast("string").as("min_key"),
+      max(col("l_orderkey")).cast("string").as("max_key"),
+      count(col("l_quantity")).as("nn_qty"),
+      countDistinct(col("l_quantity")).as("ndv_qty"),
+      min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("min_qty"),
+      max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("max_qty"),
+      count(col("l_returnflag")).as("nn_flag"),
+      countDistinct(col("l_returnflag")).as("ndv_flag"),
+      min(col("l_returnflag")).as("min_flag"),
+      max(col("l_returnflag")).as("max_flag"),
+      count(col("l_shipdate")).as("nn_ship"),
+      countDistinct(col("l_shipdate")).as("ndv_ship"),
+      unix_millis(min(col("l_shipdate"))).cast("string").as("min_ship"),
+      unix_millis(max(col("l_shipdate"))).cast("string").as("max_ship"))
+    one.select(expr(
+      """stack(4,
+        |'l_orderkey',  n - nn_key,  ndv_key,  min_key,  max_key,
+        |'l_quantity',  n - nn_qty,  ndv_qty,  min_qty,  max_qty,
+        |'l_returnflag', n - nn_flag, ndv_flag, min_flag, max_flag,
+        |'l_shipdate',  n - nn_ship, ndv_ship, min_ship, max_ship)
+        |AS (column_name, n_null, ndv, min_value, max_value)""".stripMargin),
+      col("n").as("n_rows"))
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_value"), col("max_value"))
+      .orderBy("column_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_cdc_upsert" -> xCdcUpsert,
+    "x_scd2_intervals" -> xScd2Intervals,
+    "x_gapfill_daily" -> xGapfillDaily,
+    "x_mad_outliers" -> xMadOutliers,
+    "x_funnel_steps" -> xFunnelSteps,
+    "x_table_stats" -> xTableStats
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_cdc_upsert" ->
+      """SELECT user_id, event_type, epoch_ms(ts) AS last_ts_ms,
+        |event_id AS last_event_id, round(value, 6) AS last_value, n_changes
+        |FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id, event_type) AS n_changes
+        |  FROM ($EVENTS) events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "x_scd2_intervals" ->
+      """SELECT user_id, event_type,
+        |CAST(row_number() OVER w AS INT) AS version, event_id,
+        |round(value, 6) AS value, epoch_ms(ts) AS valid_from_ms,
+        |lead(epoch_ms(ts), 1) OVER w AS valid_to_ms,
+        |(lead(epoch_ms(ts), 1) OVER w IS NULL) AS is_current
+        |FROM ($EVENTS) events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
+    "x_gapfill_daily" ->
+      """WITH e AS (SELECT * FROM ($EVENTS) events
+        |  WHERE user_id IS NOT NULL AND user_id < 50),
+        |d AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |dd AS (SELECT user_id, day, value AS v FROM d WHERE rn = 1),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+        |  FROM e),
+        |g AS (SELECT u.user_id, unnest(generate_series(b.mn, b.mx,
+        |  INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT DISTINCT user_id FROM e) u, b)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |round(last_value(dd.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |  ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |  AS value,
+        |(dd.v IS NULL) AS is_filled
+        |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
+        |ORDER BY g.user_id, day""".stripMargin,
+    "x_funnel_steps" ->
+      """WITH e AS (SELECT * FROM ($EVENTS) events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c1 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        |p1 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+        |  JOIN c1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1),
+        |f AS (SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click', count(*) FROM c1
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p1)
+        |SELECT step, n_users,
+        |round(n_users / nullif((SELECT count(*)::DOUBLE FROM s1), 0.0)
+        |  + 1e-9, 6) AS conversion
+        |FROM f ORDER BY step""".stripMargin,
+    "x_table_stats" ->
+      """WITH li AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(l_orderkey) AS n_null,
+        |  count(DISTINCT l_orderkey) AS ndv,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM li
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) FROM li
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+        |  FROM li
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |  count(DISTINCT l_shipdate),
+        |  CAST(epoch_ms(min(l_shipdate)) AS VARCHAR),
+        |  CAST(epoch_ms(max(l_shipdate)) AS VARCHAR) FROM li
+        |ORDER BY column_name""".stripMargin,
+    "x_mad_outliers" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n FROM ($EVENTS) events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(n) AS med FROM daily GROUP BY 1),
+        |mad AS (SELECT daily.event_type, median(abs(n - med)) AS mad
+        |  FROM daily JOIN med USING (event_type) GROUP BY 1)
+        |SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |round(med, 6) AS med, round(mad, 6) AS mad,
+        |round(CASE WHEN mad = 0 THEN NULL
+        |  ELSE 0.6745 * (n - med) / mad END, 6) AS robust_z,
+        |coalesce(abs(CASE WHEN mad = 0 THEN NULL
+        |  ELSE 0.6745 * (n - med) / mad END) > 3.5, false) AS is_outlier
+        |FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY event_type, day""".stripMargin
+  ).map { case (k, v) => k -> v.replace("$EVENTS", EventsSql) }
+}

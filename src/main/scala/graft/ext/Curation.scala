@@ -128,6 +128,40 @@ object Curation {
       .orderBy("status")
   }
 
+  /** Quality-score calibration curve: decile the corpus by soft quality
+    * score and report each decile's near-dup rate — the check that tells
+    * whether the quality classifier and the dedup pass agree on what "bad"
+    * is (dup-heavy low deciles = the score is finding boilerplate; a flat
+    * curve = the two filters are independent evidence).
+    *
+    * Scale shape: decile boundaries come from ONE exact-percentile
+    * aggregate (a one-row broadcast frame — never an ntile window, which
+    * would funnel the corpus through a single-partition global sort);
+    * bucket assignment is a narrow map against the broadcast bounds;
+    * membership is an equi-join against the cluster labels; one 10-group
+    * aggregate ends it. */
+  def xQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextOps.xQualityScore(s, dir).select("doc_id", "score")
+    val bounds = scores.agg(expr(
+      "percentile(score, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, " +
+        "0.8D, 0.9D))").as("bs"))
+    val members = xDupClusters(s, dir).select(col("doc_id"), lit(1).as("dup"))
+    scores.crossJoin(broadcast(bounds)) // one-row boundary frame
+      .select(col("doc_id"), col("score"),
+        (lit(1) + aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("score") > b, 1).otherwise(0)))
+          .cast("int").as("decile"))
+      .join(members, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("dup"), lit(0L)).as("n_dup"),
+        round(avg("score") + lit(1e-9), 6).as("avg_score"),
+        round(coalesce(sum("dup"), lit(0L)) /
+          count(lit(1)).cast("double") + lit(1e-9), 6).as("dup_rate"))
+      .orderBy("decile")
+  }
+
   /** Deterministic 25% corpus sample: keep a doc iff the first hex char of
     * md5(doc_id) sorts at or below '3' (4 of 16 nibbles). Membership is a
     * pure function of the id — reproducible across runs, engines, and
@@ -865,11 +899,16 @@ object Curation {
     // small vocabularies, and the smoothing denominator must match the
     // actual support size or the distributions don't sum to 1
     val nCat = head.agg((count(lit(1)) + lit(1)).as("n_cat"))
+    // Materialized: the self-join below references the distribution frame on
+    // both sides — without this the grid/OOV/totals lineage (and its joins)
+    // re-executes per side. The frame is #sources x (N+1) rows, so the
+    // checkpoint is constant-sized at any corpus scale.
     val dist = grid.union(oov).join(totals, "source")
       .crossJoin(broadcast(nCat))
       .select(col("source"), col("token"),
         ((col("c") + lit(1)).cast("double") /
           (col("n_s") + col("n_cat"))).as("p"))
+      .localCheckpoint()
     dist.as("a").join(dist.as("b"),
         col("a.token") === col("b.token") &&
           col("a.source") =!= col("b.source"))
@@ -916,6 +955,7 @@ object Curation {
     "x_dup_clusters" -> ((s, dir) => xDupClusters(s, dir)),
     "x_cluster_histogram" -> xClusterHistogram,
     "x_dup_quality" -> xDupQuality,
+    "x_quality_calibration" -> xQualityCalibration,
     "x_sample_hash" -> xSampleHash,
     "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
@@ -1048,6 +1088,34 @@ object Curation {
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
       (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    "x_quality_calibration" ->
+      (ClusterLabelCte +
+        """
+          |, q AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+          |f AS (SELECT doc_id,
+          |  CAST(len(list_filter(toks, x -> x IN
+          |    ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+          |    / len(toks) AS stop_ratio,
+          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+          |  least(1.0, len(toks) / 500.0) AS len_norm,
+          |  CAST(n_chars AS DOUBLE) / len(toks) AS cpt FROM q),
+          |sc AS (SELECT doc_id,
+          |  round(0.35 * stop_ratio + 0.35 * ttr + 0.2 * len_norm
+          |    + 0.1 * (1.0 - least(1.0, abs(cpt - 5) / 5.0)) + 1e-9, 4) AS score
+          |  FROM f),
+          |b AS (SELECT quantile_cont(score,
+          |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM sc),
+          |dec AS (SELECT sc.doc_id, score,
+          |  CAST(1 + len(list_filter(b.bs, x -> score > x)) AS INT) AS decile
+          |  FROM sc, b)
+          |SELECT decile, count(*) AS n_docs,
+          |CAST(coalesce(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 END), 0)
+          |  AS BIGINT) AS n_dup,
+          |round(avg(score) + 1e-9, 6) AS avg_score,
+          |round(coalesce(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 END), 0)
+          |  / count(*)::DOUBLE + 1e-9, 6) AS dup_rate
+          |FROM dec LEFT JOIN cl ON cl.doc_id = dec.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     "x_dup_quality" ->
       (ClusterLabelCte +
         """

@@ -1,0 +1,172 @@
+package graft.ext
+
+import graft.{Tables, TestSpark}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force reconstructions of the changelog/lakehouse operators at
+  * sf0.001: each test recomputes the expected answer from the raw collected
+  * events in plain Scala and compares exactly — the same shape the DuckDB
+  * oracle pins at sf0.01, but with the semantics spelled out locally. */
+class ChangelogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  /** (event_id, ts_ms, user_id (null→Long.MinValue sentinel), type, value) */
+  private lazy val raw: Seq[(Long, Long, Option[Long], String, Double)] =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("cdc upsert: one row per key, winner is max (ts, event_id)") {
+    val got = Changelog.xCdcUpsert(spark, dir).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toMap
+    val exp = raw.groupBy(e => (e._3, e._4)).map { case (k, es) =>
+      val w = es.maxBy(e => (e._2, e._1))
+      k -> (w._2, w._1, es.length.toLong)
+    }
+    assert(got == exp)
+    assert(got.values.map(_._3).sum == raw.length.toLong)
+  }
+
+  test("scd2 intervals: contiguous versions, chained bounds, one current") {
+    val rows = Changelog.xScd2Intervals(spark, dir).collect()
+      .map(r => ((Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1)),
+        r.getInt(2), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(rows.length == raw.length)
+    rows.groupBy(_._1).foreach { case (key, h0) =>
+      val h = h0.sortBy(_._2)
+      assert(h.map(_._2).toSeq == (1 to h.length), s"versions not 1..n at $key")
+      h.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"interval chain broken at $key")
+        case _ =>
+      }
+      assert(h.count(_._4.isEmpty) == 1, s"current-row count wrong at $key")
+    }
+  }
+
+  test("gapfill: complete per-user grid, forward-fill matches brute force") {
+    val rows = Changelog.xGapfillDaily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    val sub = raw.filter(e => e._3.exists(u => u >= 0 && u < 50))
+    def day(tsMs: Long) = java.time.Instant.ofEpochMilli(tsMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val allDays = {
+      val ds = sub.map(e => day(e._2))
+      val (mn, mx) = (ds.min, ds.max)
+      Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx)).toSeq
+    }
+    val users = sub.flatMap(_._3).distinct
+    assert(rows.length == users.length * allDays.length, "grid incomplete")
+    // last observation per (user, day) by (ts, event_id), then forward fill
+    val obs = sub.groupBy(e => (e._3.get, day(e._2))).map { case (k, es) =>
+      k -> es.maxBy(e => (e._2, e._1))._5
+    }
+    users.foreach { u =>
+      var lastV: Option[Double] = None
+      allDays.foreach { d =>
+        val o = obs.get((u, d))
+        o.foreach(v => lastV = Some(v))
+        val gotRow = rows.find(r => r._1 == u && r._2 == d.toString).get
+        assert(gotRow._4 == o.isEmpty, s"is_filled wrong at ($u, $d)")
+        assert(gotRow._3.isDefined == lastV.isDefined, s"null-ness at ($u, $d)")
+        lastV.foreach(v =>
+          assert(math.abs(gotRow._3.get - v) < 1e-6, s"value wrong at ($u, $d)"))
+      }
+    }
+  }
+
+  test("funnel: counts match brute force; monotone; rates off the top") {
+    val rows = Changelog.xFunnelSteps(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.map(_._1).toSeq == Seq("1_signup", "2_click", "3_purchase"))
+    val byUser = raw.filter(_._3.isDefined)
+      .groupBy(_._3.get).view.mapValues(_.toSeq)
+    def firstAtOrAfter(es: Seq[(Long, Long, Option[Long], String, Double)],
+                       tpe: String, t0: Long): Option[Long] =
+      es.filter(e => e._4 == tpe && e._2 >= t0).map(_._2).minOption
+    val s1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._4 == "signup").map(_._2).minOption.map(u -> _)
+    }.toMap
+    val c1 = s1.flatMap { case (u, t) =>
+      firstAtOrAfter(byUser(u), "click", t).map(u -> _)
+    }
+    val p1 = c1.flatMap { case (u, t) =>
+      firstAtOrAfter(byUser(u), "purchase", t).map(u -> _)
+    }
+    assert(rows.map(_._2).toSeq ==
+      Seq(s1.size.toLong, c1.size.toLong, p1.size.toLong))
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    rows.foreach { case (_, n, conv) =>
+      assert(conv.isDefined && math.abs(
+        conv.get - n.toDouble / s1.size) < 1e-5)
+    }
+  }
+
+  test("table stats: one row per column, stats match direct aggregates") {
+    val rows = Changelog.xTableStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_quantity", "l_returnflag",
+      "l_shipdate"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    assert(rows.values.forall(_._1 == n))
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").foreach {
+      c =>
+        val nn = li.filter(col(c).isNull).count()
+        val ndv = li.select(c).na.drop().distinct().count()
+        assert(rows(c)._2 == nn, s"$c null count")
+        assert(rows(c)._3 == ndv, s"$c ndv")
+    }
+    val qMin = li.agg(min("l_quantity")).head.getDouble(0)
+    assert(rows("l_quantity")._4 == f"$qMin%.2f", "quantity min formatting")
+  }
+
+  test("mad outliers: medians match brute force; flags consistent with z") {
+    val rows = Changelog.xMadOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def day(tsMs: Long) = java.time.Instant.ofEpochMilli(tsMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val daily = raw.groupBy(e => (e._4, day(e._2))).view.mapValues(_.length)
+    assert(rows.length == daily.size)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val ns = daily.collect { case ((t, _), n) if t == tpe => n.toDouble }.toSeq
+      val med = median(ns)
+      val mad = median(ns.map(n => math.abs(n - med)))
+      rs.foreach { r =>
+        assert(daily((tpe, r._2)).toLong == r._3, s"count wrong at $tpe ${r._2}")
+        assert(math.abs(r._4 - med) < 1e-9, s"median wrong for $tpe")
+        assert(math.abs(r._5 - mad) < 1e-9, s"MAD wrong for $tpe")
+        if (mad == 0.0) {
+          assert(r._6.isEmpty && !r._7, s"mad=0 must yield null z at $tpe")
+        } else {
+          val z = 0.6745 * (r._3 - med) / mad
+          assert(math.abs(r._6.get - z) < 1e-5, s"z wrong at $tpe ${r._2}")
+          assert(r._7 == (math.abs(z) > 3.5), s"flag wrong at $tpe ${r._2}")
+        }
+      }
+    }
+  }
+}

@@ -441,6 +441,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality calibration: deciles partition the corpus, dup mass matches") {
+    val corpusN = spark.read.parquet(s"$dir/documents.parquet").count()
+    val clusteredN = Curation.xDupClusters(spark, dir).count()
+    val rows = Curation.xQualityCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 10), "decile out of range")
+    assert(rows.map(_._2).sum == corpusN, "deciles must partition the corpus")
+    assert(rows.map(_._3).sum == clusteredN, "dup mass must match clusters")
+    rows.foreach { case (d, n, nd, avg, rate) =>
+      assert(nd <= n, s"decile $d dup count exceeds size")
+      assert(rate >= 0.0 && rate <= 1.0 + 1e-9, s"decile $d rate $rate")
+      assert(math.abs(rate - nd.toDouble / n) < 1e-5, s"decile $d rate wrong")
+    }
+    // avg score must be non-decreasing across deciles (they're score-ordered)
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4 + 1e-9,
+        s"decile ${b._1} avg below decile ${a._1}")
+      case _ =>
+    }
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
