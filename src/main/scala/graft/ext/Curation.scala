@@ -162,6 +162,53 @@ object Curation {
       .orderBy("decile")
   }
 
+  /** PageRank over the near-dup graph (3 fixed power iterations, d=0.85):
+    * ranks cluster members by how centrally duplicated they are — a hub
+    * that near-matches many variants outranks a leaf that matches one,
+    * which is a better keep-the-canonical signal than min-doc_id when
+    * clusters are chains of partial overlaps. Fixed iteration count keeps
+    * the result deterministic and oracle-checkable (the unrolled twin runs
+    * the same three steps).
+    *
+    * Scale shape: the textbook distributed PageRank — the edge list is
+    * frozen once (localCheckpoint; a checkpoint dir at cluster scale) and
+    * each iteration is ONE equi-join of ranks onto edges plus ONE
+    * map-side-combinable sum, both partitioned on the node key; the node
+    * count rides a one-row broadcast. No collect, no per-iteration LSH
+    * replay, state is O(nodes). */
+  def xDupPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashPairsUnordered(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .localCheckpoint() // frozen; every iteration re-reads it
+    val nodes = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var pr = nodes.crossJoin(broadcast(nN))
+      .select(col("doc_id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(pr, edges("doc_a") === pr("doc_id"))
+        .select(edges("doc_b").as("doc_id"),
+          (col("pr") / col("deg")).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("inflow"))
+      pr = nodes.join(inflow, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nN))
+        .select(col("doc_id"), col("deg"),
+          (lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("deg"),
+      round(col("pr") + lit(1e-9), 6).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 25% corpus sample: keep a doc iff the first hex char of
     * md5(doc_id) sorts at or below '3' (4 of 16 nibbles). Membership is a
     * pure function of the id — reproducible across runs, engines, and
@@ -956,6 +1003,7 @@ object Curation {
     "x_cluster_histogram" -> xClusterHistogram,
     "x_dup_quality" -> xDupQuality,
     "x_quality_calibration" -> xQualityCalibration,
+    "x_dup_pagerank" -> ((s, dir) => xDupPagerank(s, dir)),
     "x_sample_hash" -> xSampleHash,
     "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
@@ -1088,6 +1136,30 @@ object Curation {
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
       (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    // Unrolled 3-iteration twin of the power loop; shares the edge CTEs.
+    "x_dup_pagerank" ->
+      (ClusterLabelCte +
+        """
+          |, deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+          |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+          |p0 AS (SELECT doc_id, deg, 1.0 / n AS pr FROM deg, nn),
+          |p1 AS (SELECT d.doc_id, d.deg,
+          |  0.15 / nn.n + 0.85 * coalesce(sum(p.pr / p.deg), 0) AS pr
+          |  FROM deg d JOIN edges e ON e.doc_b = d.doc_id
+          |  JOIN p0 p ON p.doc_id = e.doc_a, nn
+          |  GROUP BY d.doc_id, d.deg, nn.n),
+          |p2 AS (SELECT d.doc_id, d.deg,
+          |  0.15 / nn.n + 0.85 * coalesce(sum(p.pr / p.deg), 0) AS pr
+          |  FROM deg d JOIN edges e ON e.doc_b = d.doc_id
+          |  JOIN p1 p ON p.doc_id = e.doc_a, nn
+          |  GROUP BY d.doc_id, d.deg, nn.n),
+          |p3 AS (SELECT d.doc_id, d.deg,
+          |  0.15 / nn.n + 0.85 * coalesce(sum(p.pr / p.deg), 0) AS pr
+          |  FROM deg d JOIN edges e ON e.doc_b = d.doc_id
+          |  JOIN p2 p ON p.doc_id = e.doc_a, nn
+          |  GROUP BY d.doc_id, d.deg, nn.n)
+          |SELECT doc_id, deg, round(pr + 1e-9, 6) AS pagerank
+          |FROM p3 ORDER BY doc_id""".stripMargin),
     "x_quality_calibration" ->
       (ClusterLabelCte +
         """

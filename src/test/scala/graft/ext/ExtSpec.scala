@@ -464,6 +464,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: mass sums to 1, node set = cluster members, deterministic") {
+    val members = Curation.xDupClusters(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val rows = Curation.xDupPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == members,
+      "pagerank nodes must be exactly the near-dup cluster members")
+    rows.foreach { case (id, deg, pr) =>
+      assert(deg >= 1, s"node $id degree 0")
+      assert(pr > 0, s"node $id non-positive rank")
+    }
+    // no dangling nodes (undirected edges), so total mass is conserved at 1
+    assert(math.abs(rows.map(_._3).sum - 1.0) < rows.length * 1e-6 + 1e-6,
+      s"mass ${rows.map(_._3).sum} != 1")
+    val again = Curation.xDupPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq, "not deterministic across runs")
+  }
+
   test("zorder: morton bit interleave is exact; skipping report non-vacuous") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (4095L, 4095L),
