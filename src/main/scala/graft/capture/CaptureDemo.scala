@@ -196,9 +196,78 @@ object CaptureDemo {
       .orderBy("day", "query_type")
   }
 
+  /** Stream-stream join round trip (A1's streaming face through the real
+    * sink): the events file is replayed as TWO independent file streams — a
+    * submission stream (event_id, ts) and a completion stream whose
+    * timestamp is shifted by a per-event deterministic latency
+    * (floor(value) % 300 seconds) — inner-joined on the id with an
+    * event-time range bound and watermarks on BOTH sides, which is what
+    * lets Spark evict join state instead of buffering either stream
+    * forever (the difference between a pipeline and an OOM at 100 TB/day).
+    * The paired records flow through the checkpointed date-partitioned
+    * sink and are read back; the DuckDB oracle aggregates the ORIGINAL
+    * table, so the hash passes only if the stateful join paired every
+    * event exactly once — nothing dropped at the watermark, nothing
+    * emitted twice. */
+  def capStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "join_")
+    val out = s"$tmp/log"
+    val ckpt = s"$tmp/ckpt"
+    val src = s"$dir/events.parquet"
+    val batchSchema = s.read.parquet(src).schema
+    def stream() = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    def tsCol = batchSchema("ts").dataType.typeName match {
+      case "long" => expr("timestamp_micros(ts DIV 1000)")
+      case _      => col("ts")
+    }
+    val sub = stream()
+      .select(col("event_id").as("sub_id"), col("event_type"),
+        tsCol.as("sub_ts"))
+      .withWatermark("sub_ts", "1 hour")
+    val done = stream()
+      .withColumn("base_ts", tsCol)
+      .withColumn("latency_s", floor(col("value")).cast("long") % 300)
+      .select(col("event_id").as("done_id"), col("latency_s"),
+        (col("base_ts") +
+          expr("make_interval(0, 0, 0, 0, 0, 0, latency_s)")).as("done_ts"))
+      .withWatermark("done_ts", "2 hours")
+    val joined = sub.join(done, expr(
+      "done_id = sub_id AND done_ts >= sub_ts AND " +
+        "done_ts <= sub_ts + interval 5 minutes"))
+    val records = joined.select(
+      col("sub_id").cast("string").as("QueryId"),
+      upper(col("event_type")).as("QueryType"),
+      lit("QUERY_COMPLETED").as("EventType"),
+      col("sub_ts").as("StartTime"),
+      col("done_ts").as("EndTime"),
+      lit("SUCCESS").as("Status"),
+      to_json(struct(col("latency_s").as("latency_s"))).as("CountersObject"))
+    val q = graft.sink.EventSink.writeStream(records, out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val back = graft.sink.EventSink.read(s, out)
+    require(!back.isEmpty,
+      s"cap_stream_join round trip read back 0 rows from $out (source $src)")
+    back
+      // submission day, NOT EventDate: the sink partitions on the record's
+      // effective (end) time per the reference contract, and a completion
+      // latency can cross midnight — the funnel is reported by when work
+      // ARRIVED, which also keeps the oracle a pure function of the source
+      .groupBy(date_format(col("StartTime"), "yyyy-MM-dd").as("day"),
+        col("QueryType").as("query_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(get_json_object(col("CountersObject"), "$.latency_s")
+          .cast("double")) + lit(1e-9), 4).as("avg_latency_s"))
+      .orderBy("day", "query_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
-      "cap_stream_dedup" -> capStreamDedup)
+      "cap_stream_dedup" -> capStreamDedup,
+      "cap_stream_join" -> capStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "cap_pipeline" ->
@@ -234,6 +303,13 @@ object CaptureDemo {
     "cap_stream_dedup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
         |count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The original table, each event paired ONCE with its shifted twin —
+    // passes only if the stream-stream join was exactly-once end-to-end.
+    "cap_stream_join" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
+        |count(*) AS n,
+        |round(avg(CAST(floor(value) AS BIGINT) % 300) + 1e-9, 4) AS avg_latency_s
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
