@@ -429,6 +429,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Character-level edit-distance similarity join over document title
+    * prefixes: the fuzzy string matching a record-linkage / entity-
+    * resolution pass runs (typo'd titles, OCR noise), complementing the
+    * token-set family (Jaccard/MinHash) with true Levenshtein semantics.
+    * Candidates are pairs sharing a rare character 8-gram of the title
+    * (q-gram blocking); survivors are scored with exact `levenshtein` and
+    * kept at distance <= 3.
+    *
+    * Scale shape: the 8-gram inverted index is the only corpus-sized
+    * frame, materialized once and reused by the document-frequency filter
+    * and both self-join sides; the df cap (like [[xLshRecall]]'s shingle
+    * cap) bounds every gram bucket, so candidates grow linearly with the
+    * corpus, never quadratically — a gram shared by half the corpus never
+    * reaches the join. Exact scoring touches ids + two 30-char titles per
+    * candidate. Like any LSH-style blocker the gram filter is a recall
+    * knob, and the oracle mirrors it exactly. */
+  def xEditPairs(s: SparkSession, dir: String, dfCap: Int = 50,
+                 maxDist: Int = 3): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+    val g = t
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("title")) - 7, lit(1))),
+        i => col("title").substr(i, lit(8))))).as("gram"))
+      .localCheckpoint() // df filter + both join sides re-read it
+    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("gram")
+    val gg = g.join(rare, "gram")
+    val cand = gg.as("a").join(gg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta.title"), col("tb.title")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-document repeated-span coverage — the exact-substring-duplication
     * diagnostic behind suffix-array training-data dedup (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL 2022),
@@ -693,6 +734,7 @@ object Dedup {
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
     "x_containment_pairs" -> xContainmentPairs,
     "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
+    "x_edit_pairs" -> ((s, dir) => xEditPairs(s, dir)),
     "x_simhash" -> xSimhash,
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_simhash_md5" -> xSimhashMd5,
@@ -846,6 +888,22 @@ object Dedup {
         |  AND a.doc_id < b2.doc_id
         |WHERE round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
         |  / len(list_distinct(a.bg || b2.bg)), 4) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Mirrors the q-gram blocking exactly (same df cap), then exact
+    // levenshtein — DuckDB and Spark implement the same classic DP metric.
+    "x_edit_pairs" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(title) - 7, 1) + 1),
+        |  i -> substring(title, i, 8)))) AS gram FROM t),
+        |df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+        |gg AS (SELECT g.* FROM g JOIN df USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |CAST(levenshtein(ta.title, tb.title) AS INT) AS dist
+        |FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b
+        |WHERE levenshtein(ta.title, tb.title) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_repeated_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -464,6 +464,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("edit pairs: brute-force q-gram blocking + Levenshtein reconstruction") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val titles = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "substring(text, 1, 30) AS title").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      (1 to math.max(t.length - 7, 1)).map(i =>
+        t.substring(i - 1, math.min(i + 7, t.length))).toSet
+    val df = titles.values.toSeq.flatMap(t => grams(t).toSeq)
+      .groupBy(identity).view.mapValues(_.size)
+    val rareGrams = df.filter(_._2 <= 50).keySet
+    val exp = (for {
+      (ida, ta) <- titles; (idb, tb) <- titles
+      if ida < idb
+      if grams(ta).intersect(grams(tb)).exists(rareGrams)
+      d = lev(ta, tb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    val got = Dedup.xEditPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(got.nonEmpty, "blocking produced no pairs at sf0.001 — vacuous")
+  }
+
   test("pagerank: mass sums to 1, node set = cluster members, deterministic") {
     val members = Curation.xDupClusters(spark, dir).collect()
       .map(_.getLong(0)).toSet
