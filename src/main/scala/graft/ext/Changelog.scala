@@ -226,7 +226,42 @@ object Changelog {
       .orderBy("column_name")
   }
 
+  /** Snapshot diff — the change-data-feed between two table versions
+    * (what a lakehouse MERGE audit or an incremental-sync job computes):
+    * v2 is a deterministic mutation of the documents table (1/16 of docs
+    * dropped, 2/16 edited, 1/16 cloned as new ids, keyed by the first
+    * md5(doc_id) nibble so both engines reproduce it), and the diff is a
+    * FULL OUTER join of content fingerprints per id classifying every key
+    * as added / removed / changed.
+    *
+    * Scale shape: both sides reduce to (id, 16-byte fingerprint) at the
+    * scan; the full-outer hash join is co-partitioned on the id — the one
+    * shuffle — and only non-identical keys survive to the output. */
+  def xSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+    val v2 = docs
+      .filter(nib =!= "f") // dropped in v2
+      .select(col("doc_id"),
+        when(nib <= "1", concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(nib === "e") // cloned under a new id
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" [new]")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_snapshot_diff" -> xSnapshotDiff,
     "x_cdc_upsert" -> xCdcUpsert,
     "x_scd2_intervals" -> xScd2Intervals,
     "x_gapfill_daily" -> xGapfillDaily,
@@ -236,6 +271,27 @@ object Changelog {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+        |v2raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '1'
+        |      THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text || ' [new]' AS text
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'),
+        |v2 AS (SELECT doc_id, md5(text) AS fp2 FROM v2raw),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN fp1 IS NULL THEN 'added'
+        |       WHEN fp2 IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     "x_cdc_upsert" ->
       """SELECT user_id, event_type, epoch_ms(ts) AS last_ts_ms,
         |event_id AS last_event_id, round(value, 6) AS last_value, n_changes

@@ -137,6 +137,36 @@ class ChangelogSpec extends AnyFunSuite {
     assert(rows("l_quantity")._4 == f"$qMin%.2f", "quantity min formatting")
   }
 
+  test("snapshot diff: full-outer classification matches brute force") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v2 = docs.flatMap { case (id, text) =>
+      val nib = md5hex(id.toString).head
+      val kept = if (nib == 'f') None
+      else Some(id -> (if (nib <= '1') text + " [rev2]" else text))
+      val added = if (nib == 'e') Some((id + 10000000L) -> (text + " [new]"))
+      else None
+      kept ++ added
+    }
+    val exp = (docs.keySet ++ v2.keySet).flatMap { id =>
+      (docs.get(id), v2.get(id)) match {
+        case (None, Some(_))              => Some(id -> "added")
+        case (Some(_), None)              => Some(id -> "removed")
+        case (Some(a), Some(b)) if a != b => Some(id -> "changed")
+        case _                            => None
+      }
+    }
+    val got = Changelog.xSnapshotDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == exp, s"got ${got.size} diffs, expected ${exp.size}")
+    assert(Set("added", "removed", "changed").subsetOf(got.map(_._2)),
+      "a diff class is missing — the mutation no longer exercises it")
+  }
+
   test("mad outliers: medians match brute force; flags consistent with z") {
     val rows = Changelog.xMadOutliers(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
