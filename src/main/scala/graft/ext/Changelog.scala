@@ -260,8 +260,64 @@ object Changelog {
       .orderBy("doc_id")
   }
 
+  /** Equi-width histogram of a numeric measure — the per-bucket counts a
+    * cost-based optimizer's column histogram (or a data-profiling UI)
+    * needs beyond min/max: 16 buckets over l_extendedprice with closed
+    * bounds. Bucket bounds derive from a ONE-ROW broadcast min/max
+    * aggregate; assignment is a narrow map (`least` pins x = max into the
+    * last bucket); one grouped count ends it — two scans of one column,
+    * no shuffle wider than 16 rows. */
+  def xColumnHistogram(s: SparkSession, dir: String,
+                       nBuckets: Int = 16): DataFrame = {
+    val x = Tables.load(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+      .filter(col("x").isNotNull)
+    val b = x.agg(min("x").as("mn"), max("x").as("mx"))
+    val w = (col("mx") - col("mn")) / nBuckets
+    x.crossJoin(broadcast(b)) // one-row bounds frame
+      .select(
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("x") - col("mn")) / w)).cast("int")).as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy("bucket", "mn", "mx") // mn/mx constant: bounds stay in scope
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        round(col("mn") + col("bucket") * w + lit(1e-9), 4).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * w + lit(1e-9), 4).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Pairwise Pearson correlations between the lineitem measures — the
+    * column-dependence profile (price tracks quantity; discount doesn't)
+    * that feeds both CBO selectivity guesses and feature-redundancy
+    * pruning. ONE aggregate computes all three co-moments in a single
+    * scan (each is map-side-combinable), a 3-row stack unpivots; rounding
+    * to 4 dp absorbs the partial-merge-order fp noise inherent to
+    * distributed co-moment aggregation. */
+  def xColumnCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 4)
+          .as("c_qp"),
+        round(corr(col("l_quantity"), col("l_discount")) + lit(1e-9), 4)
+          .as("c_qd"),
+        round(corr(col("l_extendedprice"), col("l_discount")) + lit(1e-9), 4)
+          .as("c_pd"))
+      .select(expr(
+        """stack(3,
+          |'l_quantity~l_extendedprice', c_qp,
+          |'l_quantity~l_discount', c_qd,
+          |'l_extendedprice~l_discount', c_pd)
+          |AS (pair, pearson_r)""".stripMargin), col("n"))
+      .select(col("pair"), col("n"), col("pearson_r"))
+      .orderBy("pair")
+
   val queries: Map[String, Q] = Map(
     "x_snapshot_diff" -> xSnapshotDiff,
+    "x_column_histogram" -> ((s, dir) => xColumnHistogram(s, dir)),
+    "x_column_corr" -> xColumnCorr,
     "x_cdc_upsert" -> xCdcUpsert,
     "x_scd2_intervals" -> xScd2Intervals,
     "x_gapfill_daily" -> xGapfillDaily,
@@ -271,6 +327,27 @@ object Changelog {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_column_histogram" ->
+      """WITH x AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT min(x) AS mn, max(x) AS mx FROM x),
+        |h AS (SELECT CASE WHEN mx = mn THEN 0
+        |  ELSE CAST(least(15, floor((x - mn) / ((mx - mn) / 16))) AS INT)
+        |  END AS bucket, mn, mx FROM x, b)
+        |SELECT bucket, count(*) AS n,
+        |round(mn + bucket * ((mx - mn) / 16) + 1e-9, 4) AS lo,
+        |round(mn + (bucket + 1) * ((mx - mn) / 16) + 1e-9, 4) AS hi
+        |FROM h GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+    "x_column_corr" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS c_qp,
+        |  round(corr(l_quantity, l_discount) + 1e-9, 4) AS c_qd,
+        |  round(corr(l_extendedprice, l_discount) + 1e-9, 4) AS c_pd
+        |  FROM lineitem)
+        |SELECT 'l_quantity~l_extendedprice' AS pair, n, c_qp AS pearson_r FROM a
+        |UNION ALL SELECT 'l_quantity~l_discount', n, c_qd FROM a
+        |UNION ALL SELECT 'l_extendedprice~l_discount', n, c_pd FROM a
+        |ORDER BY pair""".stripMargin,
     "x_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
         |v2raw AS (

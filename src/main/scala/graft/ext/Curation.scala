@@ -808,6 +808,37 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Inverted-index build for the most discriminative vocabulary slice —
+    * the posting-list construction a distributed search index runs: the
+    * `k` rarest terms by document frequency (the terms whose postings
+    * actually narrow a search), each with its document postings AS ROWS.
+    * Emitting postings as (token, df, doc_id) rows rather than a
+    * concatenated list is the scale-honest representation: a posting list
+    * is a distributed table slice, never a driver- or worker-held string —
+    * the same reason [[xCorpusOverlap]] bounds its collect_set.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (token, doc) postings
+    * (two-phase distinct aggregation, materialized once for the df count
+    * and the postings join); document frequency is a map-side-combinable
+    * count; term selection is TakeOrdered (per-partition bottom-k, k-row
+    * merge — never a vocabulary sort); and the k-row term dimension
+    * broadcasts back onto the postings. */
+  def xInvertedIndex(s: SparkSession, dir: String, k: Int = 32)
+      : DataFrame = {
+    val postings = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select("token", "doc_id").distinct()
+      .localCheckpoint() // df count + the postings join both read it
+    val rare = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("token").asc)
+      .limit(k)
+    postings.join(broadcast(rare), "token")
+      .select(col("token"), col("df"), col("doc_id"))
+      .orderBy("token", "doc_id")
+  }
+
   /** Zipf-law fit over the head of the vocabulary — the one-row corpus
     * diagnostic that flags synthetic or template-heavy text: natural corpora
     * fit ln(freq) ≈ a + s·ln(rank) with slope s near −1; a much flatter or
@@ -990,6 +1021,7 @@ object Curation {
     "x_canonical_docs" -> xCanonicalDocs,
     "x_split_leakage_safe" -> xSplitLeakageSafe,
     "x_vocab_topk" -> ((s, dir) => xVocabTopk(s, dir)),
+    "x_inverted_index" -> ((s, dir) => xInvertedIndex(s, dir)),
     "x_vocab_coverage" -> ((s, dir) => xVocabCoverage(s, dir)),
     "x_context_fit" -> ((s, dir) => xContextFit(s, dir)),
     "x_source_drift" -> ((s, dir) => xSourceDrift(s, dir)),
@@ -1251,6 +1283,15 @@ object Curation {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
         |  count(*) AS n_docs
         |FROM f GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    "x_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |p AS (SELECT DISTINCT token, doc_id FROM toks WHERE len(token) > 0),
+        |rare AS (SELECT token, count(*) AS df FROM p GROUP BY 1
+        |  ORDER BY df ASC, token ASC LIMIT 32)
+        |SELECT p.token, df, doc_id
+        |FROM p JOIN rare USING (token)
+        |ORDER BY token, doc_id""".stripMargin,
     // Same top-256 head + '#OOV#' bucket + add-one smoothing; the per-pair
     // sum is 257 double terms, fp-order noise absorbed by round(+1e-9, 6)
     "x_source_drift" ->

@@ -167,6 +167,47 @@ class ChangelogSpec extends AnyFunSuite {
       "a diff class is missing — the mutation no longer exercises it")
   }
 
+  test("column histogram: partitions the rows, brute-force bucket parity") {
+    val xs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_extendedprice").na.drop().collect().map(_.getDouble(0))
+    val (mn, mx) = (xs.min, xs.max)
+    val w = (mx - mn) / 16
+    val rows = Changelog.xColumnHistogram(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == xs.length, "histogram must partition rows")
+    val exp = xs.groupBy(x => math.min(15, math.floor((x - mn) / w).toInt))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(exp(b) == n, s"bucket $b count")
+      assert(math.abs(lo - (mn + b * w)) < 1e-3, s"bucket $b lo")
+      assert(math.abs(hi - (mn + (b + 1) * w)) < 1e-3, s"bucket $b hi")
+    }
+  }
+
+  test("column corr: Pearson matches brute force on all three pairs") {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val got = Changelog.xColumnCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exp = Map(
+      "l_quantity~l_extendedprice" -> pearson(rows.map(_._1), rows.map(_._2)),
+      "l_quantity~l_discount" -> pearson(rows.map(_._1), rows.map(_._3)),
+      "l_extendedprice~l_discount" -> pearson(rows.map(_._2), rows.map(_._3)))
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-3, s"$k: got ${got(k)}, expected $v")
+    }
+  }
+
   test("mad outliers: medians match brute force; flags consistent with z") {
     val rows = Changelog.xMadOutliers(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

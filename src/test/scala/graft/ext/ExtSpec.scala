@@ -464,6 +464,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index: posting lists match brute force over the df band") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val postings = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rare = postings.toSeq.map { case (t, ids) => (t, ids.length) }
+      .sortBy { case (t, df) => (df, t) }.take(32).toMap
+    val exp = rare.toSeq.flatMap { case (t, df) =>
+      postings(t).map(id => (t, df.toLong, id))
+    }.toSet
+    val got = Curation.xInvertedIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"got ${got.size} postings, expected ${exp.size}")
+    assert(got.nonEmpty, "rare-term slice empty at sf0.001 — vacuous")
+  }
+
   test("edit pairs: brute-force q-gram blocking + Levenshtein reconstruction") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
