@@ -314,10 +314,86 @@ object Changelog {
       .select(col("pair"), col("n"), col("pearson_r"))
       .orderBy("pair")
 
+  /** OHLC downsampling — the open/high/low/close bars a time-series store
+    * derives per (series, day): open/close are the day's first/last value
+    * (ties broken by event_id), high/low the extremes. ONE grouped
+    * aggregate over the corpus; open/close ride `min_by`/`max_by` on the
+    * (ts, event_id) struct so they partial-aggregate map-side like the
+    * CDC upsert — never a per-day sort or window. */
+  def xOhlcDaily(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts"), col("event_id"))
+    ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        round(min_by(col("value"), key) + lit(1e-9), 4).as("open"),
+        round(max("value") + lit(1e-9), 4).as("high"),
+        round(min("value") + lit(1e-9), 4).as("low"),
+        round(max_by(col("value"), key) + lit(1e-9), 4).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Median imputation under deterministic corruption: 1/8 of event values
+    * are nulled (md5-nibble keyed, so both engines corrupt identically)
+    * and repaired with their event-type's median of the SURVIVING values —
+    * the standard numeric-imputation step of a cleaning pipeline, with the
+    * repair auditable via the imputed flag.
+    *
+    * Scale shape: the type->median dimension comes from one grouped exact
+    * median over the surviving values (a handful of groups — median cost
+    * is per-group, not per-corpus) and joins back broadcast-sized; the
+    * null injection and repair are narrow maps. */
+  def xImputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val corrupt = ev(s, dir)
+      .select(col("event_id"), col("event_type"),
+        when(substring(md5(col("event_id").cast("string")), 1, 1) <= "1",
+          lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+    val med = corrupt.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    corrupt.join(broadcast(med), "event_type")
+      .select(
+        col("event_id"), col("event_type"),
+        round(coalesce(col("value"), col("med")) + lit(1e-9), 4)
+          .as("value_imputed"),
+        col("value").isNull.as("was_imputed"))
+      .orderBy("event_id")
+  }
+
+  /** NDV sketch accuracy report — exact distinct counts beside the
+    * HyperLogLog estimate a 100 TB profiler would actually run, with the
+    * relative error asserted in-plan (the a5_sketch_bounds idiom: the
+    * estimate itself is engine-specific, so the oracle-checkable outputs
+    * are the exact value and the within-tolerance verdict, which is
+    * deterministic because HLL register merges are order-independent).
+    * Exact NDV per column is the same two-phase distinct shape as
+    * [[xTableStats]]; the HLL runs in the same single-column aggregate. */
+  def xNdvSketch(s: SparkSession, dir: String, relTol: Double = 0.1)
+      : DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    def one(c: String) = li.agg(
+      countDistinct(col(c)).as("ndv_exact"),
+      approx_count_distinct(col(c)).as("est"))
+      .select(lit(c).as("column_name"), col("ndv_exact"),
+        (abs(col("est") - col("ndv_exact")) <=
+          col("ndv_exact") * relTol).as("within_tol"))
+    one("l_orderkey")
+      .unionByName(one("l_partkey"))
+      .unionByName(one("l_suppkey"))
+      .unionByName(one("l_shipdate"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_snapshot_diff" -> xSnapshotDiff,
     "x_column_histogram" -> ((s, dir) => xColumnHistogram(s, dir)),
     "x_column_corr" -> xColumnCorr,
+    "x_ohlc_daily" -> xOhlcDaily,
+    "x_impute_median" -> xImputeMedian,
+    "x_ndv_sketch" -> ((s, dir) => xNdvSketch(s, dir)),
     "x_cdc_upsert" -> xCdcUpsert,
     "x_scd2_intervals" -> xScd2Intervals,
     "x_gapfill_daily" -> xGapfillDaily,
@@ -406,6 +482,45 @@ object Changelog {
         |(dd.v IS NULL) AS is_filled
         |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "x_ohlc_daily" ->
+      """WITH w AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM ($EVENTS) events)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |round(max(CASE WHEN rn_a = 1 THEN value END) + 1e-9, 4) AS open,
+        |round(max(value) + 1e-9, 4) AS high,
+        |round(min(value) + 1e-9, 4) AS low,
+        |round(max(CASE WHEN rn_d = 1 THEN value END) + 1e-9, 4) AS close,
+        |count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_impute_median" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |  CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '1'
+        |    THEN NULL ELSE value END AS value
+        |  FROM ($EVENTS) events),
+        |m AS (SELECT event_type, median(value) AS med FROM c
+        |  WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_id, c.event_type,
+        |round(coalesce(value, med) + 1e-9, 4) AS value_imputed,
+        |(value IS NULL) AS was_imputed
+        |FROM c JOIN m USING (event_type) ORDER BY event_id""".stripMargin,
+    // The estimate itself is engine-specific; the oracle-checkable outputs
+    // are the exact NDV and the within-tolerance verdict (expected true —
+    // an HLL drifting past 10% breaks the hash and we WANT to hear it).
+    "x_ndv_sketch" ->
+      """SELECT 'l_orderkey' AS column_name,
+        |  count(DISTINCT l_orderkey) AS ndv_exact, true AS within_tol
+        |  FROM lineitem
+        |UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey), true
+        |  FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey), true
+        |  FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(DISTINCT l_shipdate), true
+        |  FROM lineitem
+        |ORDER BY column_name""".stripMargin,
     "x_funnel_steps" ->
       """WITH e AS (SELECT * FROM ($EVENTS) events WHERE user_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e

@@ -208,6 +208,67 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlc: open/close pick the first/last by (ts, event_id)") {
+    def day(tsMs: Long) = java.time.Instant.ofEpochMilli(tsMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val exp = raw.groupBy(e => (e._4, day(e._2))).map { case (k, es) =>
+      val open = es.minBy(e => (e._2, e._1))._5
+      val close = es.maxBy(e => (e._2, e._1))._5
+      k -> (open, es.map(_._5).max, es.map(_._5).min, close, es.length.toLong)
+    }
+    val got = Changelog.xOhlcDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, (o, h, l, c, n)) =>
+      val g = got(k)
+      assert(math.abs(g._1 - o) < 1e-3 && math.abs(g._2 - h) < 1e-3 &&
+        math.abs(g._3 - l) < 1e-3 && math.abs(g._4 - c) < 1e-3 && g._5 == n,
+        s"bar mismatch at $k: got $g expected ($o,$h,$l,$c,$n)")
+      assert(g._3 <= g._1 + 1e-9 && g._1 <= g._2 + 1e-9, s"open outside range at $k")
+      assert(g._3 <= g._4 + 1e-9 && g._4 <= g._2 + 1e-9, s"close outside range at $k")
+    }
+  }
+
+  test("impute: only md5-selected rows repaired, with the survivor median") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val corrupted = raw.map(e => (e._1, e._4, e._5,
+      md5hex(e._1.toString).head <= '1'))
+    val meds = corrupted.filterNot(_._4).groupBy(_._2)
+      .map { case (t, es) => t -> median(es.map(_._3)) }
+    val got = Changelog.xImputeMedian(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(got.size == raw.length)
+    corrupted.foreach { case (id, tpe, v, hit) =>
+      val (gt, gv, gflag) = got(id)
+      assert(gt == tpe && gflag == hit, s"flag wrong at $id")
+      val expV = if (hit) meds(tpe) else v
+      assert(math.abs(gv - expV) < 1e-3, s"value wrong at $id")
+    }
+    assert(corrupted.exists(_._4), "corruption selected nothing — vacuous")
+  }
+
+  test("ndv sketch: exact counts match; HLL within tolerance everywhere") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = Changelog.xNdvSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_shipdate"))
+    rows.foreach { case (c, (ndv, ok)) =>
+      assert(ndv == li.select(c).na.drop().distinct().count(), s"$c ndv")
+      assert(ok, s"$c HLL estimate outside 10% of exact")
+    }
+  }
+
   test("mad outliers: medians match brute force; flags consistent with z") {
     val rows = Changelog.xMadOutliers(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
