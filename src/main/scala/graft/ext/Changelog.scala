@@ -387,7 +387,34 @@ object Changelog {
       .orderBy("column_name")
   }
 
+  /** Event-type transition matrix — the first-order Markov chain over each
+    * user's time-ordered event sequence (what follows a click? how often
+    * does a view convert?): per (from, to) pair the transition count and
+    * the row-normalized probability. The behavioral fingerprint that
+    * drift-checks a funnel redesign, and the input a sequence simulator
+    * samples from.
+    *
+    * One `lead` window partitioned on the user key (each user's history
+    * sorts independently — the same single required shuffle as SCD2), then
+    * type-pair counting on map-side-combinable aggregates; the row totals
+    * join is #types-squared-sized. */
+  def xEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("event_type").agg(sum("n").as("n_from"))
+    pairs.join(totals, "event_type")
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"), col("n"),
+        round(col("n") / col("n_from") + lit(1e-9), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_event_transitions" -> xEventTransitions,
     "x_snapshot_diff" -> xSnapshotDiff,
     "x_column_histogram" -> ((s, dir) => xColumnHistogram(s, dir)),
     "x_column_corr" -> xColumnCorr,
@@ -482,6 +509,18 @@ object Changelog {
         |(dd.v IS NULL) AS is_filled
         |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "x_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id
+        |  FROM ($EVENTS) events WHERE user_id IS NOT NULL),
+        |t AS (SELECT event_type, lead(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e),
+        |n AS (SELECT event_type, next_type, count(*) AS n FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM n GROUP BY 1)
+        |SELECT n.event_type AS from_type, next_type AS to_type, n,
+        |round(n / n_from::DOUBLE + 1e-9, 6) AS p
+        |FROM n JOIN tot USING (event_type) ORDER BY 1, 2""".stripMargin,
     "x_ohlc_daily" ->
       """WITH w AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
         |  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)

@@ -208,6 +208,25 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions: counts match brute force, rows normalize to 1") {
+    val exp = raw.filter(_._3.isDefined).groupBy(_._3.get).toSeq
+      .flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._1)).map(_._4).sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        }
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Changelog.xEventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, n) => assert(got(k)._1 == n, s"count wrong at $k") }
+    got.groupBy(_._1._1).foreach { case (from, rs) =>
+      val mass = rs.values.map(_._2).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"row $from sums to $mass")
+    }
+  }
+
   test("ohlc: open/close pick the first/last by (ts, event_id)") {
     def day(tsMs: Long) = java.time.Instant.ofEpochMilli(tsMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
