@@ -413,7 +413,47 @@ object Changelog {
       .orderBy("from_type", "to_type")
   }
 
+  /** Join-key skew report — the diagnostic that decides whether a join
+    * needs salting / AQE skew splitting before it melts an executor: the
+    * heaviest keys of orders.o_custkey with each key's row count, share of
+    * the table, and skew factor vs the mean key. Key counting is one
+    * map-side-combinable aggregate; the corpus-wide stats ride a one-row
+    * broadcast; the head is TakeOrdered (per-partition top-k), never a
+    * full sort of the key histogram. */
+  def xSkewReport(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val counts = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum("n").as("n_rows"),
+      avg("n").as("mean_n"))
+    counts.orderBy(col("n").desc, col("o_custkey").asc).limit(topK)
+      .crossJoin(broadcast(stats)) // one-row stats frame
+      .select(col("o_custkey"), col("n"),
+        round(col("n") / col("n_rows") + lit(1e-9), 6).as("share"),
+        round(col("n") / col("mean_n") + lit(1e-9), 4).as("skew_factor"))
+      .orderBy(col("n").desc, col("o_custkey").asc)
+  }
+
+  /** Daily unique users, exact beside the HLL estimate with the error
+    * asserted in-plan — [[xNdvSketch]]'s idiom applied per group, the way
+    * a 100 TB dashboard would actually compute uniques (grouped HLL
+    * partials merge map-side; the exact twin is the audit). */
+  def xDailyUniques(s: SparkSession, dir: String, relTol: Double = 0.1)
+      : DataFrame =
+    ev(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("uniques_exact"),
+        approx_count_distinct(col("user_id")).as("est"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("uniques_exact"),
+        (abs(col("est") - col("uniques_exact")) <=
+          col("uniques_exact") * relTol).as("within_tol"))
+      .orderBy("day")
+
   val queries: Map[String, Q] = Map(
+    "x_skew_report" -> ((s, dir) => xSkewReport(s, dir)),
+    "x_daily_uniques" -> ((s, dir) => xDailyUniques(s, dir)),
     "x_event_transitions" -> xEventTransitions,
     "x_snapshot_diff" -> xSnapshotDiff,
     "x_column_histogram" -> ((s, dir) => xColumnHistogram(s, dir)),
@@ -509,6 +549,19 @@ object Changelog {
         |(dd.v IS NULL) AS is_filled
         |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "x_skew_report" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, avg(n) AS mean_n
+        |  FROM c),
+        |top AS (SELECT * FROM c ORDER BY n DESC, o_custkey ASC LIMIT 20)
+        |SELECT o_custkey, n,
+        |round(n / n_rows::DOUBLE + 1e-9, 6) AS share,
+        |round(n / mean_n + 1e-9, 4) AS skew_factor
+        |FROM top, st ORDER BY n DESC, o_custkey ASC""".stripMargin,
+    "x_daily_uniques" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |count(DISTINCT user_id) AS uniques_exact, true AS within_tol
+        |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_event_transitions" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id
         |  FROM ($EVENTS) events WHERE user_id IS NOT NULL),

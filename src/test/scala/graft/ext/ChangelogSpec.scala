@@ -208,6 +208,37 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("skew report: top keys match brute force, factors consistent") {
+    val counts = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").count().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val mean = total.toDouble / counts.length
+    val expTop = counts.sortBy { case (k, n) => (-n, k) }.take(20)
+    val got = Changelog.xSkewReport(spark, dir).collect()
+      .map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expTop.toSeq)
+    got.foreach { case (k, n, share, skew) =>
+      assert(math.abs(share - n.toDouble / total) < 1e-5, s"share at $k")
+      assert(math.abs(skew - n / mean) < 1e-3, s"skew factor at $k")
+    }
+  }
+
+  test("daily uniques: exact matches brute force; HLL in tolerance") {
+    def day(tsMs: Long) = java.time.Instant.ofEpochMilli(tsMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val exp = raw.groupBy(e => day(e._2)).view
+      .mapValues(_.flatMap(_._3).distinct.size.toLong).toMap
+    val got = Changelog.xDailyUniques(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (d, n) =>
+      assert(got(d)._1 == n, s"exact uniques wrong on $d")
+      assert(got(d)._2, s"HLL outside tolerance on $d")
+    }
+  }
+
   test("transitions: counts match brute force, rows normalize to 1") {
     val exp = raw.filter(_._3.isDefined).groupBy(_._3.get).toSeq
       .flatMap { case (_, es) =>
