@@ -222,13 +222,22 @@ object CaptureDemo {
       case "long" => expr("timestamp_micros(ts DIV 1000)")
       case _      => col("ts")
     }
-    val sub = stream()
+    // The assessment layer's valid-event contract, applied to BOTH stream
+    // arms AND the oracle: a NULL event time cannot carry a watermark and a
+    // NULL latency can never satisfy the range bound, so without the
+    // symmetric filter the join silently drops exactly the rows the oracle
+    // still counts (found by the nullev adversarial corpus).
+    val valid = col("ts").isNotNull && col("event_type").isNotNull &&
+      col("value").isNotNull
+    val sub = stream().filter(valid)
       .select(col("event_id").as("sub_id"), col("event_type"),
         tsCol.as("sub_ts"))
       .withWatermark("sub_ts", "1 hour")
-    val done = stream()
+    val done = stream().filter(valid)
       .withColumn("base_ts", tsCol)
-      .withColumn("latency_s", floor(col("value")).cast("long") % 300)
+      // pmod, not %: a negative value would yield a negative latency, and a
+      // completion before its submission can never satisfy the range bound
+      .withColumn("latency_s", pmod(floor(col("value")).cast("long"), lit(300)))
       .select(col("event_id").as("done_id"), col("latency_s"),
         (col("base_ts") +
           expr("make_interval(0, 0, 0, 0, 0, 0, latency_s)")).as("done_ts"))
@@ -309,7 +318,10 @@ object CaptureDemo {
     "cap_stream_join" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
         |count(*) AS n,
-        |round(avg(CAST(floor(value) AS BIGINT) % 300) + 1e-9, 4) AS avg_latency_s
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |round(avg(((CAST(floor(value) AS BIGINT) % 300) + 300) % 300) + 1e-9, 4)
+        |  AS avg_latency_s
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -451,7 +451,38 @@ object Changelog {
           col("uniques_exact") * relTol).as("within_tol"))
       .orderBy("day")
 
+  /** Stable contiguous row numbering by key order — `row_number() OVER
+    * (ORDER BY doc_id)` without the single-partition global sort that
+    * window requires (the classic zipWithIndex problem;
+    * `monotonically_increasing_id` is neither contiguous nor stable).
+    * Range-partition on the key, rank locally within each partition, and
+    * add per-partition offsets computed from the partition-size histogram:
+    * identical output to the global window, but every corpus-sized step is
+    * partition-local. The offset frame is #partitions rows (a running sum
+    * over a frame that small is free) and broadcasts back. Partition
+    * boundaries come from range-partitioner sampling; ANY boundary choice
+    * yields the same final numbering because offsets are derived from the
+    * actual partition sizes. */
+  def xStableIds(s: SparkSession, dir: String, nParts: Int = 8): DataFrame = {
+    val ranged = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // freeze row->partition placement for both reads
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    ranged.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("lang"),
+        (row_number().over(local) + col("offset")).as("stable_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_stable_ids" -> ((s, dir) => xStableIds(s, dir)),
     "x_skew_report" -> ((s, dir) => xSkewReport(s, dir)),
     "x_daily_uniques" -> ((s, dir) => xDailyUniques(s, dir)),
     "x_event_transitions" -> xEventTransitions,
@@ -549,6 +580,10 @@ object Changelog {
         |(dd.v IS NULL) AS is_filled
         |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "x_stable_ids" ->
+      """SELECT doc_id, lang,
+        |CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS stable_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_skew_report" ->
       """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
         |st AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, avg(n) AS mean_n

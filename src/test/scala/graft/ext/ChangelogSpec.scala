@@ -208,6 +208,17 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("stable ids: contiguous 1..N in doc_id order, no global sort needed") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = Changelog.xStableIds(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == ids.length)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      assert(got(id) == i + 1L, s"doc $id numbered ${got(id)}, want ${i + 1}")
+    }
+  }
+
   test("skew report: top keys match brute force, factors consistent") {
     val counts = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy("o_custkey").count().collect()
