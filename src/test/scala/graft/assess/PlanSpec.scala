@@ -407,6 +407,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("cdc upsert + ohlc: struct-extrema aggregates, never a window sort") {
+    val up = planOf(graft.ext.Changelog.xCdcUpsert(spark, dir))
+    assert(!up.contains("Window"),
+      s"latest-wins must be an aggregate, not row_number:\n${up.take(2000)}")
+    val ohlc = planOf(graft.ext.Changelog.xOhlcDaily(spark, dir))
+    assert(!ohlc.contains("Window"),
+      s"open/close must ride min_by/max_by:\n${ohlc.take(2000)}")
+  }
+
+  test("table stats: per-column aggregates, never the multi-distinct Expand") {
+    val plan = planOf(graft.ext.Changelog.xTableStats(spark, dir))
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand replicates every row 5x:\n${plan.take(2000)}")
+  }
+
+  test("snapshot diff: full-outer on fingerprints, no cartesian") {
+    val opt = graft.ext.Changelog.xSnapshotDiff(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("FullOuter"), s"expected full outer:\n${opt.take(2000)}")
+    val plan = planOf(graft.ext.Changelog.xSnapshotDiff(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("stable ids: rank window is partition-local, offsets broadcast back") {
+    val plan = planOf(graft.ext.Changelog.xStableIds(spark, dir))
+    // the corpus-sized rank window must carry the pid partition key; the
+    // only unpartitioned window is the #partitions-row offset cumsum
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"rank window lost its partition key:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets should broadcast, not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
+  test("edit pairs: gram index materialized once, no per-pair set algebra") {
+    val df = graft.ext.Dedup.xEditPairs(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array_intersect"), opt.take(2000))
+    // the checkpointed gram index shows up as scan nodes, not three
+    // re-expansions of the explode pipeline
+    assert("ExistingRDD|Scan ExistingRDD|LogicalRDD".r
+      .findAllIn(opt).nonEmpty, opt.take(2000))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("skew report + inverted index: head is TakeOrdered, dims broadcast") {
+    val sk = planOf(graft.ext.Changelog.xSkewReport(spark, dir))
+    assert(sk.contains("TakeOrderedAndProject"),
+      s"top keys must be per-partition top-k:\n${sk.take(2000)}")
+    val inv = planOf(graft.ext.Curation.xInvertedIndex(spark, dir))
+    assert(inv.contains("TakeOrderedAndProject"),
+      s"rare-term selection must be TakeOrdered:\n${inv.take(2000)}")
+    assert(inv.contains("BroadcastHashJoin"),
+      s"the k-row term dim must broadcast:\n${inv.take(2000)}")
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
