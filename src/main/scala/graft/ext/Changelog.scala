@@ -481,7 +481,44 @@ object Changelog {
       .orderBy("doc_id")
   }
 
+  /** Point-in-time dimension lookup — the consumer side of [[xScd2Intervals]]:
+    * each purchase joins the signup "profile version" that was valid AT its
+    * event time ([valid_from, valid_to) containment, open current
+    * interval), which is how a feature store guarantees no future leakage
+    * and how a versioned dimension is read correctly.
+    *
+    * Scale shape: the version history is built with one key-partitioned
+    * lead window; the PIT join is a user_id EQUI-join (co-partitioned with
+    * the window) plus the containment filter — per-key histories are small
+    * by construction, so the range predicate prunes inside a bucket and
+    * nothing is quadratic in the corpus. Exactly one interval matches per
+    * fact because consecutive versions partition the timeline. */
+  def xPitLookup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = ev(s, dir)
+      .filter(col("event_type") === "signup" && col("user_id").isNotNull)
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id").as("d_uid"), col("value").as("profile_value"),
+        col("valid_from"), col("valid_to"))
+    val facts = ev(s, dir)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+    facts.join(dim,
+        col("user_id") === col("d_uid") &&
+          col("p_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+      .select(col("purchase_id"), col("user_id"),
+        round(col("amount") + lit(1e-9), 4).as("amount"),
+        round(col("profile_value") + lit(1e-9), 4).as("profile_value"),
+        unix_millis(col("valid_from")).as("version_ms"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_pit_lookup" -> xPitLookup,
     "x_stable_ids" -> ((s, dir) => xStableIds(s, dir)),
     "x_skew_report" -> ((s, dir) => xSkewReport(s, dir)),
     "x_daily_uniques" -> ((s, dir) => xDailyUniques(s, dir)),
@@ -580,6 +617,23 @@ object Changelog {
         |(dd.v IS NULL) AS is_filled
         |FROM g LEFT JOIN dd ON g.user_id = dd.user_id AND g.day = dd.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "x_pit_lookup" ->
+      """WITH e AS (SELECT * FROM ($EVENTS) events WHERE user_id IS NOT NULL),
+        |dim AS (SELECT user_id AS d_uid, value AS profile_value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        |  FROM e WHERE event_type = 'signup'),
+        |f AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+        |  value AS amount FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, user_id,
+        |round(amount + 1e-9, 4) AS amount,
+        |round(profile_value + 1e-9, 4) AS profile_value,
+        |epoch_ms(valid_from) AS version_ms
+        |FROM f JOIN dim ON user_id = d_uid
+        |  AND p_ts >= valid_from
+        |  AND (valid_to IS NULL OR p_ts < valid_to)
+        |ORDER BY purchase_id""".stripMargin,
     "x_stable_ids" ->
       """SELECT doc_id, lang,
         |CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS stable_id

@@ -208,6 +208,25 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("pit lookup: each purchase sees exactly the version valid at its ts") {
+    val byUser = raw.filter(_._3.isDefined).groupBy(_._3.get)
+    val exp = byUser.toSeq.flatMap { case (u, es) =>
+      val versions = es.filter(_._4 == "signup").sortBy(e => (e._2, e._1))
+      es.filter(_._4 == "purchase").flatMap { p =>
+        val live = versions.zipWithIndex.find { case (v, i) =>
+          p._2 >= v._2 &&
+            (i + 1 >= versions.length || p._2 < versions(i + 1)._2)
+        }
+        live.map { case (v, _) => (p._1, u, v._2) }
+      }
+    }.toSet
+    val got = Changelog.xPitLookup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == exp, s"got ${got.size} lookups, expected ${exp.size}")
+    assert(got.nonEmpty, "no purchase matched any version — vacuous")
+    assert(got.map(_._1).size == got.size, "a purchase matched two versions")
+  }
+
   test("stable ids: contiguous 1..N in doc_id order, no global sort needed") {
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).sorted
