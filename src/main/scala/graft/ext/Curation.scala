@@ -839,6 +839,35 @@ object Curation {
       .orderBy("token", "doc_id")
   }
 
+  /** Triangle enumeration over the near-dup graph — the third classic
+    * graph primitive beside components ([[xDupClusters]]) and centrality
+    * ([[xDupPagerank]]): a triangle means three documents that pairwise
+    * near-duplicate each other, the strongest clique evidence a
+    * transitive-closure dedup can act on without manual review (A~B~C by
+    * chaining can be drift; A~B~C with all three edges is a template).
+    *
+    * Standard ordered node-iterator enumeration: edges are kept as
+    * (lo, hi) pairs, wedges come from one edge-edge equi-join on the
+    * middle vertex, and a second equi-join confirms the closing edge —
+    * every triangle found exactly once because a < b < c. Wedge volume is
+    * sum-of-degree-squared, bounded on a near-dup graph by the largest
+    * quasi-clique, never by the corpus; the edge list is frozen once. */
+  def xTriangles(s: SparkSession, dir: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val edges = Dedup.minhashPairsUnordered(s, dir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b")) // doc_a < doc_b by construction
+      .localCheckpoint() // wedge build + closing join both read it
+    edges.as("e1")
+      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("doc_a"), col("e1.doc_b").as("doc_b"),
+        col("e2.doc_b").as("doc_c"))
+      .join(edges.as("e3"),
+        col("doc_a") === col("e3.doc_a") && col("doc_c") === col("e3.doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("doc_c"))
+      .orderBy("doc_a", "doc_b", "doc_c")
+  }
+
   /** Zipf-law fit over the head of the vocabulary — the one-row corpus
     * diagnostic that flags synthetic or template-heavy text: natural corpora
     * fit ln(freq) ≈ a + s·ln(rank) with slope s near −1; a much flatter or
@@ -1036,6 +1065,7 @@ object Curation {
     "x_dup_quality" -> xDupQuality,
     "x_quality_calibration" -> xQualityCalibration,
     "x_dup_pagerank" -> ((s, dir) => xDupPagerank(s, dir)),
+    "x_triangles" -> ((s, dir) => xTriangles(s, dir)),
     "x_sample_hash" -> xSampleHash,
     "x_dsir_select" -> ((s, dir) => xDsirSelect(s, dir)),
     "x_sample_weighted" -> ((s, dir) => xSampleWeighted(s, dir)),
@@ -1168,6 +1198,14 @@ object Curation {
     // the x_minhash_pairs oracle).
     "x_dup_clusters" ->
       (ClusterLabelCte + "\nSELECT doc_id, cluster FROM cl ORDER BY 1"),
+    // e0 is the ordered (lo < hi) near-dup edge list from the shared CTE.
+    "x_triangles" ->
+      (ClusterLabelCte +
+        """
+          |SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+          |FROM e0 e1 JOIN e0 e2 ON e1.doc_b = e2.doc_a
+          |JOIN e0 e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+          |ORDER BY doc_a, doc_b, doc_c""".stripMargin),
     // Unrolled 3-iteration twin of the power loop; shares the edge CTEs.
     "x_dup_pagerank" ->
       (ClusterLabelCte +

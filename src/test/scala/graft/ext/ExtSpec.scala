@@ -513,6 +513,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "blocking produced no pairs at sf0.001 — vacuous")
   }
 
+  test("triangles: every triple pairwise-connected, found exactly once") {
+    val edges = Dedup.minhashPairsUnordered(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Curation.xTriangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet.size == rows.length, "a triangle enumerated twice")
+    rows.foreach { case (a, b, c) =>
+      assert(a < b && b < c, s"ordering broken: ($a,$b,$c)")
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)),
+        s"($a,$b,$c) is not pairwise connected")
+    }
+    // brute-force completeness over the collected edge set
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      (a, b) <- edges.toSeq; c <- nodes if b < c
+      if edges((b, c)) && edges((a, c))
+    } yield (a, b, c)).toSet
+    assert(rows.toSet == expected,
+      s"got ${rows.length} triangles, expected ${expected.size}")
+    assert(rows.nonEmpty, "no triangles at sf0.001 — vacuous")
+  }
+
   test("pagerank: mass sums to 1, node set = cluster members, deterministic") {
     val members = Curation.xDupClusters(spark, dir).collect()
       .map(_.getLong(0)).toSet
