@@ -149,7 +149,11 @@ object Bench {
     }
     val line = prefix + kept.result() + "}}"
     // Emit AFTER spark.stop() so shutdown log noise cannot push the record
-    // out of a tail capture; it is the process's last stdout line.
+    // out of a tail capture; it is the process's last stdout line. Stop any
+    // streaming query still active first: the StateStore maintenance thread
+    // races SparkEnv teardown otherwise ("SparkEnv not active" crash in the
+    // r6 bench tail).
+    spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => })
     spark.stop()
     println(line)
     System.out.flush()

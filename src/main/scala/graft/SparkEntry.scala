@@ -12,10 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Points at the curation capstone — a composed pipeline (exact-dup
+    * keeper → language/quality gates → decontamination → boilerplate
+    * ceiling) — so the smoke exercises the ext layer end-to-end, not just
+    * one star join (the star workload is already 23-query oracle-pinned). */
   def entry(spark: SparkSession): DataFrame = {
     Graft.configure(spark)
-    assess.StarQueries.q5NationRevenue(spark, "/root/testdata/sf0.001")
+    ext.Curation.xCurateCorpus(spark, "/root/testdata/sf0.001")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,11 +17,23 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // A query that throws must surface as an `err` row, not silent absence
+    // (round 7: x_triangles failed analysis and simply vanished from
+    // CORRECTNESS — 160 rows for 161 queries). On catch we (a) record the
+    // failure, (b) leave a marker dir the driver's reader will trip on
+    // instead of an ordinary missing key, and (c) exit nonzero at the end.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.toString)
+          .linesIterator.next()
+        val marker = Paths.get(s"$outDir/$name")
+        Files.createDirectories(marker)
+        Files.writeString(marker.resolve("QUERY_FAILED.txt"),
+          s"$name\n${e.toString}\n")
       }
       // Queries are independent units of work: drop any localCheckpoint
       // blocks this one left behind so storage memory stays flat across
@@ -44,6 +56,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val ej = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_errors.json"), ej)
+      System.err.println(s"[verify] ${failures.size} quer" +
+        s"${if (failures.size == 1) "y" else "ies"} FAILED: " +
+        failures.keys.mkString(", "))
+    }
+    // Stop any streaming query a capture round-trip left active before
+    // tearing the session down — the StateStore maintenance thread races
+    // SparkEnv shutdown otherwise (r6 bench tail crash).
+    spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => })
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

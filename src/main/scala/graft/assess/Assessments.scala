@@ -220,6 +220,61 @@ object Assessments {
       .orderBy("event_type")
   }
 
+  /** A5 — deterministic approximation twin for [[a5ApproxSketches]]: the
+    * same estimate-vs-exact shape (approximate median, approximate distinct
+    * users, exact companions) built from DETERMINISTIC estimators both
+    * engines compute bit-for-bit, so the whole row hash-matches the DuckDB
+    * oracle instead of going rows-only. The md5 twins gave SimHash this
+    * treatment in r6; this closes the a5 gap the same way.
+    *
+    *  - p50_sample: exact median over the md5(event_id)-prefix 25% sample
+    *    (the [[graft.ext.Curation.xSampleHash]] draw) — a deterministic
+    *    stand-in for a sampled-percentile sketch.
+    *  - users_kmv: bottom-k (k=64) KMV distinct estimate over
+    *    md5(user_id): exact when a type has ≤ k users, else
+    *    (k-1)/fraction(kth smallest hash) — the same estimator as
+    *    x_kmv_setops, reproduced hex-nibble-for-nibble in the oracle.
+    *
+    * Scale shape: the sample arm is a narrow filter + one grouped
+    * aggregate; the KMV arm rides the deduped (type, user) frame — the
+    * per-type bottom-k window sees k·|types| rows after the partial
+    * row_number prune, never the corpus; all joins broadcast |types| rows. */
+  def a5ApproxTwin(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val base = ev(s, dir)
+    val exact = base.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50_exact"))
+    val sample = base
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) <= "3")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50_sample"))
+    val users = base.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", md5(col("user_id").cast("string")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kth = users.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("kth"))
+    val exactUsers = users.groupBy("event_type")
+      .agg(count(lit(1)).as("users_exact"))
+    // kth-hash fraction of the hash space from the first 8 hex chars;
+    // KMV estimate (k-1)/frac, exact below k. conv() is the Spark half of
+    // the oracle's strpos-nibble arithmetic.
+    val frac = conv(substring(col("kth"), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    exact
+      .join(broadcast(sample), Seq("event_type"), "left")
+      .join(broadcast(exactUsers), Seq("event_type"), "left")
+      .join(broadcast(kth), Seq("event_type"), "left")
+      .select(col("event_type"), col("p50_sample"), col("p50_exact"),
+        coalesce(
+          when(col("users_exact") <= k, col("users_exact"))
+            .otherwise(round(lit((k - 1).toDouble) / frac, 0).cast("long")),
+          lit(0L)).as("users_kmv"),
+        coalesce(col("users_exact"), lit(0L)).as("users_exact"))
+      .orderBy("event_type")
+  }
+
   /** A6 — top-K heaviest per group via ranking window. */
   def a6TopkByType(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -553,6 +608,7 @@ object Assessments {
     "a5_value_percentiles" -> a5ValuePercentiles,
     "a5_approx_sketches" -> a5ApproxSketches,
     "a5_sketch_bounds" -> a5SketchBounds,
+    "a5_approx_twin" -> ((s, dir) => a5ApproxTwin(s, dir)),
     "a6_topk_by_type" -> a6TopkByType,
     "a6_value_quartiles" -> a6ValueQuartiles,
     "a6_quartiles_scaled" -> a6QuartilesScaled,
@@ -642,6 +698,30 @@ object Assessments {
         |count(DISTINCT user_id) AS users_exact,
         |TRUE AS p50_in_bound, TRUE AS users_in_bound
         |FROM ($EVENTS) events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Deterministic estimators (hash-sample median, KMV bottom-64) the
+    // oracle reproduces exactly — see a5ApproxTwin scaladoc.
+    "a5_approx_twin" ->
+      """WITH e AS (SELECT event_type, event_id, user_id, value FROM ($EVENTS) events),
+        |ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact
+        |  FROM e GROUP BY 1),
+        |smp AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_sample
+        |  FROM e WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '3'
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM e WHERE user_id IS NOT NULL),
+        |ks AS (SELECT event_type, count(*) AS users_exact,
+        |  list_sort(list(h)) AS hs FROM u GROUP BY 1),
+        |est AS (SELECT event_type, users_exact,
+        |  CASE WHEN users_exact <= 64 THEN users_exact
+        |  ELSE CAST(round(63.0 / (CAST(list_sum(list_transform(range(1, 9), j ->
+        |    CAST(strpos('0123456789abcdef', substring(hs[64], j, 1)) - 1 AS DOUBLE)
+        |      * 16 ** (8 - j))) AS DOUBLE) / 4294967296.0)) AS BIGINT) END AS users_kmv
+        |  FROM ks)
+        |SELECT ex.event_type, smp.p50_sample, ex.p50_exact,
+        |  coalesce(est.users_kmv, 0) AS users_kmv,
+        |  coalesce(est.users_exact, 0) AS users_exact
+        |FROM ex LEFT JOIN smp USING (event_type) LEFT JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "a6_topk_by_type" ->
       """SELECT event_type, rnk, event_id, round(value,2) AS value FROM (
         |SELECT event_type, event_id, value,

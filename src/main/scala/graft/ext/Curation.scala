@@ -846,25 +846,69 @@ object Curation {
     * transitive-closure dedup can act on without manual review (A~B~C by
     * chaining can be drift; A~B~C with all three edges is a template).
     *
-    * Standard ordered node-iterator enumeration: edges are kept as
-    * (lo, hi) pairs, wedges come from one edge-edge equi-join on the
-    * middle vertex, and a second equi-join confirms the closing edge —
-    * every triangle found exactly once because a < b < c. Wedge volume is
-    * sum-of-degree-squared, bounded on a near-dup graph by the largest
-    * quasi-clique, never by the corpus; the edge list is frozen once. */
+    * Degree-ordered node-iterator enumeration (the compact-forward /
+    * "oriented wedge" algorithm): each undirected edge is oriented from its
+    * lower (degree, id) endpoint to the higher, wedges are pairs of
+    * out-edges of one source, and a final equi-join confirms the closing
+    * oriented edge. Orienting by raw id alone keeps correctness but lets a
+    * template-flood star (one doc near-duping thousands) put degree² wedges
+    * in one partition; orienting by degree first caps every out-degree at
+    * O(√m), so the wedge count is O(m^1.5) worst-case and the heaviest
+    * wedge partition stays bounded on exactly the skewed dup-graphs
+    * near-dup detection produces. Every triangle is found exactly once
+    * (its three vertices have a unique (degree, id) order), then re-sorted
+    * to ascending ids so the output contract — and the DuckDB oracle —
+    * stay those of the naive enumeration. */
   def xTriangles(s: SparkSession, dir: String,
                  threshold: Double = 0.5): DataFrame = {
-    val edges = Dedup.minhashPairsUnordered(s, dir)
+    val und = Dedup.minhashPairsUnordered(s, dir)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b")) // doc_a < doc_b by construction
+    trianglesDegreeOriented(und)
+  }
+
+  /** Core of [[xTriangles]], reusable over any undirected (doc_a, doc_b)
+    * edge list (each edge once, endpoints distinct). Kept separate so the
+    * skew bound is testable on synthetic fixtures (CurationSpec pins both
+    * the star-graph wedge bound and agreement with brute-force). */
+  def trianglesDegreeOriented(und: DataFrame): DataFrame = {
+    // Degrees: one grouped count over the exploded endpoint list; the
+    // degree frame is |V| rows — joined (not broadcast: V scales with the
+    // corpus) back onto the edge list on each endpoint.
+    val deg = und
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // two endpoint joins read it
+    val keyed = und
+      .join(deg.withColumnRenamed("v", "doc_a")
+        .withColumnRenamed("deg", "deg_a"), "doc_a")
+      .join(deg.withColumnRenamed("v", "doc_b")
+        .withColumnRenamed("deg", "deg_b"), "doc_b")
+    // Orient low (degree, id) -> high; carry the destination's rank key so
+    // wedge endpoints can be ordered without re-joining degrees.
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    val oriented = keyed.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("ddeg"))
       .localCheckpoint() // wedge build + closing join both read it
-    edges.as("e1")
-      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-      .select(col("e1.doc_a").as("doc_a"), col("e1.doc_b").as("doc_b"),
-        col("e2.doc_b").as("doc_c"))
-      .join(edges.as("e3"),
-        col("doc_a") === col("e3.doc_a") && col("doc_c") === col("e3.doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("doc_c"))
+    val dstLt = col("o1.ddeg") < col("o2.ddeg") ||
+      (col("o1.ddeg") === col("o2.ddeg") && col("o1.dst") < col("o2.dst"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.src") === col("o2.src") && dstLt)
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+        col("o2.dst").as("w"))
+      .as("wg") // qualify: e3 re-exposes src/dst from the same edge list
+    wedges
+      .join(oriented.as("e3"),
+        col("wg.v") === col("e3.src") && col("wg.w") === col("e3.dst"))
+      // Re-sort each triangle's ids so output order matches the naive
+      // a < b < c contract regardless of the degree orientation.
+      .select(sort_array(array(col("wg.u"), col("wg.v"), col("wg.w")))
+        .as("t"))
+      .select(col("t").getItem(0).as("doc_a"),
+        col("t").getItem(1).as("doc_b"), col("t").getItem(2).as("doc_c"))
       .orderBy("doc_a", "doc_b", "doc_c")
   }
 

@@ -536,6 +536,40 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "no triangles at sf0.001 — vacuous")
   }
 
+  test("triangles: degree orientation correct + bounded on a star fixture") {
+    // A template-flood shape: hub 0 near-dups 40 leaves, plus chords that
+    // close known triangles. Degree orientation must (a) agree with brute
+    // force and (b) leave the hub with zero out-edges, so the star
+    // contributes NO wedges (raw-id orientation would give it C(40,2)=780).
+    import spark.implicits._
+    val star = (1L to 40L).map(i => (0L, i))
+    val chords = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+    val es = (star ++ chords).toSet
+    val got = Curation.trianglesDegreeOriented(
+      (star ++ chords).toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2))
+    val expected = for {
+      a <- nodes; b <- nodes; c <- nodes
+      if a < b && b < c && es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.size == 5) // (0,1,2) (0,1,3) (0,2,3) (1,2,3) + none from (10,11)
+    // Independent re-derivation of the orientation's out-degrees: the skew
+    // bound the algorithm exists for — max out-degree stays at the chord
+    // scale even though the hub's total degree is 40.
+    val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(x => x).view.mapValues(_.size).toMap
+    val ord = Ordering.Tuple2[Int, Long]
+    val outDeg = es.toSeq
+      .map { case (a, b) =>
+        if (ord.lt((deg(a), a), (deg(b), b))) a else b
+      }
+      .groupBy(x => x).view.mapValues(_.size).toMap
+    assert(outDeg.getOrElse(0L, 0) == 0, "hub must have zero out-edges")
+    assert(outDeg.values.max <= 3, s"out-degree blew up: $outDeg")
+  }
+
   test("pagerank: mass sums to 1, node set = cluster members, deterministic") {
     val members = Curation.xDupClusters(spark, dir).collect()
       .map(_.getLong(0)).toSet
