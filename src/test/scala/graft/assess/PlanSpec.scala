@@ -108,6 +108,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band0") && plan.contains("band1"), plan)
   }
 
+  test("triangles: wedge and closing joins are equi-joins, never cartesian") {
+    // The degree-oriented enumeration must plan as hash/sort-merge
+    // equi-joins on src / (src, dst) — a cartesian or nested-loop here
+    // would be quadratic in the edge list and die on any real dup-graph.
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val df = graft.ext.Curation.trianglesDegreeOriented(
+      edges.toDF("doc_a", "doc_b"))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("cosine_sim rejects length-mismatched vectors") {
     graft.functions.CosineSimilarity.register(spark)
     // parquet-backed so it exercises the codegen path, not just eval
