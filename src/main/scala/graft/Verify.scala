@@ -23,9 +23,18 @@ object Verify {
     // failure, (b) leave a marker dir the driver's reader will trip on
     // instead of an ordinary missing key, and (c) exit nonzero at the end.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Dev-only failure injection (SPARK_GRAFT_FAIL=a,b): proves the err
+    // channel stays live — a broken query must yield a marker + nonzero
+    // exit, never silent absence. The driver never sets it.
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        if (failInject(name))
+          sys.error(s"injected failure for $name (SPARK_GRAFT_FAIL)")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.toString)
