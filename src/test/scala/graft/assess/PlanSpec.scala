@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band0") && plan.contains("band1"), plan)
   }
 
+  test("a5 approx twin: bottom-k window gets the rank-limit pushdown") {
+    // The KMV arm filters row_number() <= k; Spark must plan a
+    // WindowGroupLimit (partial per-partition top-k BEFORE the shuffle) —
+    // without it the window sorts every (type, user) row per type, which
+    // is the skewed-shuffle shape the scaladoc promises we avoid.
+    val plan = planOf(Assessments.a5ApproxTwin(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("triangles: wedge and closing joins are equi-joins, never cartesian") {
     // The degree-oriented enumeration must plan as hash/sort-merge
     // equi-joins on src / (src, dst) — a cartesian or nested-loop here
