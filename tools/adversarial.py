@@ -80,11 +80,13 @@ def build_nullev():
     extra = pa.table({
         "event_id": pa.array([990001, 990002, 990003, 990004,
                               990005, 990006, 990007], pa.int64()),
+        # Authored in nanos, cast to whatever unit the driver generated the
+        # source table with (it has shipped both ns and us across rounds).
         "ts": pa.array([None, 1704067200_000_000_000,
                         1704067300_000_000_000, 1704067400_000_000_000,
                         1704067500_000_000_000, 1704067600_000_000_000,
                         1704067700_000_000_000],
-                       pa.timestamp("ns")),
+                       pa.timestamp("ns")).cast(t.schema.field("ts").type),
         "user_id": pa.array([5, None, 7, 8, None, None, None], pa.int64()),
         "event_type": pa.array(["click", "click", None, "purchase",
                                 "probe", "probe", "probe"]),
