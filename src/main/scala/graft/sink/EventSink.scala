@@ -45,6 +45,20 @@ object EventSink {
       .partitionBy("EventDate")
       .parquet(path)
 
+  /** O22 — [[writeBatch]] under the reference's retry-with-backoff policy
+    * ([[Retry]]): the whole batch commit retries on transient IO failure
+    * with the quadratic schedule; `mode("append")` keeps a half-failed
+    * attempt from double-writing only because the parquet committer is
+    * atomic per attempt (task files land under `_temporary` until commit).
+    * `sleep` is injectable for tests. */
+  def writeBatchWithRetry(events: DataFrame, path: String,
+                          maxRecordsPerFile: Long = 1000000L,
+                          maxRetries: Int = 2,
+                          sleep: Long => Unit = Thread.sleep): Unit =
+    Retry.withBackoff(maxRetries, sleep) {
+      writeBatch(events, path, maxRecordsPerFile)
+    }
+
   /** Streaming write: trigger interval plays the rollover-interval role
     * (reference default 1 h, LoggingHookConstants.java:33); checkpointed file
     * sink gives exactly-once. */
