@@ -88,8 +88,16 @@ object EventSink {
   def readAsEvents(spark: SparkSession, path: String): DataFrame = {
     val raw = read(spark, path)
     val present = raw.columns.toSet
+    val srcType = raw.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = graft.model.QueryEvent.schema.fields.toIndexedSeq.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      // `.sql` ignores nullability: a log whose array columns differ only
+      // in element-nullability (the encoder writes containsNull=true) must
+      // NOT go through cast — ANSI refuses a true→false containsNull cast
+      // even though every value fits (found by the capture-listener round
+      // trip). Same-type columns pass through; real evolution still casts.
+      if (present(f.name) && srcType(f.name).sql == f.dataType.sql)
+        col(f.name).as(f.name)
+      else if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else if (f.dataType.typeName == "array")
         array().cast(f.dataType).as(f.name) // avro default []
       else lit(null).cast(f.dataType).as(f.name) // avro default null
