@@ -273,10 +273,52 @@ object CaptureDemo {
       .orderBy("day", "query_type")
   }
 
+  /** Live-hook round trip: the [[SparkCaptureListener]] (the reference's
+    * entry-point analog) attached to the very session running the query.
+    * Three tagged probe executions run; their captured QueryEvents flow
+    * through the retrying batch sink ([[graft.sink.Retry]], O22) and the
+    * schema-evolution read, and the output is their (type, status) count —
+    * a constant the DuckDB oracle pins, so the hash passes only if capture
+    * → bounded admission → drain → sink → read-back delivered EXACTLY the
+    * three probes with SUCCESS status. Probes are filtered by a tag in the
+    * captured plan text because the listener bus may also deliver
+    * late events from whatever ran on the shared session before. */
+  def capLiveHook(s: SparkSession, dir: String): DataFrame = {
+    // Per-invocation nonce in the tag: a bench re-measure runs this twice
+    // in one JVM, and a late-delivered probe event from the FIRST run must
+    // not count toward the second's three.
+    val tag = s"graft_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val l = SparkCaptureListener.install(s)
+    val probed =
+      try {
+        (1 to 3).foreach(i =>
+          s.range(100L * i).selectExpr(s"sum(id) AS ${tag}_$i").collect())
+        val got = scala.collection.mutable.ArrayBuffer.empty[graft.model.QueryEvent]
+        def nProbes = got.count(_.QueryText.exists(_.contains(tag)))
+        val deadline = System.currentTimeMillis() + 30000
+        while (nProbes < 3 && System.currentTimeMillis() < deadline) {
+          got ++= l.drain()
+          if (nProbes < 3) Thread.sleep(50)
+        }
+        got.filter(_.QueryText.exists(_.contains(tag))).toSeq
+      } finally s.listenerManager.unregister(l)
+    require(probed.size == 3, s"expected 3 probe captures, got ${probed.size}")
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livehook_")
+    import s.implicits._
+    graft.sink.EventSink.writeBatchWithRetry(
+      s.createDataset(probed).toDF(), s"$tmp/log")
+    graft.sink.EventSink.readAsEvents(s, s"$tmp/log")
+      .filter(col("QueryText").contains(tag))
+      .groupBy(col("QueryType").as("query_type"), col("Status").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("query_type", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
       "cap_stream_dedup" -> capStreamDedup,
-      "cap_stream_join" -> capStreamJoin)
+      "cap_stream_join" -> capStreamJoin,
+      "cap_live_hook" -> capLiveHook)
 
   val oracles: Map[String, String] = Map(
     "cap_pipeline" ->
@@ -313,6 +355,11 @@ object CaptureDemo {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
         |count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Constant by construction: exactly the three tagged probes, captured
+    // live, through the sink, each exactly once with SUCCESS.
+    "cap_live_hook" ->
+      """SELECT 'QUERY' AS query_type, 'SUCCESS' AS status,
+        |CAST(3 AS BIGINT) AS n""".stripMargin,
     // The original table, each event paired ONCE with its shifted twin —
     // passes only if the stream-stream join was exactly-once end-to-end.
     "cap_stream_join" ->
