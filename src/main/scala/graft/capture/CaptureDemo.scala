@@ -273,35 +273,45 @@ object CaptureDemo {
       .orderBy("day", "query_type")
   }
 
+  /** Run `n` tagged probe executions under a freshly installed
+    * [[SparkCaptureListener]] and return every captured event whose text
+    * carries the tag, polling the bounded buffer until `expected` tagged
+    * events arrived (listener-bus delivery is asynchronous). Probes are
+    * filtered by a tag in the captured text because the shared listener
+    * bus may also deliver events from whatever else ran on the context. */
+  private def runTaggedProbes(s: SparkSession, tag: String, n: Int,
+                              expected: Int): Seq[graft.model.QueryEvent] = {
+    val l = SparkCaptureListener.install(s)
+    try {
+      (1 to n).foreach(i =>
+        s.range(100L * i).selectExpr(s"sum(id) AS ${tag}_$i").collect())
+      val got = scala.collection.mutable.ArrayBuffer.empty[graft.model.QueryEvent]
+      def nProbes = got.count(_.QueryText.exists(_.contains(tag)))
+      val deadline = System.currentTimeMillis() + 30000
+      while (nProbes < expected && System.currentTimeMillis() < deadline) {
+        got ++= l.drain()
+        if (nProbes < expected) Thread.sleep(50)
+      }
+      got.filter(_.QueryText.exists(_.contains(tag))).toSeq
+    } finally SparkCaptureListener.uninstall(s, l)
+  }
+
   /** Live-hook round trip: the [[SparkCaptureListener]] (the reference's
-    * entry-point analog) attached to the very session running the query.
-    * Three tagged probe executions run; their captured QueryEvents flow
-    * through the retrying batch sink ([[graft.sink.Retry]], O22) and the
-    * schema-evolution read, and the output is their (type, status) count —
-    * a constant the DuckDB oracle pins, so the hash passes only if capture
-    * → bounded admission → drain → sink → read-back delivered EXACTLY the
-    * three probes with SUCCESS status. Probes are filtered by a tag in the
-    * captured plan text because the listener bus may also deliver
-    * late events from whatever ran on the shared session before. */
+    * entry-point analog) attached to the very context running the query.
+    * Three tagged probe executions run; their captured COMPLETED events
+    * flow through the retrying batch sink ([[graft.sink.Retry]], O22) and
+    * the schema-evolution read, and the output is their (type, status)
+    * count — a constant the DuckDB oracle pins, so the hash passes only if
+    * capture → bounded admission → drain → sink → read-back delivered
+    * EXACTLY the three probes with SUCCESS status. */
   def capLiveHook(s: SparkSession, dir: String): DataFrame = {
     // Per-invocation nonce in the tag: a bench re-measure runs this twice
     // in one JVM, and a late-delivered probe event from the FIRST run must
     // not count toward the second's three.
     val tag = s"graft_probe_${java.util.UUID.randomUUID().toString.take(8)}"
-    val l = SparkCaptureListener.install(s)
-    val probed =
-      try {
-        (1 to 3).foreach(i =>
-          s.range(100L * i).selectExpr(s"sum(id) AS ${tag}_$i").collect())
-        val got = scala.collection.mutable.ArrayBuffer.empty[graft.model.QueryEvent]
-        def nProbes = got.count(_.QueryText.exists(_.contains(tag)))
-        val deadline = System.currentTimeMillis() + 30000
-        while (nProbes < 3 && System.currentTimeMillis() < deadline) {
-          got ++= l.drain()
-          if (nProbes < 3) Thread.sleep(50)
-        }
-        got.filter(_.QueryText.exists(_.contains(tag))).toSeq
-      } finally s.listenerManager.unregister(l)
+    // 6 expected: the lifecycle hook emits SUBMITTED + COMPLETED per probe.
+    val probed = runTaggedProbes(s, tag, n = 3, expected = 6)
+      .filter(_.EventType.contains(graft.model.EventType.QueryCompleted.name))
     require(probed.size == 3, s"expected 3 probe captures, got ${probed.size}")
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livehook_")
     import s.implicits._
@@ -314,11 +324,55 @@ object CaptureDemo {
       .orderBy("query_type", "status")
   }
 
+  /** The reference's TWO-EVENT lifecycle, captured live and assessed
+    * (VERDICT r8 #1): each probe must yield one QUERY_SUBMITTED and one
+    * QUERY_COMPLETED event sharing a QueryId; both flow through the sink
+    * and are paired back by the A1 lifecycle join ON THE CAPTURED LOG —
+    * submit side to start side — with a non-negative duration. The output
+    * is one row per probe, constant by construction, so the DuckDB oracle
+    * pins the whole chain: 2-event emission → shared id → sink round trip
+    * → A1 pairing. */
+  def capLiveLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"graft_life_${java.util.UUID.randomUUID().toString.take(8)}"
+    val events = runTaggedProbes(s, tag, n = 3, expected = 6)
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livelife_")
+    import s.implicits._
+    graft.sink.EventSink.writeBatchWithRetry(
+      s.createDataset(events).toDF(), s"$tmp/log")
+    val log = graft.sink.EventSink.readAsEvents(s, s"$tmp/log")
+      .filter(col("QueryText").contains(tag))
+      // which probe: the tag's alias suffix in the captured text
+      .withColumn("probe",
+        regexp_extract(col("QueryText"), s"${tag}_(\\d)", 1).cast("int"))
+    val sub = log.filter(col("EventType") === "QUERY_SUBMITTED")
+      .select(col("QueryId"), col("probe").as("sub_probe"),
+        col("StartTime").as("sub_time"))
+    val done = log.filter(col("EventType") === "QUERY_COMPLETED")
+      .select(col("QueryId"), col("probe").as("done_probe"),
+        col("StartTime"), col("EndTime"), col("Status"))
+    // A1 lifecycle pairing on live-captured data: inner join on the shared
+    // engine-assigned QueryId.
+    sub.join(done, "QueryId")
+      .select(
+        col("sub_probe").as("probe"),
+        (col("sub_probe") === col("done_probe")).as("same_probe"),
+        (unix_millis(col("EndTime")) >= unix_millis(col("sub_time")))
+          .as("duration_nonneg"),
+        col("Status").as("status"))
+      .groupBy("probe")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("same_probe").cast("int")).as("probe_consistent"),
+        min(col("duration_nonneg").cast("int")).as("dur_ok"),
+        min(col("status")).as("status"))
+      .orderBy("probe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
       "cap_stream_dedup" -> capStreamDedup,
       "cap_stream_join" -> capStreamJoin,
-      "cap_live_hook" -> capLiveHook)
+      "cap_live_hook" -> capLiveHook,
+      "cap_live_lifecycle" -> capLiveLifecycle)
 
   val oracles: Map[String, String] = Map(
     "cap_pipeline" ->
@@ -360,6 +414,12 @@ object CaptureDemo {
     "cap_live_hook" ->
       """SELECT 'QUERY' AS query_type, 'SUCCESS' AS status,
         |CAST(3 AS BIGINT) AS n""".stripMargin,
+    // Constant by construction: each probe yields exactly one
+    // SUBMITTED+COMPLETED pair, ids agree, duration >= 0, SUCCESS.
+    "cap_live_lifecycle" ->
+      """SELECT probe, CAST(1 AS BIGINT) AS n_pairs,
+        |1 AS probe_consistent, 1 AS dur_ok, 'SUCCESS' AS status
+        |FROM (SELECT unnest([1, 2, 3]) AS probe) ORDER BY probe""".stripMargin,
     // The original table, each event paired ONCE with its shifted twin —
     // passes only if the stream-stream join was exactly-once end-to-end.
     "cap_stream_join" ->

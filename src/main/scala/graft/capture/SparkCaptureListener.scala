@@ -1,55 +1,95 @@
 package graft.capture
 
 import java.sql.Timestamp
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, Executors, ThreadFactory, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+
+import scala.util.Try
 
 import graft.model.{EventStatus, EventType, ExecutionMode, QueryEvent}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, V2WriteCommand}
 import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.execution.command.DataWritingCommandExec
-import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.command.DataWritingCommand
+import org.apache.spark.sql.execution.datasources.{InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
 
 /** The Spark-side capture hook — this library's analog of the reference's
   * ENTRY POINT (`MigrationAssessmentLoggingHook.java:40-68`, a Hive
-  * `ExecuteWithHookContext`): every SQL execution that completes on the
-  * session becomes one `QUERY_COMPLETED` [[QueryEvent]], ready for the
-  * existing sink / assessment layer. A user of the reference gets the same
-  * loop on Spark: attach the hook, run the workload, assess the log.
+  * `ExecuteWithHookContext`): every SQL execution on the context yields the
+  * reference's TWO-EVENT LIFECYCLE (`EventRecordConstructor.java:80-92`) —
+  * a `QUERY_SUBMITTED` [[QueryEvent]] when the execution starts and a
+  * `QUERY_COMPLETED` one when it ends — paired by a shared QueryId
+  * (`<appId>_<sqlExecutionId>`), which is what makes A1 lifecycle pairing
+  * meaningful on live-captured logs.
   *
-  * Hook-context field mapping (reference `EventRecordConstructor.java`):
-  * query id ← `QueryExecution.id` under the app id; user ← `sparkUser`;
-  * engine/mode ← the reference's own `SPARK` enum arm; tables read ←
-  * catalog names (or file-source root paths — the lakehouse "table") of
-  * the plan's leaf relations; tables written ← data-writing command
-  * targets; counters ← a JSON object with duration and the root plan's
-  * output-row metric, the same "summary counters as one JSON column" shape
-  * as O16.
+  * Implemented as ONE `SparkListener` on the shared listener bus rather
+  * than a `QueryExecutionListener`: the post-hoc listener API never sees
+  * the submit side, while `SparkListenerSQLExecutionStart` /
+  * `SparkListenerSQLExecutionEnd` carry both ends of the lifecycle under
+  * the same engine-assigned execution id. The End event's rich payload
+  * (the `QueryExecution`, engine-measured duration, failure cause) is
+  * package-private to Spark and read through the compile-time [[SqlEndShim]]
+  * (the O28 reflection-shim analog).
+  *
+  * Field mapping (reference `EventRecordConstructor.java`):
+  * query id ← SQL execution id under the app id; user ← `sparkUser`;
+  * query type ← the plan's operation (QUERY / INSERT / CREATETABLE / … —
+  * the reference's HiveOperation name, here derived from the analyzed
+  * plan's command class); tables read ← catalog names (or file-source root
+  * paths) of the plan's leaf relations; tables written ← the WRITE
+  * COMMAND'S TARGET (catalog-qualified name or output path — reference
+  * `getTablesWritten`, `EventRecordConstructor.java:116-117`); perf ← the
+  * planning-phase durations Spark itself tracks (`qe.tracker.phases`), in
+  * the O15 `{phase: durationMs}` JSON shape; counters ← duration + root
+  * output-row metric as one JSON column (O16 shape).
   *
   * Listener-bus discipline (callbacks must never block or throw, and a
   * slow consumer must not OOM the driver — the reference solves the same
   * problem with its bounded queue, O21): events land in a bounded buffer
-  * with drop-and-count admission; [[drain]] hands them to the host, which
-  * writes through [[graft.sink.EventSink]] (optionally under
-  * [[graft.sink.Retry]] — O22) on its own thread.
+  * with drop-and-count admission; [[drain]] hands them to the host.
+  * Record-construction failures are counted SEPARATELY ([[buildFailed]])
+  * so `dropped` stays strictly the bounded-admission metric. Executions
+  * tagged [[SparkCaptureListener.SelfTag]] (the drainer's own sink writes)
+  * are suppressed — otherwise a self-draining hook would capture its own
+  * writes forever.
   */
-final class SparkCaptureListener(maxBuffered: Int = 8192)
-    extends QueryExecutionListener {
+final class SparkCaptureListener(appId: String, user: String,
+                                 maxBuffered: Int = 8192)
+    extends SparkListener {
 
   private val buf = new ConcurrentLinkedQueue[QueryEvent]
   private val buffered = new AtomicInteger(0)
   private val droppedN = new AtomicLong(0L)
+  private val buildFailedN = new AtomicLong(0L)
   private val seenN = new AtomicLong(0L)
+  // executionId → submit-time millis: duration fallback for End events whose
+  // engine-measured duration is absent. Entries die with their End event.
+  private val startMs = new ConcurrentHashMap[java.lang.Long, java.lang.Long]
+  // executionIds opened under the self-tag: their End must not be admitted
+  // either. Start-side decision, so membership is settled before the End
+  // arrives (bus order).
+  private val selfIds = ConcurrentHashMap.newKeySet[java.lang.Long]
 
-  override def onSuccess(funcName: String, qe: QueryExecution,
-                         durationNs: Long): Unit =
-    admit(() => record(funcName, qe, Some(durationNs), None))
-
-  override def onFailure(funcName: String, qe: QueryExecution,
-                         error: Exception): Unit =
-    admit(() => record(funcName, qe, None, Some(error)))
+  override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+    case st: SparkListenerSQLExecutionStart =>
+      if (st.jobTags.contains(SparkCaptureListener.SelfTag)) {
+        selfIds.add(Long.box(st.executionId)); ()
+      } else {
+        startMs.put(Long.box(st.executionId), Long.box(st.time))
+        admit(() => submitted(st))
+      }
+    case en: SparkListenerSQLExecutionEnd =>
+      if (selfIds.remove(Long.box(en.executionId))) ()
+      else {
+        val sub = Option(startMs.remove(Long.box(en.executionId))).map(_.longValue())
+        admit(() => completed(en, sub))
+      }
+    case _ => ()
+  }
 
   /** Events captured so far, in arrival order; removes them from the
     * buffer. The host thread calls this, never the listener bus. */
@@ -74,21 +114,26 @@ final class SparkCaptureListener(maxBuffered: Int = 8192)
   /** O21 contract: events dropped because the buffer was full. */
   def dropped: Long = droppedN.get()
 
-  /** Total callbacks observed (admitted + dropped) — lets a test await
-    * asynchronous listener-bus delivery without sleeping blind. */
+  /** Events lost to a record-construction failure — kept separate from
+    * [[dropped]] so backpressure and build bugs stay distinguishable. */
+  def buildFailed: Long = buildFailedN.get()
+
+  /** Total lifecycle callbacks observed (admitted + dropped + build-failed;
+    * self-tagged executions excluded) — lets a test await asynchronous
+    * listener-bus delivery without sleeping blind. */
   def seen: Long = seenN.get()
 
   private def admit(make: () => QueryEvent): Unit = {
     // Reserve-then-build keeps the cap exact under concurrent callbacks.
     // `seen` increments LAST: a waiter that observes seen == N is
     // guaranteed the N-th event is already in the buffer (or counted
-    // dropped), so awaiting on seen then draining cannot race the add.
+    // dropped/build-failed), so awaiting on seen then draining cannot race.
     if (buffered.incrementAndGet() <= maxBuffered) {
       try buf.add(make())
       catch {
         case _: Throwable => // never throw on the listener bus
           buffered.decrementAndGet()
-          droppedN.incrementAndGet()
+          buildFailedN.incrementAndGet()
       }
     } else {
       buffered.decrementAndGet()
@@ -97,17 +142,129 @@ final class SparkCaptureListener(maxBuffered: Int = 8192)
     seenN.incrementAndGet()
   }
 
-  private def record(funcName: String, qe: QueryExecution,
-                     durationNs: Option[Long],
-                     error: Option[Throwable]): QueryEvent = {
-    val sc = qe.sparkSession.sparkContext
-    val nowMs = System.currentTimeMillis()
-    val startMs = durationNs.map(d => nowMs - d / 1000000L).getOrElse(nowMs)
-    // Leaf relations → "tables read": catalog identifier when the relation
-    // has one, else the file-source root path (the path IS the table name
-    // of a pathed lakehouse — same normalization the assessment layer's
-    // a11_source_parse mines).
-    val reads = qe.analyzed.collectLeaves().flatMap {
+  /** The PRE event (reference `EventRecordConstructor.java:94-132`):
+    * populated from what is knowable at submit time — id, user, start
+    * time, query text (the action's call site plus the physical plan,
+    * whose output aliases identify the query), type from the plan when the
+    * in-flight execution is still registered. No end time, status, perf or
+    * counters — those belong to the POST event. */
+  private def submitted(st: SparkListenerSQLExecutionStart): QueryEvent = {
+    // Opportunistic: the in-flight QueryExecution is registered for the
+    // span of the execution; an already-finished one (fast query, slow
+    // bus) just means plan-derived fields fall back to the event payload.
+    val qe = Option(org.apache.spark.sql.execution.SQLExecution
+      .getQueryExecution(st.executionId))
+    QueryEvent(
+      QueryId = Some(s"${appId}_${st.executionId}"),
+      QueryType = qe.map(q => SparkCaptureListener.queryType(q.analyzed)),
+      QueryText = Some((st.description + "\n" + st.physicalPlanDescription)
+        .take(2048)),
+      EventType = Some(EventType.QuerySubmitted.name),
+      ExecutionMode = Some(ExecutionMode.Spark_.name),
+      ExecutionEngine = Some("spark"),
+      RequestUser = Some(user),
+      UserName = Some(user),
+      StartTime = Some(new Timestamp(st.time)),
+      TablesRead = qe.map(q => SparkCaptureListener.readTargets(q))
+        .getOrElse(Nil),
+      ThreadName = Some(Thread.currentThread().getName),
+      YarnApplicationId = Some(appId)
+    )
+  }
+
+  /** The POST event (reference `EventRecordConstructor.java:134-172`). */
+  private def completed(en: SparkListenerSQLExecutionEnd,
+                        submitMs: Option[Long]): QueryEvent = {
+    val qe = Option(SqlEndShim.qe(en))
+    // the engine posts errorMessage = Some("") on SUCCESS — blank ≠ failed
+    val error: Option[Throwable] = SqlEndShim.failure(en)
+      .orElse(en.errorMessage.filter(_.trim.nonEmpty).map(new RuntimeException(_)))
+    val durNs = SqlEndShim.durationNs(en)
+    val start = submitMs.getOrElse(
+      if (durNs > 0) en.time - durNs / 1000000L else en.time)
+    val reads = qe.map(SparkCaptureListener.readTargets).getOrElse(Nil)
+    val writes = qe.map(SparkCaptureListener.writeTargets).getOrElse(Nil)
+    val outputRows = qe.flatMap(q =>
+      Try(q.executedPlan.metrics.get("numOutputRows").map(_.value))
+        .toOption.flatten)
+    val counters = Seq(
+      Some(s""""durationMs": ${en.time - start}"""),
+      outputRows.map(n => s""""outputRows": $n""")
+    ).flatten.mkString("{", ", ", "}")
+    QueryEvent(
+      QueryId = Some(s"${appId}_${en.executionId}"),
+      QueryType = qe.map(q => SparkCaptureListener.queryType(q.analyzed)),
+      QueryText = qe.map(q => Try(q.analyzed.toString)
+        .getOrElse(q.logical.toString).take(2048)),
+      EventType = Some(EventType.QueryCompleted.name),
+      ExecutionMode = Some(ExecutionMode.Spark_.name),
+      ExecutionEngine = Some("spark"),
+      RequestUser = Some(user),
+      UserName = Some(user),
+      StartTime = Some(new Timestamp(start)),
+      EndTime = Some(new Timestamp(en.time)),
+      TablesRead = reads,
+      TablesWritten = writes,
+      Status = Some(
+        if (error.isEmpty) EventStatus.Success.name else EventStatus.Fail.name),
+      ErrorMessage = error.map(e =>
+        Option(e.getMessage).getOrElse(e.toString).take(2048)),
+      PerfObject = qe.flatMap(SparkCaptureListener.perfObject),
+      CountersObject = Some(counters),
+      InvokerInfo = SqlEndShim.executionName(en).fold[Option[String]](None)(Some(_)),
+      ThreadName = Some(Thread.currentThread().getName),
+      YarnApplicationId = Some(appId)
+    )
+  }
+}
+
+object SparkCaptureListener {
+
+  /** Job tag marking the capture machinery's OWN Spark jobs (the drainer's
+    * sink writes): executions carrying it are never captured. */
+  val SelfTag = "graft.capture.self"
+
+  /** Attach a capture hook to the session's context (reference analog:
+    * `hive.exec.post.hooks=MigrationAssessmentLoggingHook`). Returns the
+    * listener; call `drain`/`drainToFrame` to collect and [[uninstall]] to
+    * detach. */
+  def install(session: SparkSession,
+              maxBuffered: Int = 8192): SparkCaptureListener = {
+    val sc = session.sparkContext
+    val l = new SparkCaptureListener(sc.applicationId, sc.sparkUser, maxBuffered)
+    sc.addSparkListener(l)
+    l
+  }
+
+  def uninstall(session: SparkSession, l: SparkCaptureListener): Unit =
+    session.sparkContext.removeSparkListener(l)
+
+  /** The reference's QueryType is the operation name of the statement
+    * (HiveOperation — QUERY, CREATETABLE, DROPTABLE, …). Here the analyzed
+    * plan's root carries the same information: a write command is an
+    * INSERT, a DDL command maps to its operation name, anything that is
+    * not a command at all is a plain QUERY. */
+  def queryType(analyzed: LogicalPlan): String = {
+    val n = analyzed.nodeName
+    if (n.contains("CreateView")) "CREATEVIEW"
+    else if (n.contains("Create") && n.contains("Table")) "CREATETABLE"
+    else if (n.contains("Drop") && n.contains("Table")) "DROPTABLE"
+    else if (n.contains("Alter") && n.contains("Table")) "ALTERTABLE"
+    else if (n.contains("Insert") || n.contains("AppendData") ||
+      n.contains("OverwriteByExpression") || n.contains("ReplaceData")) "INSERT"
+    else if (analyzed.isInstanceOf[Command])
+      // SetCommand → SET, ShowTablesCommand → SHOWTABLES, … — the same
+      // upper-cased operation-name convention the reference records.
+      n.stripSuffix("Command").toUpperCase(java.util.Locale.ROOT)
+    else "QUERY"
+  }
+
+  /** Leaf relations → "tables read": catalog identifier when the relation
+    * has one, else the file-source root path (the path IS the table name
+    * of a pathed lakehouse — same normalization the assessment layer's
+    * a11_source_parse mines). */
+  def readTargets(qe: QueryExecution): Seq[String] =
+    Try(qe.analyzed.collectLeaves().flatMap {
       case lr: LogicalRelation =>
         lr.catalogTable.map(_.qualifiedName).orElse(Some(lr.relation match {
           case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -116,51 +273,105 @@ final class SparkCaptureListener(maxBuffered: Int = 8192)
         }))
       case r if r.nodeName == "DataSourceV2Relation" => Some(r.toString.take(256))
       case _ => None
+    }.distinct).getOrElse(Nil)
+
+  /** Write commands → "tables written": the TARGET's catalog-qualified
+    * name or output path (reference `getTablesWritten`,
+    * `EventRecordConstructor.java:116-117`) — never the command's class
+    * name. Covers v1 file/catalog writes (`DataWritingCommand`), v2 writes
+    * (`V2WriteCommand.table.name`), and falls back to scanning an unknown
+    * write command's constructor args for a `CatalogTable` or Hadoop
+    * `Path` rather than inventing a label. */
+  def writeTargets(qe: QueryExecution): Seq[String] =
+    Try(qe.analyzed.collect {
+      case i: InsertIntoHadoopFsRelationCommand =>
+        Seq(i.catalogTable.map(_.qualifiedName)
+          .getOrElse(i.outputPath.toString))
+      case v2: V2WriteCommand => Seq(v2.table.name)
+      case c: DataWritingCommand => commandTargets(c)
+      // plain CREATE TABLE (no AS SELECT) still creates a write entity in
+      // the reference's hook context — record the created table
+      case ct: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand =>
+        Seq(ct.table.qualifiedName)
+    }.flatten.distinct).getOrElse(Nil)
+
+  private def commandTargets(c: Command): Seq[String] =
+    c.productIterator.toSeq.flatMap {
+      case ct: CatalogTable => Seq(ct.qualifiedName)
+      case Some(ct: CatalogTable) => Seq(ct.qualifiedName)
+      case p: org.apache.hadoop.fs.Path => Seq(p.toString)
+      case _ => Nil
     }.distinct
-    val writes = qe.executedPlan.collect {
-      case w: DataWritingCommandExec => w.cmd.nodeName
-    }.distinct
-    val outputRows =
-      qe.executedPlan.metrics.get("numOutputRows").map(_.value)
-    val counters = Seq(
-      Some(s""""durationMs": ${durationNs.map(_ / 1000000L).getOrElse(-1L)}"""),
-      outputRows.map(n => s""""outputRows": $n""")
-    ).flatten.mkString("{", ", ", "}")
-    QueryEvent(
-      QueryId = Some(s"${sc.applicationId}_${qe.id}"),
-      QueryType =
-        Some(if (writes.nonEmpty || funcName == "command") "DDL" else "QUERY"),
-      QueryText = Some(qe.analyzed.toString.take(2048)),
-      EventType = Some(EventType.QueryCompleted.name),
-      ExecutionMode = Some(ExecutionMode.Spark_.name),
-      ExecutionEngine = Some("spark"),
-      RequestUser = Some(sc.sparkUser),
-      UserName = Some(sc.sparkUser),
-      StartTime = Some(new Timestamp(startMs)),
-      EndTime = Some(new Timestamp(nowMs)),
-      TablesRead = reads,
-      TablesWritten = writes,
-      Status = Some(
-        if (error.isEmpty) EventStatus.Success.name else EventStatus.Fail.name),
-      ErrorMessage = error.map(e =>
-        Option(e.getMessage).getOrElse(e.toString).take(2048)),
-      CountersObject = Some(counters),
-      InvokerInfo = Some(funcName),
-      ThreadName = Some(Thread.currentThread().getName),
-      YarnApplicationId = Some(sc.applicationId)
-    )
+
+  /** O15's perf breakdown from the engine's own planning tracker:
+    * `{phase: durationMs}` over parsing/analysis/optimization/planning —
+    * the exact JSON shape `CaptureOps.perfJson` produces for batch logs.
+    * Keys sorted so the JSON is deterministic. */
+  def perfObject(qe: QueryExecution): Option[String] = {
+    val phases = Try(qe.tracker.phases).getOrElse(Map.empty)
+    if (phases.isEmpty) None
+    else Some(phases.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": ${v.durationMs}""" }
+      .mkString("{", ", ", "}"))
   }
 }
 
-object SparkCaptureListener {
-  /** Attach a capture hook to the session (reference analog:
-    * `hive.exec.post.hooks=MigrationAssessmentLoggingHook`). Returns the
-    * listener; call `drain`/`drainToFrame` to collect and
-    * `session.listenerManager.unregister` to detach. */
-  def install(session: SparkSession,
-              maxBuffered: Int = 8192): SparkCaptureListener = {
-    val l = new SparkCaptureListener(maxBuffered)
-    session.listenerManager.register(l)
-    l
+/** Self-draining capture (reference `EventLogger.java:105-121,241-251` — a
+  * daemon writer thread plus a ≤5 s shutdown flush, O27): owns a
+  * [[SparkCaptureListener]] and a single-thread scheduler that periodically
+  * drains the bounded buffer into the date-partitioned retrying sink
+  * ([[graft.sink.EventSink.writeBatchWithRetry]], O22/O23). The sink writes
+  * run under [[SparkCaptureListener.SelfTag]] so the hook never captures —
+  * and then re-captures, forever — its own output. [[close]] (idempotent;
+  * also registered as a JVM shutdown hook) stops the scheduler, flushes the
+  * residue exactly once, and detaches the listener. */
+final class CaptureDrainer(session: SparkSession, sinkPath: String,
+                           intervalMs: Long = 5000L, maxBuffered: Int = 8192)
+    extends AutoCloseable {
+
+  val listener: SparkCaptureListener =
+    SparkCaptureListener.install(session, maxBuffered)
+
+  /** Batches flushed to the sink so far (empty drains not counted). */
+  private val flushedBatches = new AtomicLong(0L)
+  def flushed: Long = flushedBatches.get()
+
+  private val closed = new AtomicBoolean(false)
+  private val exec = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-capture-drainer")
+        t.setDaemon(true)
+        t
+      }
+    })
+  exec.scheduleWithFixedDelay(() => Try(drainOnce()),
+    intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+
+  private val shutdownHook = sys.addShutdownHook(close())
+
+  /** Serialized: the scheduler and a concurrent `close()` must not
+    * interleave two sink writes of overlapping drains. */
+  private def drainOnce(): Unit = synchronized {
+    val events = listener.drain()
+    if (events.nonEmpty) {
+      val sc = session.sparkContext
+      sc.addJobTag(SparkCaptureListener.SelfTag)
+      try {
+        import session.implicits._
+        graft.sink.EventSink.writeBatchWithRetry(
+          session.createDataset(events).toDF(), sinkPath)
+        flushedBatches.incrementAndGet()
+      } finally sc.removeJobTag(SparkCaptureListener.SelfTag)
+    }
+  }
+
+  override def close(): Unit = if (closed.compareAndSet(false, true)) {
+    exec.shutdown()
+    exec.awaitTermination(5, TimeUnit.SECONDS) // the reference's ≤5 s bound
+    drainOnce() // final flush — the residue, exactly once
+    SparkCaptureListener.uninstall(session, listener)
+    Try(shutdownHook.remove())
+    ()
   }
 }

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Spark-side capture hook (reference entry-point analog): every SQL
-  * execution becomes a QueryEvent; bounded admission; sink round trip. */
+  * execution becomes the reference's two-event SUBMITTED/COMPLETED
+  * lifecycle; bounded admission; real write targets; plan-derived query
+  * type; planning-phase perf; sink round trip; self-draining daemon. */
 class SparkCaptureListenerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -20,36 +22,46 @@ class SparkCaptureListenerSpec extends AnyFunSuite {
     assert(cond, s"condition not met within $timeoutMs ms")
   }
 
-  test("success + failure executions become QUERY_COMPLETED events") {
+  private def nonce(prefix: String) =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("each execution yields a SUBMITTED + COMPLETED pair sharing a QueryId") {
+    val tag = nonce("lifetag")
     val l = SparkCaptureListener.install(spark)
     try {
-      spark.range(100).agg(sum("id")).collect()
+      spark.range(100).selectExpr(s"sum(id) AS $tag").collect()
       intercept[Throwable] {
-        spark.range(10).selectExpr("raise_error('boom')").collect()
+        spark.range(10).selectExpr(s"raise_error('boom_$tag')").collect()
       }
-      awaitUntil()(l.seen >= 2)
-      val events = l.drain()
-      assert(events.size >= 2)
-      val ok = events.find(_.Status.contains("SUCCESS"))
-      val ko = events.find(_.Status.contains("FAIL"))
-      assert(ok.nonEmpty && ko.nonEmpty, events.map(_.Status).toString)
-      val e = ok.get
-      assert(e.EventType.contains("QUERY_COMPLETED"))
-      assert(e.ExecutionMode.contains("SPARK") && e.ExecutionEngine.contains("spark"))
-      assert(e.QueryId.exists(_.startsWith(spark.sparkContext.applicationId)))
-      assert(e.YarnApplicationId.contains(spark.sparkContext.applicationId))
-      assert(e.RequestUser.exists(_.nonEmpty))
-      assert(!e.EndTime.get.before(e.StartTime.get), "duration must be >= 0")
-      assert(e.CountersObject.exists(_.contains("\"durationMs\"")))
-      assert(ko.get.ErrorMessage.exists(_.contains("boom")))
-    } finally spark.listenerManager.unregister(l)
+      awaitUntil()(l.seen >= 4)
+      val events = l.drain().filter(_.QueryText.exists(_.contains(tag)))
+      val subs = events.filter(_.EventType.contains("QUERY_SUBMITTED"))
+      val dones = events.filter(_.EventType.contains("QUERY_COMPLETED"))
+      assert(subs.size == 2 && dones.size == 2,
+        events.map(e => (e.EventType, e.QueryText.map(_.take(60)))).toString)
+      // pairing: every completed id has a submitted twin
+      val subIds = subs.flatMap(_.QueryId).toSet
+      assert(dones.forall(_.QueryId.exists(subIds.contains)))
+      val ok = dones.find(_.Status.contains("SUCCESS")).get
+      val ko = dones.find(_.Status.contains("FAIL")).get
+      assert(ok.ExecutionMode.contains("SPARK") && ok.ExecutionEngine.contains("spark"))
+      assert(ok.QueryId.exists(_.startsWith(spark.sparkContext.applicationId)))
+      assert(ok.RequestUser.exists(_.nonEmpty))
+      assert(!ok.EndTime.get.before(ok.StartTime.get), "duration must be >= 0")
+      assert(ok.CountersObject.exists(_.contains("\"durationMs\"")))
+      assert(ko.ErrorMessage.exists(_.contains("boom")))
+      // submitted events carry start time but no completion-side fields
+      assert(subs.forall(e => e.StartTime.nonEmpty && e.EndTime.isEmpty
+        && e.Status.isEmpty))
+      assert(l.buildFailed == 0, s"buildFailed=${l.buildFailed}")
+    } finally SparkCaptureListener.uninstall(spark, l)
   }
 
   test("file-source reads surface as TablesRead; counters JSON parses") {
     val l = SparkCaptureListener.install(spark)
     try {
       graft.Tables.load(spark, TestSpark.Sf0001, "region").count()
-      awaitUntil()(l.seen >= 1)
+      awaitUntil()(l.seen >= 2)
       val events = l.drain()
       val withRead = events.filter(_.TablesRead.nonEmpty)
       assert(withRead.nonEmpty, s"no TablesRead in ${events.map(_.TablesRead)}")
@@ -61,33 +73,118 @@ class SparkCaptureListenerSpec extends AnyFunSuite {
         .select(get_json_object(col("c"), "$.durationMs").cast("long").as("d"))
         .collect()
       assert(parsed.nonEmpty && parsed.forall(r => !r.isNullAt(0) && r.getLong(0) >= 0))
-    } finally spark.listenerManager.unregister(l)
+    } finally SparkCaptureListener.uninstall(spark, l)
+  }
+
+  test("query type is the plan's operation; writes record the real target") {
+    val tag = nonce("qt")
+    val outDir = Files.createTempDirectory(s"graft_${tag}_ins").toString
+    val table = s"tbl_$tag"
+    val l = SparkCaptureListener.install(spark)
+    try {
+      spark.range(10).selectExpr(s"id AS $tag").collect() // QUERY
+      spark.range(10).selectExpr(s"id AS $tag")
+        .write.mode("overwrite").parquet(outDir) // INSERT into a path
+      spark.sql(s"CREATE TABLE $table (x INT) USING parquet") // CREATETABLE
+      awaitUntil()(l.seen >= 6)
+      val events = l.drain()
+        .filter(_.EventType.contains("QUERY_COMPLETED"))
+      val q = events.find(e => e.QueryText.exists(_.contains(tag))
+        && e.TablesWritten.isEmpty).get
+      assert(q.QueryType.contains("QUERY"), q.QueryType.toString)
+      val ins = events.find(_.TablesWritten.exists(_.contains(outDir))).get
+      assert(ins.QueryType.contains("INSERT"), ins.QueryType.toString)
+      // VERDICT r8 #2: the TARGET path, never the command's class name
+      assert(ins.TablesWritten.forall(!_.contains("Command")),
+        ins.TablesWritten.toString)
+      val ct = events.find(_.TablesWritten.exists(_.contains(table))).get
+      assert(ct.QueryType.contains("CREATETABLE"), ct.QueryType.toString)
+      assert(ct.TablesWritten.exists(_.contains(s"default.$table")),
+        ct.TablesWritten.toString)
+    } finally {
+      SparkCaptureListener.uninstall(spark, l)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("PerfObject carries the engine's planning phases (O15 shape)") {
+    val tag = nonce("perf")
+    val l = SparkCaptureListener.install(spark)
+    try {
+      spark.range(500).selectExpr(s"sum(id) AS $tag").collect()
+      awaitUntil()(l.seen >= 2)
+      val e = l.drain().find(ev => ev.QueryText.exists(_.contains(tag))
+        && ev.EventType.contains("QUERY_COMPLETED")).get
+      assert(e.PerfObject.nonEmpty, "PerfObject must be populated")
+      import spark.implicits._
+      val phases = Seq(e.PerfObject.get).toDF("p")
+        .select(from_json(col("p"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+        .select(explode(col("m"))).collect()
+      assert(phases.nonEmpty)
+      val names = phases.map(_.getString(0)).toSet
+      assert(names.contains("planning") || names.contains("analysis"),
+        names.toString)
+      assert(phases.forall(_.getLong(1) >= 0L))
+    } finally SparkCaptureListener.uninstall(spark, l)
   }
 
   test("bounded admission drops-and-counts past capacity (O21)") {
     val l = SparkCaptureListener.install(spark, maxBuffered = 1)
     try {
       (1 to 4).foreach(i => spark.range(i * 10L).count())
-      awaitUntil()(l.seen >= 4)
+      awaitUntil()(l.seen >= 8) // 2 lifecycle events per query
       assert(l.drain().size <= 1, "cap must hold")
-      assert(l.dropped >= 3, s"dropped=${l.dropped}")
-    } finally spark.listenerManager.unregister(l)
+      assert(l.dropped >= 7, s"dropped=${l.dropped}")
+    } finally SparkCaptureListener.uninstall(spark, l)
   }
 
   test("capture -> sink -> read-back round trip in the QueryEvents schema") {
     val l = SparkCaptureListener.install(spark)
     try {
       spark.range(1000).groupBy(expr("id % 7")).count().collect()
-      awaitUntil()(l.seen >= 1)
+      awaitUntil()(l.seen >= 2)
       val frame = l.drainToFrame(spark)
       val n = frame.count()
-      assert(n >= 1)
+      assert(n >= 2)
       assert(frame.columns.length == 33, "full QueryEvents column set")
       val dir = Files.createTempDirectory("graft_hook").toString
       graft.sink.EventSink.writeBatch(frame, dir)
       val back = graft.sink.EventSink.readAsEvents(spark, dir)
       assert(back.count() == n)
       assert(back.filter(col("Status") === "SUCCESS").count() >= 1)
-    } finally spark.listenerManager.unregister(l)
+    } finally SparkCaptureListener.uninstall(spark, l)
+  }
+
+  test("self-draining hook flushes to the sink with no drain() call (O27)") {
+    val tag = nonce("drainer")
+    val sink = Files.createTempDirectory(s"graft_${tag}_sink").toString + "/log"
+    val d = new CaptureDrainer(spark, sink, intervalMs = 150L)
+    try {
+      spark.range(50).selectExpr(s"sum(id) AS ${tag}_a").collect()
+      // no explicit drain: the daemon must deliver it. Await on the
+      // FILESYSTEM, not a spark read — a read here would itself be captured.
+      awaitUntil(30000L)(d.flushed >= 1)
+      // residue: a query captured after the last scheduled flush must be
+      // flushed exactly once by close()
+      spark.range(60).selectExpr(s"sum(id) AS ${tag}_b").collect()
+      awaitUntil()(d.listener.seen >= 4)
+    } finally d.close()
+    d.close() // idempotent
+    val log = graft.sink.EventSink.readAsEvents(spark, sink)
+      .filter(col("QueryText").contains(tag)).cache()
+    try {
+      val byType = log.groupBy("EventType").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // both probes, both lifecycle sides, each exactly once
+      assert(byType.get("QUERY_SUBMITTED").contains(2L), byType.toString)
+      assert(byType.get("QUERY_COMPLETED").contains(2L), byType.toString)
+      // the drainer's own sink writes must not have been captured
+      val selfWrites = graft.sink.EventSink.readAsEvents(spark, sink)
+        .filter(col("TablesWritten").cast("string").contains(sink) ||
+          col("QueryText").contains(sink))
+        .count()
+      assert(selfWrites == 0, s"captured $selfWrites of its own sink writes")
+    } finally { log.unpersist(); () }
   }
 }
