@@ -47,10 +47,16 @@ object EventSink {
 
   /** O22 — [[writeBatch]] under the reference's retry-with-backoff policy
     * ([[Retry]]): the whole batch commit retries on transient IO failure
-    * with the quadratic schedule; `mode("append")` keeps a half-failed
-    * attempt from double-writing only because the parquet committer is
-    * atomic per attempt (task files land under `_temporary` until commit).
-    * `sleep` is injectable for tests. */
+    * with the quadratic schedule. Semantics are AT-LEAST-ONCE, not
+    * exactly-once: task files stay under `_temporary` until job commit, so
+    * a retry after a failure DURING THE WRITE never double-writes — but
+    * FileOutputCommitter's job commit itself is a multi-file move, and a
+    * transient FS failure midway through it can leave some files already
+    * published, which the append-mode retry then duplicates. Same contract
+    * as the reference's retried Avro appends; readers that need
+    * exactly-once recover idempotence via [[readLatestEvents]] (dedupe on
+    * the engine-assigned QueryId + EventType). `sleep` is injectable for
+    * tests. */
   def writeBatchWithRetry(events: DataFrame, path: String,
                           maxRecordsPerFile: Long = 1000000L,
                           maxRetries: Int = 2,
@@ -103,6 +109,23 @@ object EventSink {
       else lit(null).cast(f.dataType).as(f.name) // avro default null
     }
     raw.select(cols: _*)
+  }
+
+  /** [[readAsEvents]] with the at-least-once recovery applied: one row per
+    * (QueryId, EventType) lifecycle event, keeping the latest EndTime copy
+    * — the idempotent read that makes a batch duplicated by a mid-commit
+    * retry ([[writeBatchWithRetry]]) harmless. Events without a QueryId
+    * (synthetic or legacy rows) pass through untouched. */
+  def readLatestEvents(spark: SparkSession, path: String): DataFrame = {
+    val all = readAsEvents(spark, path)
+    val keyed = all.filter(col("QueryId").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("QueryId", "EventType")
+      .orderBy(col("EndTime").desc_nulls_last, col("StartTime").desc_nulls_last)
+    keyed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .unionByName(all.filter(col("QueryId").isNull))
   }
 
   /** O23/O25 — reference file-naming convention:

@@ -356,6 +356,30 @@ class ExtSpec extends AnyFunSuite {
     assert(byT.zip(byT.tail).forall { case (a, b) => a >= b })
   }
 
+  test("lsh truth index: df cap bounds the ubiquitous-shingle quadratic") {
+    import spark.implicits._
+    // Every doc carries the ubiquitous shingle "spam spam spam" (df = 12);
+    // only docs 1 and 2 also share rare shingles. Uncapped, the ubiquitous
+    // bucket alone makes all C(12,2) = 66 pairs "true"; with the df cap it
+    // is dropped from the index and exactly the one genuinely-similar pair
+    // survives — the bounded-candidates contract of VERDICT r8 #4.
+    val rows =
+      Seq((1L, "spam spam spam twin twin twin twin x1"),
+          (2L, "spam spam spam twin twin twin twin x2")) ++
+      (3L to 12L).map(i => (i, s"spam spam spam u${i}a u${i}b u${i}c"))
+    val tmp = java.nio.file.Files.createTempDirectory("lshcap").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uncapped = Dedup.lshTruthPairs(spark, tmp, dfCap = 100).collect()
+    assert(uncapped.length == 66, s"uncapped pairs: ${uncapped.length}")
+    val capped = Dedup.lshTruthPairs(spark, tmp, dfCap = 5).collect()
+    assert(capped.length == 1, s"capped pairs: ${capped.length}")
+    val p = capped.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    // jac over the SURVIVING shingles only, both numerator and denominator
+    assert(p.getAs[Double]("jac") > 0.0 && p.getAs[Double]("jac") <= 1.0)
+  }
+
   test("vocab coverage: monotone curve, head sum matches vocab topk") {
     val got = Curation.xVocabCoverage(spark, dir).collect()
       .map(r => (r.getAs[Long]("n_vocab"), r.getAs[Long]("covered"),

@@ -39,6 +39,21 @@ class EventSinkSpec extends AnyFunSuite {
     assert(pruned.contains("PartitionFilters: [isnotnull(EventDate"))
   }
 
+  test("readLatestEvents recovers exactly-once from a duplicated batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink_dup").toString
+    val batch = Seq(ev("q1", 1671969622334L), ev("q2", 1671969622334L)).toDF()
+    // the at-least-once hazard: a mid-commit failure makes the retry append
+    // the whole batch a second time
+    EventSink.writeBatch(batch, dir)
+    EventSink.writeBatch(batch, dir)
+    assert(EventSink.readAsEvents(spark, dir).count() == 4)
+    val deduped = EventSink.readLatestEvents(spark, dir)
+    assert(deduped.count() == 2)
+    assert(deduped.select("QueryId").as[String].collect().sorted
+      .sameElements(Array("q1", "q2")))
+  }
+
   test("maxRecordsPerFile bounds file size (rollover analog :121-145)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink2").toString
