@@ -596,7 +596,67 @@ object Assessments {
       .orderBy("day")
   }
 
+  /** The migration-assessment capstone (VERDICT r8 #7): the reference's
+    * entire downstream purpose is an assessment REPORT over the captured
+    * log (reference README.md:5-7) — this composes the assessment families
+    * into one per-user frame: the A2 workload rollup, A1 lifecycle duration
+    * + abandonment, A11 failure rate, A5 exact percentiles, and the
+    * A4-style activity heat (each user's dominant event type,
+    * deterministically tie-broken).
+    *
+    * Lifecycle labels follow A1's pairing semantics exactly: `converted`
+    * iff the first purchase is at-or-after the first signup
+    * ([[a1LifecyclePairs]]'s join predicate), `abandoned` for signed-up
+    * users without such a purchase ([[a1AbandonedUsers]] plus the
+    * purchase-before-signup edge), `no_signup` otherwise.
+    *
+    * Scale shape: every constituent is a per-user aggregate of the same
+    * fact table — the one-row-per-user frames meet on the groupBy key, so
+    * the joins are co-partitioned hash joins with no exchange beyond the
+    * aggregates' own shuffles. The percentile arm carries exact per-group
+    * state like A5; at 100 TB swap in percentile_approx, whose error
+    * contract is already pinned by [[a5SketchBounds]]. */
+  def aMigrationReport(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val base = e.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      round(sum("value"), 2).as("sum_value"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("n_errors"),
+      round(expr("percentile(value, 0.5D)"), 4).as("p50_value"),
+      round(expr("percentile(value, 0.95D)"), 4).as("p95_value"))
+    val sub = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("st"))
+    val fin = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("ft"))
+    val life = sub.join(fin, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("ft") >= col("st"),
+          unix_millis(col("ft")) - unix_millis(col("st")))
+          .as("ms_to_purchase"),
+        lit(1).as("has_signup"))
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(desc("n"), asc("event_type"))
+    val top = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    base
+      .join(life, Seq("user_id"), "left")
+      .join(top, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        round(col("n_errors") / col("n_events") + lit(1e-9), 4)
+          .as("error_rate"),
+        col("p50_value"), col("p95_value"), col("top_type"),
+        when(col("has_signup").isNull, "no_signup")
+          .when(col("ms_to_purchase").isNull, "abandoned")
+          .otherwise("converted").as("lifecycle"),
+        col("ms_to_purchase"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_migration_report" -> aMigrationReport,
     "a15_anomaly_days" -> a15AnomalyDays,
     "a1_lifecycle_pairs" -> a1LifecyclePairs,
     "a1_abandoned_users" -> a1AbandonedUsers,
@@ -651,6 +711,33 @@ object Assessments {
         |SELECT day, n, round((n - mu) / NULLIF(sigma, 0) + 1e-9, 4) AS z,
         |CASE WHEN abs((n - mu) / NULLIF(sigma, 0)) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
         |FROM d, s ORDER BY day""".stripMargin,
+    "a_migration_report" ->
+      """WITH base AS (SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_value,
+        |  round(quantile_cont(value, 0.95), 4) AS p95_value
+        |  FROM ($EVENTS) events GROUP BY 1),
+        |s AS (SELECT user_id, min(ts) st FROM ($EVENTS) events WHERE event_type='signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) ft FROM ($EVENTS) events WHERE event_type='purchase' GROUP BY 1),
+        |life AS (SELECT s.user_id,
+        |  CASE WHEN p.ft >= s.st THEN epoch_ms(p.ft) - epoch_ms(s.st) END AS ms_to_purchase
+        |  FROM s LEFT JOIN p ON s.user_id = p.user_id),
+        |tt AS (SELECT user_id, event_type, count(*) AS n FROM ($EVENTS) events GROUP BY 1, 2),
+        |top AS (SELECT user_id, event_type AS top_type FROM (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM tt) WHERE rn = 1)
+        |SELECT b.user_id, b.n_events, b.sum_value,
+        |round(CAST(b.n_errors AS DOUBLE) / b.n_events + 1e-9, 4) AS error_rate,
+        |b.p50_value, b.p95_value, top.top_type,
+        |CASE WHEN life.user_id IS NULL THEN 'no_signup'
+        |  WHEN life.ms_to_purchase IS NULL THEN 'abandoned'
+        |  ELSE 'converted' END AS lifecycle,
+        |life.ms_to_purchase
+        |FROM base b JOIN top ON b.user_id = top.user_id
+        |LEFT JOIN life ON b.user_id = life.user_id
+        |ORDER BY b.user_id""".stripMargin,
     "a1_lifecycle_pairs" ->
       """WITH s AS (SELECT user_id, min(ts) st FROM ($EVENTS) events WHERE event_type='signup' GROUP BY 1),
         |p AS (SELECT user_id, min(ts) ft FROM ($EVENTS) events WHERE event_type='purchase' GROUP BY 1)
