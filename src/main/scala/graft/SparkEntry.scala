@@ -24,6 +24,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (assess.Assessments.queries ++
+      assess.Migration.queries ++
       assess.StarQueries.queries ++
       capture.CaptureDemo.queries ++
       ext.TextOps.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
       ext.Curation.queries ++
+      ext.Learn.queries ++
       ext.Layout.queries ++
       ext.Fingerprint.queries ++
       ext.StreamCuration.queries ++
@@ -43,6 +45,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     assess.Assessments.oracles ++
+      assess.Migration.oracles ++
       assess.StarQueries.oracles ++
       capture.CaptureDemo.oracles ++
       ext.TextOps.oracles ++
@@ -50,6 +53,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.Multimodal.oracles ++
       ext.Curation.oracles ++
+      ext.Learn.oracles ++
       ext.Layout.oracles ++
       ext.Fingerprint.oracles ++
       ext.StreamCuration.oracles ++

@@ -1,0 +1,406 @@
+package graft.assess
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Migration-planning analytics — the assessment layer's "what do we move,
+  * and in what order" surface. The reference's captured log exists so the
+  * downstream assessment can answer exactly these questions over the
+  * `QueryText` and `TablesRead` fields it records (reference
+  * `EventRecordConstructor.java:96-117`, `README.md:5-7`):
+  *
+  *  1. '''Dialect scan''' — which engine-specific SQL constructs appear in
+  *     the workload, how often, and how concentrated per user. Hive-isms
+  *     (`LATERAL VIEW`, `DISTRIBUTE BY`, `TRANSFORM ... USING`, `STORED
+  *     AS`, …) are precisely what a migration must rewrite, so the
+  *     per-feature frequency table IS the translation-effort budget.
+  *  2. '''Table affinity''' — which tables are read together by the same
+  *     query. Tables that co-occur must move in the same migration wave or
+  *     every co-read becomes a cross-system join.
+  *  3. '''Migration waves''' — connected components of the affinity graph
+  *     above a support threshold: the partition of the warehouse into
+  *     independently movable units.
+  *
+  * The driver's `events` table has no SQL text, so — same approach as
+  * [[graft.capture.CaptureDemo.capPipeline]]'s synthetic hook contexts —
+  * each event row is deterministically rendered into a HiveQL-shaped
+  * `query_text` and a tables-read set first, and the REAL scan/affinity
+  * operators run on those columns. The DuckDB oracle reproduces the
+  * rendering, so it checks the operators end-to-end on 10k+ rows.
+  *
+  * Scale shape (100 TB log): the render and the feature scan are narrow
+  * maps riding the scan (no UDFs — `instr` and `array_compact`/`explode`
+  * stay inside codegen); everything downstream aggregates by feature
+  * (#features rows), by user, or by table pair (catalog²-bounded, not
+  * event-bounded). The wave computation runs label propagation on the
+  * catalog-sized affinity graph, never on events.
+  */
+object Migration {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Valid-event filter shared with [[Assessments]] plus non-null user_id
+    * (the render keys statement and table choice off it). */
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+    .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+      col("value").isNotNull && col("user_id").isNotNull)
+
+  private val EventsSql =
+    "SELECT * FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL " +
+      "AND value IS NOT NULL AND user_id IS NOT NULL"
+
+  // ---------------------------------------------------------------- dialect
+
+  /** Migration-relevant dialect features: (name, needle, rewrite weight).
+    * Substring needles, not regexes — `instr` is engine-portable and
+    * codegen-friendly; weights rank rewrite effort (a `TRANSFORM` script
+    * is a manual port; a `SORT BY` is a mechanical edit). */
+  private val Features: Seq[(String, String, Int)] = Seq(
+    ("lateral_view", "LATERAL VIEW", 3),
+    ("transform_using", "TRANSFORM(", 5),
+    ("distribute_by", "DISTRIBUTE BY", 2),
+    ("cluster_by", "CLUSTER BY", 2),
+    ("sort_by", "SORT BY", 1),
+    ("insert_overwrite", "INSERT OVERWRITE", 2),
+    ("stored_as", "STORED AS", 1),
+    ("rlike", " RLIKE ", 1))
+
+  private def tblName(id: Column): Column =
+    concat(lit("tbl_"), id.cast("string"))
+
+  /** Deterministic HiveQL render: event_type picks the statement shape,
+    * user_id/event_id pick the tables and literals. Each shape carries the
+    * dialect features a real workload of that kind would; `view` is
+    * deliberately feature-free (portable ANSI) so zero-feature users
+    * exist. */
+  private def queryText: Column = {
+    val t0 = tblName(col("user_id") % 7)
+    val t1 = tblName((col("user_id") + 1) % 7)
+    val t2 = tblName((col("user_id") + 2) % 7)
+    val t3 = tblName((col("user_id") + 3) % 7)
+    when(col("event_type") === "view",
+      concat(lit("SELECT c1, c2 FROM "), t0,
+        lit(" WHERE id = "), col("event_id").cast("string")))
+      .when(col("event_type") === "click",
+        concat(lit("SELECT a.c1, t.item FROM "), t0,
+          lit(" a LATERAL VIEW explode(a.items) t AS item JOIN "), t1,
+          lit(" b ON a.id = b.id")))
+      .when(col("event_type") === "purchase",
+        concat(lit("INSERT OVERWRITE TABLE "), t0,
+          lit(" PARTITION (ds) SELECT c1 FROM "), t2,
+          lit(" DISTRIBUTE BY c1 SORT BY c2")))
+      .when(col("event_type") === "signup",
+        concat(lit("CREATE TABLE "), t0,
+          lit(" STORED AS ORC AS SELECT c1 FROM "), t3, lit(" CLUSTER BY c1")))
+      .otherwise(
+        concat(lit("SELECT TRANSFORM(c1) USING 'parse.py' AS c2 FROM "), t0,
+          lit(" WHERE c1 RLIKE '^x'")))
+  }
+
+  /** The per-query matched-feature array: one `instr` per feature, nulls
+    * compacted away — narrow, codegen'd, no UDF. */
+  private def matchedFeatures(text: Column): Column =
+    array_compact(array(Features.map { case (n, needle, w) =>
+      when(instr(text, needle) > 0,
+        struct(lit(n).as("feature"), lit(w).as("w")))
+    }: _*))
+
+  /** `a_dialect_scan` — workload-wide dialect-feature census: queries and
+    * distinct users touching each construct, and that construct's share of
+    * the workload. Feature-count output rows; the total-count denominator
+    * rides in as a one-row broadcast. */
+  def aDialectScan(s: SparkSession, dir: String): DataFrame = {
+    val q = ev(s, dir).select(col("user_id"), queryText.as("q_text"))
+    val total = q.agg(count(lit(1)).as("n_total"))
+    q.select(col("user_id"), explode(matchedFeatures(col("q_text"))).as("f"))
+      .select(col("user_id"), col("f.feature").as("feature"), col("f.w").as("w"))
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct("user_id").as("n_users"),
+        first("w").as("weight"))
+      .crossJoin(broadcast(total)) // one-row denominator
+      .select(col("feature"), col("weight"), col("n_queries"), col("n_users"),
+        round(col("n_queries") / col("n_total") + lit(1e-9), 4).as("share"))
+      .orderBy("feature")
+  }
+
+  /** `a_dialect_complexity` — per-user migration effort: query count,
+    * total and average rewrite weight, distinct features touched, and an
+    * effort bucket (cut on the ROUNDED average so the label is
+    * engine-identical). The ranking is who to sit with first.
+    *
+    * Scale shape: both constituents reduce to one row per user before the
+    * join, so the join is co-partitioned on the groupBy key (A2's payload
+    * discipline). */
+  def aDialectComplexity(s: SparkSession, dir: String): DataFrame = {
+    val q = ev(s, dir).select(col("user_id"),
+      matchedFeatures(queryText).as("fs"))
+    val perUser = q
+      .select(col("user_id"),
+        aggregate(col("fs"), lit(0), (acc, f) => acc + f.getField("w"))
+          .cast("long").as("q_weight"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_queries"), sum("q_weight").as("tot_weight"))
+    val distinctFeats = q
+      .select(col("user_id"), explode_outer(col("fs.feature")).as("feature"))
+      .groupBy("user_id")
+      .agg(countDistinct("feature").as("n_features")) // nulls (no match) skipped
+    val avg = round(col("tot_weight") / col("n_queries") + lit(1e-9), 4)
+    perUser.join(distinctFeats, Seq("user_id"))
+      .select(col("user_id"), col("n_queries"), col("tot_weight"),
+        avg.as("avg_weight"), col("n_features"),
+        when(avg < 1.5, "low").when(avg < 3.0, "medium").otherwise("high")
+          .as("effort"))
+      .orderBy("user_id")
+  }
+
+  // --------------------------------------------------------------- affinity
+
+  /** Deterministic tables-read render: each query reads its primary table
+    * (`user_id % 30`), that table's group head (`ta - ta % 3` — the
+    * fact/dim locality every warehouse has), and — for the occasional
+    * power user (`user_id % 31 == 0`) — a cross-group table
+    * (`(ta + 3) % 30`), which is what makes the wave structure
+    * non-trivial. Returns (user_id, pairs) with the per-query UNORDERED
+    * DISTINCT table pairs as an array — within-query dedup is an
+    * `array_distinct` on a ≤3-element array, never a shuffle. */
+  private def pairFrame(s: SparkSession, dir: String): DataFrame = {
+    val ta = col("user_id") % 30
+    val lead = ta - (ta % 3)
+    val cross = col("user_id") % 31 === 0
+    val tc = (ta + 3) % 30
+    def pair(a: Column, b: Column, keep: Column) =
+      when(keep && a =!= b, struct(least(a, b).as("t_lo"), greatest(a, b).as("t_hi")))
+    ev(s, dir).select(col("user_id"),
+      array_distinct(array_compact(array(
+        pair(ta, lead, lit(true)),
+        pair(ta, tc, cross),
+        pair(lead, tc, cross)))).as("pairs"))
+  }
+
+  /** `a_table_affinity` — co-read counts per unordered table pair: how
+    * often two tables appear in the same query and how many distinct users
+    * depend on the combination. The output is catalog²-bounded; events
+    * flow through exactly one explode + grouped aggregate. */
+  def aTableAffinity(s: SparkSession, dir: String): DataFrame =
+    pairFrame(s, dir)
+      .select(col("user_id"), explode(col("pairs")).as("p"))
+      .select(col("user_id"), col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
+      .groupBy("t_lo", "t_hi")
+      .agg(count(lit(1)).as("n_co"), countDistinct("user_id").as("n_users"))
+      .select(col("t_lo"), col("t_hi"), tblName(col("t_lo")).as("table_a"),
+        tblName(col("t_hi")).as("table_b"), col("n_co"), col("n_users"))
+      .orderBy("t_lo", "t_hi")
+
+  /** `a_migration_waves` — connected components of the affinity graph
+    * above a support threshold (co-read in ≥ 0.1% of queries — scale-free,
+    * so the same constant works at every sf): each component is a set of
+    * tables that can migrate together without severing frequent co-reads.
+    * Singleton tables form their own wave. Same bounded min-label
+    * propagation as [[graft.ext.Curation.xDupClusters]]; here the frame is
+    * catalog-sized, so each round is a tiny co-partitioned join. */
+  def aMigrationWaves(s: SparkSession, dir: String,
+                      maxRounds: Int = 40): DataFrame = {
+    val pf = pairFrame(s, dir).localCheckpoint() // shared by edges + nodes
+    val total = pf.agg(count(lit(1)).as("n_total"))
+    val aff = pf.select(explode(col("pairs")).as("p"))
+      .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
+      .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+    val kept = aff.crossJoin(broadcast(total))
+      .filter(col("n_co") * 1000 >= col("n_total"))
+      .select("t_lo", "t_hi")
+    val edges = kept.unionByName(
+      kept.select(col("t_hi").as("t_lo"), col("t_lo").as("t_hi")))
+      .localCheckpoint()
+    // universe = every table read anywhere, so waves partition the catalog
+    val nodes = pf.select(explode(col("pairs")).as("p"))
+      .select(explode(array(col("p.t_lo"), col("p.t_hi"))).as("t"))
+      .distinct()
+    var labels = nodes.withColumn("wave", col("t")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val next = labels
+        .select(col("t"), col("wave"), col("wave").as("old"))
+        .unionByName(edges
+          .join(labels, edges("t_hi") === labels("t"))
+          .select(edges("t_lo").as("t"), col("wave"),
+            lit(null).cast("long").as("old")))
+        .groupBy("t")
+        .agg(min("wave").as("wave"), max("old").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("wave") =!= col("old")).count()
+      labels = next.select("t", "wave")
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"affinity components did not converge in $maxRounds rounds")
+    val sizes = labels.groupBy("wave").agg(count(lit(1)).as("wave_tables"))
+    labels.join(sizes, Seq("wave"))
+      .select(col("t").as("table_id"), tblName(col("t")).as("table_name"),
+        col("wave"), col("wave_tables"))
+      .orderBy("table_id")
+  }
+
+  /** `a_concurrency_profile` — per-day peak query concurrency: the
+    * capacity-planning number that sizes the migration target (slots /
+    * warehouses are provisioned against peak concurrent queries, not query
+    * counts). Each query becomes an interval `[ts, ts + value sec)`
+    * (value is the duration analog the events table carries), clamped to
+    * its start day; the classic boundary sweep — +1 at start, −1 at end,
+    * running sum — yields the concurrency level at every instant, and the
+    * per-day max is the answer. Arrivals sort before departures at the
+    * same instant, so touching intervals count as overlapping (the
+    * conservative sizing convention); `event_id` makes the sweep order
+    * total, hence engine-identical.
+    *
+    * Scale shape: the sweep window partitions by DAY — each partition is
+    * one day's boundaries, never the whole log (the `x_stable_ids`
+    * single-partition-window trap). Day-end clamping keeps every
+    * interval's two boundaries inside one partition, so no day can go
+    * concurrency-negative. */
+  def aConcurrencyProfile(s: SparkSession, dir: String): DataFrame = {
+    val st = unix_micros(col("ts"))
+    val dayEnd = unix_micros(date_trunc("day", col("ts"))) + lit(86399999999L)
+    val en = least(st + floor(col("value") * 1e6).cast("long"), dayEnd)
+    val base = ev(s, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_id"),
+      st.as("st"), en.as("en"))
+    val bounds = base
+      .select(col("day"), col("st").as("t"), lit(1).as("d"), col("event_id"))
+      .unionByName(base
+        .select(col("day"), col("en").as("t"), lit(-1).as("d"), col("event_id")))
+    val w = Window.partitionBy("day")
+      .orderBy(col("t").asc, col("d").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("conc", sum("d").over(w))
+      .groupBy("day")
+      .agg(max("conc").as("max_concurrent"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_queries"))
+      .orderBy("day")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a_dialect_scan" -> aDialectScan,
+    "a_dialect_complexity" -> aDialectComplexity,
+    "a_table_affinity" -> aTableAffinity,
+    "a_migration_waves" -> ((s, dir) => aMigrationWaves(s, dir)),
+    "a_concurrency_profile" -> aConcurrencyProfile
+  )
+
+  /** DuckDB twin of [[queryText]] + [[Features]] as CTEs: `q(user_id,
+    * q_text)` and `f(feature, needle, weight)`. */
+  private val DialectCte =
+    """q AS (SELECT user_id, event_id, CASE event_type
+      |  WHEN 'view' THEN 'SELECT c1, c2 FROM tbl_' || CAST(user_id % 7 AS VARCHAR)
+      |    || ' WHERE id = ' || CAST(event_id AS VARCHAR)
+      |  WHEN 'click' THEN 'SELECT a.c1, t.item FROM tbl_' || CAST(user_id % 7 AS VARCHAR)
+      |    || ' a LATERAL VIEW explode(a.items) t AS item JOIN tbl_'
+      |    || CAST((user_id + 1) % 7 AS VARCHAR) || ' b ON a.id = b.id'
+      |  WHEN 'purchase' THEN 'INSERT OVERWRITE TABLE tbl_' || CAST(user_id % 7 AS VARCHAR)
+      |    || ' PARTITION (ds) SELECT c1 FROM tbl_' || CAST((user_id + 2) % 7 AS VARCHAR)
+      |    || ' DISTRIBUTE BY c1 SORT BY c2'
+      |  WHEN 'signup' THEN 'CREATE TABLE tbl_' || CAST(user_id % 7 AS VARCHAR)
+      |    || ' STORED AS ORC AS SELECT c1 FROM tbl_' || CAST((user_id + 3) % 7 AS VARCHAR)
+      |    || ' CLUSTER BY c1'
+      |  ELSE 'SELECT TRANSFORM(c1) USING ''parse.py'' AS c2 FROM tbl_'
+      |    || CAST(user_id % 7 AS VARCHAR) || ' WHERE c1 RLIKE ''^x''' END AS q_text
+      |  FROM ($EVENTS) events),
+      |f AS (SELECT * FROM (VALUES
+      |  ('lateral_view', 'LATERAL VIEW', 3), ('transform_using', 'TRANSFORM(', 5),
+      |  ('distribute_by', 'DISTRIBUTE BY', 2), ('cluster_by', 'CLUSTER BY', 2),
+      |  ('sort_by', 'SORT BY', 1), ('insert_overwrite', 'INSERT OVERWRITE', 2),
+      |  ('stored_as', 'STORED AS', 1), ('rlike', ' RLIKE ', 1))
+      |  v(feature, needle, weight))""".stripMargin
+
+  /** DuckDB twin of [[pairFrame]]: `pr(user_id, event_id, t_lo, t_hi)`,
+    * per-query distinct pairs. */
+  private val PairsCte =
+    """g AS (SELECT user_id, event_id, user_id % 30 AS ta,
+      |  (user_id % 30) - ((user_id % 30) % 3) AS lead,
+      |  (user_id % 31 = 0) AS crossu, ((user_id % 30) + 3) % 30 AS tc
+      |  FROM ($EVENTS) events),
+      |pr AS (SELECT DISTINCT user_id, event_id, t_lo, t_hi FROM (
+      |  SELECT user_id, event_id, least(ta, lead) AS t_lo, greatest(ta, lead) AS t_hi
+      |    FROM g WHERE ta <> lead
+      |  UNION ALL
+      |  SELECT user_id, event_id, least(ta, tc), greatest(ta, tc)
+      |    FROM g WHERE crossu AND ta <> tc
+      |  UNION ALL
+      |  SELECT user_id, event_id, least(lead, tc), greatest(lead, tc)
+      |    FROM g WHERE crossu AND lead <> tc))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // NB: the dialect CTE contains lines that BEGIN with `||`, so it must
+    // be concatenated after stripMargin, never interpolated into another
+    // stripMargin string (the outer strip would eat the first `|`).
+    "a_dialect_scan" ->
+      (s"WITH $DialectCte,\n" +
+        """tot AS (SELECT count(*) AS n_total FROM q)
+        |SELECT f.feature, f.weight, count(*) AS n_queries,
+        |count(DISTINCT q.user_id) AS n_users,
+        |round(CAST(count(*) AS DOUBLE) / tot.n_total + 1e-9, 4) AS share
+        |FROM q JOIN f ON instr(q.q_text, f.needle) > 0, tot
+        |GROUP BY f.feature, f.weight, tot.n_total ORDER BY feature""".stripMargin),
+    "a_dialect_complexity" ->
+      (s"WITH $DialectCte,\n" +
+        """m AS (SELECT q.event_id, q.user_id, f.feature, f.weight
+        |  FROM q LEFT JOIN f ON instr(q.q_text, f.needle) > 0),
+        |pq AS (SELECT event_id, user_id,
+        |  CAST(coalesce(sum(weight), 0) AS BIGINT) AS q_weight
+        |  FROM m GROUP BY 1, 2),
+        |pu AS (SELECT user_id, count(*) AS n_queries,
+        |  CAST(sum(q_weight) AS BIGINT) AS tot_weight FROM pq GROUP BY 1),
+        |uf AS (SELECT user_id, count(DISTINCT feature) AS n_features FROM m GROUP BY 1)
+        |SELECT pu.user_id, pu.n_queries, pu.tot_weight,
+        |round(CAST(pu.tot_weight AS DOUBLE) / pu.n_queries + 1e-9, 4) AS avg_weight,
+        |uf.n_features,
+        |CASE WHEN round(CAST(pu.tot_weight AS DOUBLE) / pu.n_queries + 1e-9, 4) < 1.5 THEN 'low'
+        |  WHEN round(CAST(pu.tot_weight AS DOUBLE) / pu.n_queries + 1e-9, 4) < 3.0 THEN 'medium'
+        |  ELSE 'high' END AS effort
+        |FROM pu JOIN uf USING (user_id) ORDER BY user_id""".stripMargin),
+    "a_table_affinity" ->
+      s"""WITH $PairsCte
+        |SELECT t_lo, t_hi, 'tbl_' || CAST(t_lo AS VARCHAR) AS table_a,
+        |'tbl_' || CAST(t_hi AS VARCHAR) AS table_b,
+        |count(*) AS n_co, count(DISTINCT user_id) AS n_users
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a_concurrency_profile" ->
+      """WITH b AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t, 1 AS d, event_id
+        |    FROM ($EVENTS) events
+        |  UNION ALL
+        |  SELECT strftime(ts, '%Y-%m-%d'),
+        |    least(epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT),
+        |      epoch_us(date_trunc('day', ts)) + 86399999999), -1, event_id
+        |    FROM ($EVENTS) events),
+        |c AS (SELECT day, d, sum(d) OVER (PARTITION BY day
+        |  ORDER BY t, d DESC, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
+        |SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_queries
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_migration_waves" ->
+      s"""WITH RECURSIVE $PairsCte,
+        |tot AS (SELECT count(*) AS n_total FROM ($$EVENTS) events),
+        |aff AS (SELECT t_lo, t_hi, count(*) AS n_co FROM pr GROUP BY 1, 2),
+        |ed0 AS (SELECT t_lo, t_hi FROM aff, tot WHERE n_co * 1000 >= tot.n_total),
+        |edges AS (SELECT t_lo AS a, t_hi AS b FROM ed0
+        |  UNION ALL SELECT t_hi, t_lo FROM ed0),
+        |nodes AS (SELECT DISTINCT t FROM (
+        |  SELECT t_lo AS t FROM pr UNION ALL SELECT t_hi FROM pr)),
+        |reach(t, r) AS (
+        |  SELECT t, t FROM nodes
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.t),
+        |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1),
+        |sz AS (SELECT wave, count(*) AS wave_tables FROM cl GROUP BY 1)
+        |SELECT cl.t AS table_id, 'tbl_' || CAST(cl.t AS VARCHAR) AS table_name,
+        |cl.wave, sz.wave_tables
+        |FROM cl JOIN sz USING (wave) ORDER BY table_id""".stripMargin
+  ).map { case (k, v) => k -> v.replace("$EVENTS", EventsSql) }
+}

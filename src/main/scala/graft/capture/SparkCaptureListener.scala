@@ -187,10 +187,13 @@ final class SparkCaptureListener(appId: String, user: String,
     val outputRows = qe.flatMap(q =>
       Try(q.executedPlan.metrics.get("numOutputRows").map(_.value))
         .toOption.flatten)
-    val counters = Seq(
+    val planTotals = qe.map(q => SparkCaptureListener.planCounters(q))
+      .getOrElse(Nil)
+    val counters = (Seq(
       Some(s""""durationMs": ${en.time - start}"""),
       outputRows.map(n => s""""outputRows": $n""")
-    ).flatten.mkString("{", ", ", "}")
+    ).flatten ++ planTotals.map { case (k, v) => s""""$k": $v""" })
+      .mkString("{", ", ", "}")
     QueryEvent(
       QueryId = Some(s"${appId}_${en.executionId}"),
       QueryType = qe.map(q => SparkCaptureListener.queryType(q.analyzed)),
@@ -302,6 +305,44 @@ object SparkCaptureListener {
       case p: org.apache.hadoop.fs.Path => Seq(p.toString)
       case _ => Nil
     }.distinct
+
+  /** The reference's CountersObject carries the engine's own execution
+    * counters (MR/Tez counter groups, `EventRecordConstructor.java:158-166`
+    * via O16/O17). The Spark analog is the executed plan's SQL metrics —
+    * aggregated across ALL plan nodes, not just the root: files/bytes
+    * touched by every scan and bytes moved by every exchange are the
+    * numbers a migration assessment prices. Allowlist keyed by Spark's
+    * stable metric names; summed per name; only nonzero totals emitted
+    * (metrics exist with value 0 on unexecuted branches). */
+  private val CounterMetricNames: Map[String, String] = Map(
+    "numFiles" -> "filesRead",
+    "filesSize" -> "bytesScanned",
+    "shuffleBytesWritten" -> "shuffleBytesWritten",
+    "recordsWritten" -> "recordsWritten",
+    "numPartitions" -> "shufflePartitions")
+
+  def planCounters(qe: QueryExecution): Seq[(String, Long)] =
+    Try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      // AQE nodes hide their physical subtree from TreeNode children —
+      // descend through them explicitly or every scan metric is invisible.
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case node =>
+          node.metrics.foreach { case (name, m) =>
+            CounterMetricNames.get(name).foreach { key =>
+              totals(key) = totals.getOrElse(key, 0L) + m.value
+            }
+          }
+          node.children.foreach(walk)
+      }
+      walk(qe.executedPlan)
+      CounterMetricNames.values.toSeq.distinct
+        .flatMap(k => totals.get(k).filter(_ > 0).map(k -> _))
+    }.getOrElse(Nil)
 
   /** O15's perf breakdown from the engine's own planning tracker:
     * `{phase: durationMs}` over parsing/analysis/optimization/planning —

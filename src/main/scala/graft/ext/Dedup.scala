@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY.md §2.3): exact, MinHash+LSH, SimHash,
@@ -470,6 +471,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sorted-neighborhood pairing (Hernández & Stolfo, SIGMOD'95) — the
+    * classic record-linkage alternative to gram blocking
+    * ([[xEditPairs]]): order records by a normalization key and compare
+    * only rows within a fixed rank window `w`. Catches prefix-similar
+    * near-duplicates with O(n·w) comparisons and no candidate blow-up on
+    * skewed grams.
+    *
+    * Spark shape: the global sort a single-node SNM uses would be a
+    * single-partition window — instead the key's 2-char prefix becomes the
+    * BLOCK (standard multi-pass/blocked SNM), the rank window runs per
+    * block (`row_number` over a block-partitioned window), and neighbors
+    * join on `(block, rank distance ≤ w)` — a block-bounded equi-join.
+    * Cross-block neighbors are the documented tradeoff; production runs do
+    * a second pass with a rotated key. Scoring is `levenshtein` on a fixed
+    * 32-char prefix, so each comparison is O(1) at corpus scale. */
+  def xSnmPairs(s: SparkSession, dir: String, w: Int = 3,
+                maxDist: Int = 10): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 24).as("k"),
+        substring(lower(col("text")), 1, 32).as("p32"))
+    val win = Window.partitionBy("block").orderBy(col("k"), col("doc_id"))
+    val r = t.withColumn("block", substring(col("k"), 1, 2))
+      .withColumn("rn", row_number().over(win))
+    r.as("a").join(r.as("b"),
+        col("a.block") === col("b.block") &&
+          col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= w)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.p32"), col("b.p32")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-document repeated-span coverage — the exact-substring-duplication
     * diagnostic behind suffix-array training-data dedup (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL 2022),
@@ -756,6 +791,7 @@ object Dedup {
     "x_containment_pairs" -> xContainmentPairs,
     "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
     "x_edit_pairs" -> ((s, dir) => xEditPairs(s, dir)),
+    "x_snm_pairs" -> ((s, dir) => xSnmPairs(s, dir)),
     "x_simhash" -> xSimhash,
     "x_simhash_pairs" -> ((s, dir) => xSimhashPairs(s, dir)),
     "x_simhash_md5" -> xSimhashMd5,
@@ -928,6 +964,20 @@ object Dedup {
         |CAST(levenshtein(ta.title, tb.title) AS INT) AS dist
         |FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b
         |WHERE levenshtein(ta.title, tb.title) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same blocked sorted-neighborhood construction: 2-char block, rank
+    // window w=3, prefix-32 levenshtein. row_number ties broken by doc_id
+    // in both engines, so ranks — hence candidate pairs — are identical.
+    "x_snm_pairs" ->
+      """WITH t AS (SELECT doc_id, substr(lower(text), 1, 24) AS k,
+        |  substr(lower(text), 1, 32) AS p32 FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, k, p32, substr(k, 1, 2) AS block,
+        |  row_number() OVER (PARTITION BY substr(k, 1, 2) ORDER BY k, doc_id) AS rn
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(levenshtein(a.p32, b.p32) AS INT) AS dist
+        |FROM r a JOIN r b ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.p32, b.p32) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_repeated_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

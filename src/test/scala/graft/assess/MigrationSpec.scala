@@ -1,0 +1,123 @@
+package graft.assess
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Migration-planning analytics pinned against independent recomputation
+  * from the raw events (the DuckDB oracle checks the same numbers
+  * cross-engine; these specs check them against the event-type census, a
+  * derivation the queries never touch). */
+class MigrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  private lazy val typeCounts: Map[String, Long] =
+    graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("dialect scan counts equal the event-type census per construct") {
+    val scan = Migration.aDialectScan(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // each statement shape carries a fixed feature set, so per-feature
+    // query counts are exactly the type counts
+    assert(scan("lateral_view") == typeCounts("click"))
+    assert(scan("transform_using") == typeCounts("error"))
+    assert(scan("rlike") == typeCounts("error"))
+    assert(scan("distribute_by") == typeCounts("purchase"))
+    assert(scan("sort_by") == typeCounts("purchase"))
+    assert(scan("insert_overwrite") == typeCounts("purchase"))
+    assert(scan("cluster_by") == typeCounts("signup"))
+    assert(scan("stored_as") == typeCounts("signup"))
+  }
+
+  test("per-user complexity totals match the closed-form type weights") {
+    // view=0, click=3, purchase=2+1+2, signup=2+1, error=5+1
+    val expected = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(
+        when(col("event_type") === "click", 3L)
+          .when(col("event_type") === "purchase", 5L)
+          .when(col("event_type") === "signup", 3L)
+          .when(col("event_type") === "error", 6L)
+          .otherwise(0L)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Migration.aDialectComplexity(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)} tot_weight")
+      val avg = r.getDouble(3)
+      val effort = r.getString(5)
+      assert(effort == (if (avg < 1.5) "low"
+      else if (avg < 3.0) "medium" else "high"))
+    }
+  }
+
+  test("affinity pairs are ordered and co-read totals add up") {
+    val aff = Migration.aTableAffinity(spark, dir).collect()
+    assert(aff.forall(r => r.getLong(0) < r.getLong(1)))
+    // per-event closed form: a non-head primary (ta % 3 != 0) always pairs
+    // with its head; a cross event adds 2 more (or 1 when ta is a head)
+    val expectedTotal = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(
+        (when(col("user_id") % 30 % 3 =!= 0, 1).otherwise(0) +
+          when(col("user_id") % 31 === 0,
+            when(col("user_id") % 30 % 3 =!= 0, 2).otherwise(1))
+            .otherwise(0)).as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(aff.map(_.getLong(4)).sum == expectedTotal)
+  }
+
+  test("concurrency profile matches a brute-force interval sweep") {
+    val iv = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day", "event_id",
+        "unix_micros(ts) AS st",
+        "least(unix_micros(ts) + cast(floor(value * 1e6) AS long), " +
+          "unix_micros(date_trunc('day', ts)) + 86399999999L) AS en")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = iv.groupBy(_._1).map { case (day, xs) =>
+      val bounds = xs.flatMap { case (_, id, st, en) =>
+        Seq((st, 1, id), (en, -1, id))
+      }.sortBy { case (t, d, id) => (t, -d, id) }
+      var cur = 0L; var mx = Long.MinValue
+      bounds.foreach { b => cur += b._2; mx = math.max(mx, cur) }
+      day -> (mx, xs.length.toLong)
+    }
+    val got = Migration.aConcurrencyProfile(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (mx, n) = expected(r.getString(0))
+      assert(r.getLong(1) == mx, s"max_concurrent on ${r.getString(0)}")
+      assert(r.getLong(2) == n, s"n_queries on ${r.getString(0)}")
+    }
+    assert(got.length == expected.size)
+  }
+
+  test("waves partition the catalog and keep table groups together") {
+    val waves = Migration.aMigrationWaves(spark, dir).collect()
+    val byTable = waves.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every table in exactly one wave; wave label is a member (min) table
+    assert(waves.map(_.getLong(0)).distinct.length == waves.length)
+    waves.foreach(r => assert(byTable(r.getLong(2)) == r.getLong(2),
+      "wave label must itself belong to the wave"))
+    // the always-present (member, head) edge keeps each group of 3 together
+    byTable.keys.foreach { t =>
+      assert(byTable(t) == byTable(t - t % 3), s"table $t split from its head")
+    }
+    // wave_tables is consistent with the partition
+    val sizes = waves.groupBy(_.getLong(2)).view.mapValues(_.size.toLong).toMap
+    waves.foreach(r => assert(r.getLong(3) == sizes(r.getLong(2))))
+  }
+}

@@ -73,6 +73,16 @@ class SparkCaptureListenerSpec extends AnyFunSuite {
         .select(get_json_object(col("c"), "$.durationMs").cast("long").as("d"))
         .collect()
       assert(parsed.nonEmpty && parsed.forall(r => !r.isNullAt(0) && r.getLong(0) >= 0))
+      // O16 parity: plan-wide executor metrics aggregated into the same
+      // JSON — a parquet count must report the files it actually read
+      // (walked through the AQE wrapper nodes, where TreeNode.foreach
+      // can't see)
+      val files = events.filter(_.EventType.contains("QUERY_COMPLETED"))
+        .flatMap(_.CountersObject).toDF("c")
+        .select(get_json_object(col("c"), "$.filesRead").cast("long").as("f"))
+        .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(files.exists(_ >= 1), s"no filesRead counter in " +
+        events.flatMap(_.CountersObject).toString)
     } finally SparkCaptureListener.uninstall(spark, l)
   }
 

@@ -537,6 +537,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "blocking produced no pairs at sf0.001 — vacuous")
   }
 
+  test("snm pairs: brute-force blocked sorted-neighborhood reconstruction") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS lt")
+      .filter("lt IS NOT NULL").collect()
+      .map(r => (r.getLong(0), r.getString(1).take(24), r.getString(1).take(32)))
+    val exp = docs.groupBy(_._2.take(2)).values.flatMap { block =>
+      val ranked = block.sortBy(d => (d._2, d._1)) // (key, doc_id) order
+      for {
+        i <- ranked.indices; j <- (i + 1) until math.min(i + 4, ranked.length)
+        d = lev(ranked(i)._3, ranked(j)._3) if d <= 10
+      } yield (ranked(i)._1, ranked(j)._1, d)
+    }.toSet
+    val got = Dedup.xSnmPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(got.nonEmpty, "SNM produced no pairs at sf0.001 — vacuous")
+  }
+
   test("triangles: every triple pairwise-connected, found exactly once") {
     val edges = Dedup.minhashPairsUnordered(spark, dir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b").collect()
