@@ -105,6 +105,21 @@ object CaptureDemo {
     root
   }
 
+  /** Stateful streaming queries allocate ONE state store per shuffle
+    * partition per stateful operator, and every micro-batch pays a
+    * load/commit round per store — for a bounded round trip whose state is
+    * a few thousand keys, 32 stores are pure fixed overhead (measured:
+    * cap_stream_join spends most of its wall clock there). Run the
+    * STREAMING part under a smaller partition count and restore the
+    * session conf after; at production scale this knob is sized to state
+    * volume, not left at the batch default. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   def capStream(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "run_")
     val out = s"$tmp/log"
@@ -183,9 +198,11 @@ object CaptureDemo {
       col("event_time").as("EndTime"),
       lit("SUCCESS").as("Status"),
       to_json(struct(col("value").as("value"))).as("CountersObject"))
-    val q = graft.sink.EventSink.writeStream(records, out, ckpt,
-      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = graft.sink.EventSink.writeStream(records, out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
     val back = graft.sink.EventSink.read(s, out)
     require(!back.isEmpty,
       s"cap_stream_dedup round trip read back 0 rows from $out (source $src)")
@@ -253,9 +270,11 @@ object CaptureDemo {
       col("done_ts").as("EndTime"),
       lit("SUCCESS").as("Status"),
       to_json(struct(col("latency_s").as("latency_s"))).as("CountersObject"))
-    val q = graft.sink.EventSink.writeStream(records, out, ckpt,
-      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = graft.sink.EventSink.writeStream(records, out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
     val back = graft.sink.EventSink.read(s, out)
     require(!back.isEmpty,
       s"cap_stream_join round trip read back 0 rows from $out (source $src)")

@@ -496,11 +496,24 @@ object Dedup {
     val win = Window.partitionBy("block").orderBy(col("k"), col("doc_id"))
     val r = t.withColumn("block", substring(col("k"), 1, 2))
       .withColumn("rn", row_number().over(win))
-    r.as("a").join(r.as("b"),
-        col("a.block") === col("b.block") &&
-          col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= w)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.p32"), col("b.p32")).as("dist"))
+      .localCheckpoint() // one ranking pass shared by both join sides
+    // Rank-bucket banding: a bare `a.block = b.block` join is QUADRATIC in
+    // block size (a skewed 2-char prefix makes its block all-pairs before
+    // the rank filter prunes — measured 13 s at sf0.1). Neighbor ranks
+    // (rn, rn+w] live in the same or the next w-sized bucket, so the left
+    // side claims both bucket keys and the join key becomes
+    // (block, bucket): candidates are ≤ 2w per row — linear — and the
+    // rank-distance predicate only trims the bucket edges.
+    val bucket = floor(col("rn") / w)
+    val a = r.select(col("doc_id").as("doc_a"), col("p32").as("pa"),
+      col("block"), col("rn").as("rn_a"),
+      explode(array(bucket, bucket + 1)).as("bk"))
+    val b = r.select(col("doc_id").as("doc_b"), col("p32").as("pb"),
+      col("block"), col("rn").as("rn_b"), bucket.as("bk"))
+    a.join(b, Seq("block", "bk"))
+      .filter(col("rn_b") - col("rn_a") >= 1 && col("rn_b") - col("rn_a") <= w)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
       .filter(col("dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }

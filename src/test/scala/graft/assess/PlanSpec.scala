@@ -486,6 +486,28 @@ class PlanSpec extends AnyFunSuite {
       s"the k-row term dim must broadcast:\n${inv.take(2000)}")
   }
 
+  test("r9 operators: banded snm join, narrow dialect scan, day-partitioned sweep, bounded gradient exchange") {
+    // SNM self-join must be the (block, bucket) equi-join — a nested-loop
+    // or cartesian fallback would mean the banding keys got lost
+    val snm = planOf(graft.ext.Dedup.xSnmPairs(spark, dir))
+    assert(!snm.contains("CartesianProduct") &&
+      !snm.contains("BroadcastNestedLoopJoin"), snm.take(2000))
+    // dialect scan: instr feature flags stay native (no UDF), aggregate
+    // partials combine map-side
+    val scan = planOf(Migration.aDialectScan(spark, dir))
+    assert(!scan.toLowerCase.contains("udf("), scan.take(2000))
+    assert(scan.contains("partial_"), scan.take(2000))
+    // concurrency sweep: the running-sum window partitions by day, never
+    // a global single-partition sort
+    val conc = planOf(Migration.aConcurrencyProfile(spark, dir))
+    assert(conc.contains(", [day#"),
+      s"sweep window must partition by day:\n${conc.take(2000)}")
+    // logreg: gradient reduces through a partial aggregate after the
+    // posexplode, so the exchange is dims-bounded, not corpus-bounded
+    val lr = planOf(graft.ext.Learn.xLogregStep(spark, dir))
+    assert(lr.contains("Generate") && lr.contains("partial_"), lr.take(2000))
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
