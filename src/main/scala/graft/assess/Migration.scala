@@ -164,21 +164,28 @@ object Migration {
     * fact/dim locality every warehouse has), and — for the occasional
     * power user (`user_id % 31 == 0`) — a cross-group table
     * (`(ta + 3) % 30`), which is what makes the wave structure
-    * non-trivial. Returns (user_id, pairs) with the per-query UNORDERED
-    * DISTINCT table pairs as an array — within-query dedup is an
-    * `array_distinct` on a ≤3-element array, never a shuffle. */
+    * non-trivial. Every 37th query (`event_id % 37 == 0`) is instead an
+    * AD-HOC exploration reading `{ta, (ta + 7 + event_id % 11) % 30}` —
+    * rare pairs that fall below the wave support threshold, so the cut
+    * set ([[aWaveCutCost]]) is non-empty the way a real workload's tail
+    * is. Returns (user_id, pairs) with the per-query UNORDERED DISTINCT
+    * table pairs as an array — within-query dedup is an `array_distinct`
+    * on a ≤3-element array, never a shuffle. */
   private def pairFrame(s: SparkSession, dir: String): DataFrame = {
     val ta = col("user_id") % 30
     val lead = ta - (ta % 3)
     val cross = col("user_id") % 31 === 0
     val tc = (ta + 3) % 30
+    val rare = col("event_id") % 37 === 0
+    val tr = (ta + 7 + (col("event_id") % 11)) % 30 // never == ta (7..17 mod 30)
     def pair(a: Column, b: Column, keep: Column) =
       when(keep && a =!= b, struct(least(a, b).as("t_lo"), greatest(a, b).as("t_hi")))
     ev(s, dir).select(col("user_id"),
-      array_distinct(array_compact(array(
-        pair(ta, lead, lit(true)),
-        pair(ta, tc, cross),
-        pair(lead, tc, cross)))).as("pairs"))
+      when(rare, array_compact(array(pair(ta, tr, lit(true)))))
+        .otherwise(array_distinct(array_compact(array(
+          pair(ta, lead, lit(true)),
+          pair(ta, tc, cross),
+          pair(lead, tc, cross))))).as("pairs"))
   }
 
   /** `a_table_affinity` — co-read counts per unordered table pair: how
@@ -202,15 +209,20 @@ object Migration {
     * Singleton tables form their own wave. Same bounded min-label
     * propagation as [[graft.ext.Curation.xDupClusters]]; here the frame is
     * catalog-sized, so each round is a tiny co-partitioned join. */
-  def aMigrationWaves(s: SparkSession, dir: String,
-                      maxRounds: Int = 40): DataFrame = {
+  /** The wave labeling shared by [[aMigrationWaves]], [[aWaveRollup]] and
+    * [[aWaveCutCost]]: (t, wave) for every table read anywhere, wave = min
+    * table id of its support-thresholded affinity component. */
+  private def waveLabels(s: SparkSession, dir: String,
+                         maxRounds: Int = 40): DataFrame = {
     val pf = pairFrame(s, dir).localCheckpoint() // shared by edges + nodes
     val total = pf.agg(count(lit(1)).as("n_total"))
     val aff = pf.select(explode(col("pairs")).as("p"))
       .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
       .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+    // support threshold 0.5% of queries: the always-on group edges clear
+    // it at every sf, the ad-hoc tail never does — scale-free constant
     val kept = aff.crossJoin(broadcast(total))
-      .filter(col("n_co") * 1000 >= col("n_total"))
+      .filter(col("n_co") * 200 >= col("n_total"))
       .select("t_lo", "t_hi")
     val edges = kept.unionByName(
       kept.select(col("t_hi").as("t_lo"), col("t_lo").as("t_hi")))
@@ -239,11 +251,73 @@ object Migration {
     if (changed > 0)
       throw new IllegalStateException(
         s"affinity components did not converge in $maxRounds rounds")
+    labels
+  }
+
+  def aMigrationWaves(s: SparkSession, dir: String,
+                      maxRounds: Int = 40): DataFrame = {
+    val labels = waveLabels(s, dir, maxRounds)
     val sizes = labels.groupBy("wave").agg(count(lit(1)).as("wave_tables"))
     labels.join(sizes, Seq("wave"))
       .select(col("t").as("table_id"), tblName(col("t")).as("table_name"),
         col("wave"), col("wave_tables"))
       .orderBy("table_id")
+  }
+
+  /** `a_wave_rollup` — the migration plan one row per wave: table count,
+    * query volume (events whose PRIMARY table lands in the wave), distinct
+    * users affected, and the wave's share of the workload. This is the
+    * sequencing input: big-share waves migrate when the target is proven,
+    * small isolated waves go first.
+    *
+    * Scale shape: labels are catalog-sized and broadcast into the event
+    * scan's groupBy; events flow through one aggregate keyed by primary
+    * table, then the catalog-sized frames join. */
+  def aWaveRollup(s: SparkSession, dir: String): DataFrame = {
+    val labels = waveLabels(s, dir).localCheckpoint()
+    val total = ev(s, dir).agg(count(lit(1)).as("n_total"))
+    // catalog-sized label dim broadcast into the event scan; events flow
+    // through ONE aggregate keyed by wave
+    val perWave = ev(s, dir)
+      .select((col("user_id") % 30).as("t"), col("user_id"))
+      .join(broadcast(labels), Seq("t"))
+      .groupBy("wave")
+      .agg(count(lit(1)).as("n_q"), countDistinct("user_id").as("n_u"))
+    val sizes = labels.groupBy("wave").agg(count(lit(1)).as("n_tables"))
+    sizes.join(perWave, Seq("wave"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("wave"), col("n_tables"),
+        coalesce(col("n_q"), lit(0L)).as("n_queries"),
+        coalesce(col("n_u"), lit(0L)).as("n_users"),
+        round(coalesce(col("n_q"), lit(0L)) / col("n_total") + lit(1e-9), 4)
+          .as("share"))
+      .orderBy("wave")
+  }
+
+  /** `a_wave_cut_cost` — what the wave partition severs: co-read volume
+    * between tables that landed in DIFFERENT waves (the below-threshold
+    * affinity edges). Every severed co-read is a future cross-system join
+    * during the migration window, so this matrix is the coordination-cost
+    * estimate per wave pair — and the review gate for the support
+    * threshold itself.
+    *
+    * Scale shape: the affinity matrix is catalog²-bounded; two label
+    * joins + one grouped aggregate on it. */
+  def aWaveCutCost(s: SparkSession, dir: String): DataFrame = {
+    val labels = waveLabels(s, dir).localCheckpoint()
+    val aff = pairFrame(s, dir)
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
+      .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+    aff
+      .join(labels.select(col("t").as("t_lo"), col("wave").as("wave_a")), Seq("t_lo"))
+      .join(labels.select(col("t").as("t_hi"), col("wave").as("wave_b")), Seq("t_hi"))
+      .filter(col("wave_a") =!= col("wave_b"))
+      .select(least(col("wave_a"), col("wave_b")).as("wave_x"),
+        greatest(col("wave_a"), col("wave_b")).as("wave_y"), col("n_co"))
+      .groupBy("wave_x", "wave_y")
+      .agg(count(lit(1)).as("n_edges"), sum("n_co").as("severed_coreads"))
+      .orderBy("wave_x", "wave_y")
   }
 
   /** `a_concurrency_profile` — per-day peak query concurrency: the
@@ -289,6 +363,8 @@ object Migration {
     "a_dialect_complexity" -> aDialectComplexity,
     "a_table_affinity" -> aTableAffinity,
     "a_migration_waves" -> ((s, dir) => aMigrationWaves(s, dir)),
+    "a_wave_rollup" -> aWaveRollup,
+    "a_wave_cut_cost" -> aWaveCutCost,
     "a_concurrency_profile" -> aConcurrencyProfile
   )
 
@@ -318,21 +394,44 @@ object Migration {
       |  v(feature, needle, weight))""".stripMargin
 
   /** DuckDB twin of [[pairFrame]]: `pr(user_id, event_id, t_lo, t_hi)`,
-    * per-query distinct pairs. */
+    * per-query distinct pairs (ad-hoc queries contribute only their rare
+    * pair, like the Spark side). */
   private val PairsCte =
     """g AS (SELECT user_id, event_id, user_id % 30 AS ta,
       |  (user_id % 30) - ((user_id % 30) % 3) AS lead,
-      |  (user_id % 31 = 0) AS crossu, ((user_id % 30) + 3) % 30 AS tc
+      |  (user_id % 31 = 0) AS crossu, ((user_id % 30) + 3) % 30 AS tc,
+      |  (event_id % 37 = 0) AS rare,
+      |  ((user_id % 30) + 7 + (event_id % 11)) % 30 AS tr
       |  FROM ($EVENTS) events),
       |pr AS (SELECT DISTINCT user_id, event_id, t_lo, t_hi FROM (
       |  SELECT user_id, event_id, least(ta, lead) AS t_lo, greatest(ta, lead) AS t_hi
-      |    FROM g WHERE ta <> lead
+      |    FROM g WHERE NOT rare AND ta <> lead
       |  UNION ALL
       |  SELECT user_id, event_id, least(ta, tc), greatest(ta, tc)
-      |    FROM g WHERE crossu AND ta <> tc
+      |    FROM g WHERE NOT rare AND crossu AND ta <> tc
       |  UNION ALL
       |  SELECT user_id, event_id, least(lead, tc), greatest(lead, tc)
-      |    FROM g WHERE crossu AND lead <> tc))""".stripMargin
+      |    FROM g WHERE NOT rare AND crossu AND lead <> tc
+      |  UNION ALL
+      |  SELECT user_id, event_id, least(ta, tr), greatest(ta, tr)
+      |    FROM g WHERE rare))""".stripMargin
+
+  /** The waves labeling as a CTE suffix (`cl(t, wave)`), shared by the
+    * three wave oracles; prepend WITH RECURSIVE. */
+  private lazy val WavesCte =
+    s"$PairsCte,\n" +
+      """tot AS (SELECT count(*) AS n_total FROM ($EVENTS) events),
+        |aff0 AS (SELECT t_lo, t_hi, count(*) AS n_co FROM pr GROUP BY 1, 2),
+        |ed0 AS (SELECT t_lo, t_hi FROM aff0, tot WHERE n_co * 200 >= tot.n_total),
+        |edges AS (SELECT t_lo AS a, t_hi AS b FROM ed0
+        |  UNION ALL SELECT t_hi, t_lo FROM ed0),
+        |nodes AS (SELECT DISTINCT t FROM (
+        |  SELECT t_lo AS t FROM pr UNION ALL SELECT t_hi FROM pr)),
+        |reach(t, r) AS (
+        |  SELECT t, t FROM nodes
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.t),
+        |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // NB: the dialect CTE contains lines that BEGIN with `||`, so it must
@@ -385,22 +484,29 @@ object Migration {
         |CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_queries
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_migration_waves" ->
-      s"""WITH RECURSIVE $PairsCte,
-        |tot AS (SELECT count(*) AS n_total FROM ($$EVENTS) events),
-        |aff AS (SELECT t_lo, t_hi, count(*) AS n_co FROM pr GROUP BY 1, 2),
-        |ed0 AS (SELECT t_lo, t_hi FROM aff, tot WHERE n_co * 1000 >= tot.n_total),
-        |edges AS (SELECT t_lo AS a, t_hi AS b FROM ed0
-        |  UNION ALL SELECT t_hi, t_lo FROM ed0),
-        |nodes AS (SELECT DISTINCT t FROM (
-        |  SELECT t_lo AS t FROM pr UNION ALL SELECT t_hi FROM pr)),
-        |reach(t, r) AS (
-        |  SELECT t, t FROM nodes
-        |  UNION
-        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.t),
-        |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1),
-        |sz AS (SELECT wave, count(*) AS wave_tables FROM cl GROUP BY 1)
+      (s"WITH RECURSIVE $WavesCte,\n" +
+        """sz AS (SELECT wave, count(*) AS wave_tables FROM cl GROUP BY 1)
         |SELECT cl.t AS table_id, 'tbl_' || CAST(cl.t AS VARCHAR) AS table_name,
         |cl.wave, sz.wave_tables
-        |FROM cl JOIN sz USING (wave) ORDER BY table_id""".stripMargin
+        |FROM cl JOIN sz USING (wave) ORDER BY table_id""".stripMargin),
+    "a_wave_rollup" ->
+      (s"WITH RECURSIVE $WavesCte,\n" +
+        """q2 AS (SELECT user_id % 30 AS t, user_id FROM ($EVENTS) events),
+        |per AS (SELECT cl.wave, count(*) AS n_q, count(DISTINCT q2.user_id) AS n_u
+        |  FROM q2 JOIN cl ON q2.t = cl.t GROUP BY 1),
+        |sz AS (SELECT wave, count(*) AS n_tables FROM cl GROUP BY 1)
+        |SELECT sz.wave, sz.n_tables,
+        |CAST(coalesce(per.n_q, 0) AS BIGINT) AS n_queries,
+        |CAST(coalesce(per.n_u, 0) AS BIGINT) AS n_users,
+        |round(CAST(coalesce(per.n_q, 0) AS DOUBLE) / tot.n_total + 1e-9, 4) AS share
+        |FROM sz LEFT JOIN per USING (wave), tot ORDER BY wave""".stripMargin),
+    "a_wave_cut_cost" ->
+      (s"WITH RECURSIVE $WavesCte,\n" +
+        """x AS (SELECT la.wave AS wave_a, lb.wave AS wave_b, aff0.n_co
+        |  FROM aff0 JOIN cl la ON aff0.t_lo = la.t JOIN cl lb ON aff0.t_hi = lb.t
+        |  WHERE la.wave <> lb.wave)
+        |SELECT least(wave_a, wave_b) AS wave_x, greatest(wave_a, wave_b) AS wave_y,
+        |count(*) AS n_edges, CAST(sum(n_co) AS BIGINT) AS severed_coreads
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   ).map { case (k, v) => k -> v.replace("$EVENTS", EventsSql) }
 }

@@ -386,11 +386,44 @@ object CaptureDemo {
       .orderBy("probe")
   }
 
+  /** Log-compaction round trip — the at-least-once RECOVERY path proven
+    * end-to-end (ADVICE r8: a transient failure mid job-commit can leave
+    * some files published, and the append-mode retry then writes the whole
+    * batch again): the same batch is deliberately written TWICE, then
+    * [[graft.sink.EventSink.readLatestEvents]] collapses the duplicates to
+    * one row per (QueryId, EventType) lifecycle event and the compacted
+    * log is rolled up per (day, type). The DuckDB oracle aggregates the
+    * ORIGINAL table once, so the hash passes only if compaction returned
+    * exactly one copy of every event — the maintenance job a long-lived
+    * event log runs to restore exactly-once semantics after retried
+    * commits. */
+  def capLogCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "compact_")
+    val log = s"$tmp/log"
+    val records = graft.Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(
+        col("event_id").cast("string").as("QueryId"),
+        upper(col("event_type")).as("QueryType"),
+        lit("QUERY_COMPLETED").as("EventType"),
+        col("ts").as("StartTime"),
+        col("ts").as("EndTime"),
+        lit("SUCCESS").as("Status"))
+    graft.sink.EventSink.writeBatch(records, log)
+    graft.sink.EventSink.writeBatch(records, log) // the duplicated commit
+    graft.sink.EventSink.readLatestEvents(s, log)
+      .groupBy(date_format(col("EndTime"), "yyyy-MM-dd").as("day"),
+        col("QueryType").as("query_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "query_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
       "cap_stream_dedup" -> capStreamDedup,
       "cap_stream_join" -> capStreamJoin,
       "cap_live_hook" -> capLiveHook,
+      "cap_log_compact" -> capLogCompact,
       "cap_live_lifecycle" -> capLiveLifecycle)
 
   val oracles: Map[String, String] = Map(
@@ -416,6 +449,13 @@ object CaptureDemo {
         |  WHEN event_type = 'purchase' AND user_id % 3 = 0 THEN 'application_llap_0'
         |  ELSE NULL END AS yarn_app_id
         |FROM events WHERE (user_id % 10) >= 2 ORDER BY event_id""".stripMargin,
+    // The original table aggregated ONCE — green only if readLatestEvents
+    // collapsed the doubled commit to exactly one copy per event.
+    "cap_log_compact" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
+        |count(*) AS n
+        |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cap_stream" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
         |count(*) AS n,

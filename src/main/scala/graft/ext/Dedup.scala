@@ -487,8 +487,16 @@ object Dedup {
     * a second pass with a rotated key. Scoring is `levenshtein` on a fixed
     * 32-char prefix, so each comparison is O(1) at corpus scale. */
   def xSnmPairs(s: SparkSession, dir: String, w: Int = 3,
-                maxDist: Int = 10): DataFrame = {
-    val t = Tables.load(s, dir, "documents")
+                maxDist: Int = 10): DataFrame =
+    snmPairs(Tables.load(s, dir, "documents"), w, maxDist)
+
+  /** [[xSnmPairs]] over an explicit (doc_id, text) frame — the fixture
+    * surface that lets a spec pin the banding bound on a fully skewed
+    * block (every doc in ONE block ⇒ candidates must stay ≤ n·w, the
+    * linear contract; the pre-banding join shape was n²/2 there). */
+  private[ext] def snmPairs(docs: DataFrame, w: Int,
+                            maxDist: Int): DataFrame = {
+    val t = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 24).as("k"),

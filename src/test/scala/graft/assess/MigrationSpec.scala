@@ -63,16 +63,20 @@ class MigrationSpec extends AnyFunSuite {
   test("affinity pairs are ordered and co-read totals add up") {
     val aff = Migration.aTableAffinity(spark, dir).collect()
     assert(aff.forall(r => r.getLong(0) < r.getLong(1)))
-    // per-event closed form: a non-head primary (ta % 3 != 0) always pairs
-    // with its head; a cross event adds 2 more (or 1 when ta is a head)
+    // per-event closed form: an ad-hoc query (event_id % 37 == 0)
+    // contributes exactly its one rare pair; otherwise a non-head primary
+    // (ta % 3 != 0) always pairs with its head and a cross event adds 2
+    // more (or 1 when ta is a head)
     val expectedTotal = graft.Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
         col("value").isNotNull && col("user_id").isNotNull)
       .select(
-        (when(col("user_id") % 30 % 3 =!= 0, 1).otherwise(0) +
-          when(col("user_id") % 31 === 0,
-            when(col("user_id") % 30 % 3 =!= 0, 2).otherwise(1))
-            .otherwise(0)).as("k"))
+        when(col("event_id") % 37 === 0, 1)
+          .otherwise(
+            when(col("user_id") % 30 % 3 =!= 0, 1).otherwise(0) +
+              when(col("user_id") % 31 === 0,
+                when(col("user_id") % 30 % 3 =!= 0, 2).otherwise(1))
+                .otherwise(0)).as("k"))
       .agg(sum("k")).collect()(0).getLong(0)
     assert(aff.map(_.getLong(4)).sum == expectedTotal)
   }
@@ -112,12 +116,39 @@ class MigrationSpec extends AnyFunSuite {
     assert(waves.map(_.getLong(0)).distinct.length == waves.length)
     waves.foreach(r => assert(byTable(r.getLong(2)) == r.getLong(2),
       "wave label must itself belong to the wave"))
-    // the always-present (member, head) edge keeps each group of 3 together
-    byTable.keys.foreach { t =>
+    // the always-on (member, head) edge keeps each group of 3 together —
+    // for tables that actually HAVE member traffic (a table reached only
+    // by the rare ad-hoc tail is legitimately a singleton wave)
+    val memberTables = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull &&
+        col("event_id") % 37 =!= 0)
+      .select((col("user_id") % 30).as("t")).distinct()
+      .collect().map(_.getLong(0)).filter(t => t % 3 != 0)
+    assert(memberTables.nonEmpty)
+    memberTables.foreach { t =>
       assert(byTable(t) == byTable(t - t % 3), s"table $t split from its head")
     }
     // wave_tables is consistent with the partition
     val sizes = waves.groupBy(_.getLong(2)).view.mapValues(_.size.toLong).toMap
     waves.foreach(r => assert(r.getLong(3) == sizes(r.getLong(2))))
+  }
+
+  test("wave rollup partitions the workload; cut cost is non-vacuous") {
+    val total = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull).count()
+    val roll = Migration.aWaveRollup(spark, dir).collect()
+    // every query has a primary table, so wave query counts partition the
+    // workload, and wave table counts partition the catalog
+    assert(roll.map(_.getLong(2)).sum == total)
+    assert(roll.map(_.getLong(1)).sum ==
+      Migration.aMigrationWaves(spark, dir).count())
+    val cut = Migration.aWaveCutCost(spark, dir).collect()
+    assert(cut.nonEmpty, "ad-hoc tail must produce severed co-reads")
+    cut.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "wave pair must be ordered")
+      assert(r.getLong(3) >= r.getLong(2), "each edge carries >= 1 co-read")
+    }
   }
 }

@@ -564,6 +564,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "SNM produced no pairs at sf0.001 — vacuous")
   }
 
+  test("snm banding: candidates stay linear on a fully skewed block") {
+    import spark.implicits._
+    val n = 400
+    val w = 3
+    // every doc shares the 2-char block "zz" — the pre-banding join shape
+    // was n²/2 candidate pairs here; banding must keep it at ≤ n·w
+    val docs = (0 until n)
+      .map(i => (i.toLong, f"zz common prefix $i%04d tail"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.snmPairs(docs, w, maxDist = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length <= n * w, s"banding bound violated: ${got.length} pairs")
+    assert(got.length == n * w - w * (w + 1) / 2, // exact: full window everywhere
+      s"expected every rank pair within w, got ${got.length}")
+    // agreement with the definition: pairs are exactly rank-adjacency
+    // within w under (key, doc_id) order — here key order == doc order
+    assert(got.forall { case (a, b, _) => b > a && b - a <= w })
+  }
+
   test("triangles: every triple pairwise-connected, found exactly once") {
     val edges = Dedup.minhashPairsUnordered(spark, dir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b").collect()
