@@ -358,7 +358,95 @@ object Migration {
       .orderBy("day")
   }
 
+  // -------------------------------------------------------------- templates
+
+  /** Literal stripping shared by Spark and the oracle: equality literals
+    * (`= 123`) and single-quoted strings become `?`. Both patterns are
+    * RE2-safe (no lookarounds), so DuckDB's regex engine and the JVM's
+    * agree; Spark replaces every occurrence by default, DuckDB needs the
+    * `'g'` flag (applied in the oracle). */
+  private def template(text: Column): Column =
+    regexp_replace(regexp_replace(text, "= [0-9]+", "= ?"), "'[^']*'", "'?'")
+
+  /** `a_template_mining` — recurring-statement census: strip literals from
+    * every query text, group by the resulting template, report volume,
+    * distinct users, and a stable md5 fingerprint. This is the assessment's
+    * unit of translation work — a migration rewrites TEMPLATES, not the
+    * millions of literal-varying instances, so the template count (dozens)
+    * versus the query count (millions) is the effort compression ratio.
+    *
+    * Scale shape: the render + two `regexp_replace`s + `md5` ride the scan
+    * inside codegen; one grouped aggregate keyed by template (template-count
+    * output rows, never event-bounded). */
+  def aTemplateMining(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("user_id"), template(queryText).as("template"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_queries"), countDistinct("user_id").as("n_users"))
+      .select(md5(col("template")).as("tpl_fp"), col("template"),
+        col("n_queries"), col("n_users"))
+      .orderBy("template")
+
+  // -------------------------------------------------------------- schedules
+
+  /** Per-run submission instant in epoch micros. Scheduler users
+    * (`user_id % 41 == 0` — the cron cohort) submit on a daily grid at a
+    * fixed per-user hour, so their inter-run gaps are exact multiples of
+    * 24 h; everyone else keeps the raw event instant (ad-hoc). Same
+    * deterministic-render approach as [[queryText]]: the events table has
+    * no scheduler metadata, so the fixture synthesizes the signal and the
+    * DuckDB oracle reproduces it, leaving the DETECTOR (modal-gap
+    * regularity) checked end-to-end. */
+  private def subUs: Column = {
+    val sched = col("user_id") % 41 === 0
+    when(sched,
+      unix_micros(date_trunc("day", col("ts"))) +
+        (col("user_id") % 24) * lit(3600000000L))
+      .otherwise(unix_micros(col("ts")))
+  }
+
+  /** `a_recurring_jobs` — scheduled-workload detector: for each
+    * (user, statement kind), the modal inter-run gap in minutes and the
+    * share of gaps hitting that mode (regularity). High-regularity,
+    * multi-run series are cron jobs — the migration must port their
+    * SCHEDULE (dependencies, calendars), not just their SQL, and they are
+    * the safe first movers because reruns are cheap. Runs collapse to
+    * distinct submission instants first (a retried cron tick is one run).
+    *
+    * Scale shape: everything is keyed by (user_id, event_type) — the
+    * dedup, the lag window, the gap-histogram groupBy, and the final joins
+    * all co-partition on that key; no global window, no driver loop. Output
+    * is user×kind-bounded. */
+  def aRecurringJobs(s: SparkSession, dir: String): DataFrame = {
+    val runs = ev(s, dir)
+      .select(col("user_id"), col("event_type"), subUs.as("sub_us"))
+      .distinct()
+    val w = Window.partitionBy("user_id", "event_type").orderBy("sub_us")
+    val gaps = runs
+      .withColumn("gap_min",
+        floor((col("sub_us") - lag("sub_us", 1).over(w)) / lit(60000000L)))
+      .filter(col("gap_min").isNotNull)
+    val hist = gaps.groupBy("user_id", "event_type", "gap_min")
+      .agg(count(lit(1)).as("n_gap"))
+    val top = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("n_gap").desc, col("gap_min").asc)
+    val modal = hist.withColumn("rk", row_number().over(top))
+      .filter(col("rk") === 1)
+      .drop("rk")
+    val per = gaps.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_gaps"))
+    val reg = round(col("n_gap") / col("n_gaps") + lit(1e-9), 4)
+    per.join(modal, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"),
+        (col("n_gaps") + 1).as("n_runs"), col("gap_min").as("modal_gap_min"),
+        reg.as("regularity"),
+        (col("n_gaps") >= 3 && reg >= 0.5).as("scheduled"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_template_mining" -> aTemplateMining,
+    "a_recurring_jobs" -> aRecurringJobs,
     "a_dialect_scan" -> aDialectScan,
     "a_dialect_complexity" -> aDialectComplexity,
     "a_table_affinity" -> aTableAffinity,
@@ -434,6 +522,39 @@ object Migration {
         |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a_template_mining" ->
+      (s"WITH $DialectCte,\n" +
+        """t AS (SELECT user_id,
+        |  regexp_replace(regexp_replace(q_text, '= [0-9]+', '= ?', 'g'),
+        |    '''[^'']*''', '''?''', 'g') AS template FROM q)
+        |SELECT md5(template) AS tpl_fp, template, count(*) AS n_queries,
+        |count(DISTINCT user_id) AS n_users
+        |FROM t GROUP BY template ORDER BY template""".stripMargin),
+    "a_recurring_jobs" ->
+      """WITH runs AS (SELECT DISTINCT user_id, event_type,
+        |  CASE WHEN user_id % 41 = 0
+        |    THEN epoch_us(date_trunc('day', ts)) + (user_id % 24) * 3600000000
+        |    ELSE epoch_us(ts) END AS sub_us
+        |  FROM ($EVENTS) events),
+        |gaps AS (SELECT user_id, event_type,
+        |  CAST(floor((sub_us - lag(sub_us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY sub_us)) / 60000000.0) AS BIGINT) AS gap_min
+        |  FROM runs QUALIFY gap_min IS NOT NULL),
+        |hist AS (SELECT user_id, event_type, gap_min, count(*) AS n_gap
+        |  FROM gaps GROUP BY 1, 2, 3),
+        |modal AS (SELECT user_id, event_type, gap_min, n_gap FROM hist
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY n_gap DESC, gap_min ASC) = 1),
+        |per AS (SELECT user_id, event_type, count(*) AS n_gaps
+        |  FROM gaps GROUP BY 1, 2)
+        |SELECT per.user_id, per.event_type, per.n_gaps + 1 AS n_runs,
+        |modal.gap_min AS modal_gap_min,
+        |round(CAST(modal.n_gap AS DOUBLE) / per.n_gaps + 1e-9, 4) AS regularity,
+        |(per.n_gaps >= 3 AND
+        |  round(CAST(modal.n_gap AS DOUBLE) / per.n_gaps + 1e-9, 4) >= 0.5)
+        |  AS scheduled
+        |FROM per JOIN modal USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
     // NB: the dialect CTE contains lines that BEGIN with `||`, so it must
     // be concatenated after stripMargin, never interpolated into another
     // stripMargin string (the outer strip would eat the first `|`).

@@ -151,4 +151,57 @@ class MigrationSpec extends AnyFunSuite {
       assert(r.getLong(3) >= r.getLong(2), "each edge carries >= 1 co-read")
     }
   }
+
+  test("template mining strips every literal and partitions the workload") {
+    val rows = Migration.aTemplateMining(spark, dir).collect()
+    // literal stripping is total: no '= <digits>' survives, every quoted
+    // string is collapsed to '?'
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(!"= [0-9]".r.findFirstIn(t).isDefined, s"unstripped literal: $t")
+      assert(!t.replace("'?'", "").contains("'"), s"unstripped string: $t")
+    }
+    // every query lands in exactly one template (5 shapes x <=7 tables)
+    assert(rows.map(_.getLong(2)).sum == typeCounts.values.sum)
+    assert(rows.length <= 35)
+    // the compression ratio IS the point: templates << queries
+    assert(rows.length.toLong < typeCounts.values.sum / 10)
+  }
+
+  test("recurring jobs match a brute-force modal-gap recomputation") {
+    val got = Migration.aRecurringJobs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val raw = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = raw.groupBy(e => (e._1, e._2)).flatMap { case ((u, k), es) =>
+      val subs = es.map { case (_, _, us, dayUs) =>
+        if (u % 41 == 0) dayUs + (u % 24) * 3600000000L else us
+      }.distinct.sorted
+      val gaps = subs.toSeq.sliding(2).collect { case Seq(a, b) =>
+        math.floorDiv(b - a, 60000000L)
+      }.toSeq
+      if (gaps.isEmpty) None
+      else {
+        val (gap, n) = gaps.groupBy(identity).view.mapValues(_.size)
+          .toSeq.minBy { case (g, c) => (-c, g) }: @unchecked
+        val reg = BigDecimal(n.toDouble / gaps.size + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((u, k) -> (subs.size.toLong, gap, reg,
+          gaps.size >= 3 && reg >= 0.5))
+      }
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (key, v) => assert(got(key) == v, s"mismatch at $key") }
+    // the cron cohort's gaps sit on the daily grid — the fixture signal the
+    // detector exists to find
+    val sched = got.collect { case ((u, _), v) if u % 41 == 0 => v }
+    assert(sched.nonEmpty)
+    sched.foreach { case (_, gap, _, _) => assert(gap % 1440 == 0) }
+  }
 }
