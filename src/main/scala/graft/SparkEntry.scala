@@ -25,6 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (assess.Assessments.queries ++
       assess.Migration.queries ++
+      assess.Audit.queries ++
       assess.StarQueries.queries ++
       capture.CaptureDemo.queries ++
       ext.TextOps.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     assess.Assessments.oracles ++
       assess.Migration.oracles ++
+      assess.Audit.oracles ++
       assess.StarQueries.oracles ++
       capture.CaptureDemo.oracles ++
       ext.TextOps.oracles ++
