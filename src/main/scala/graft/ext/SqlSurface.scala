@@ -64,9 +64,45 @@ object SqlSurface {
       ORDER BY doc_id""")
   }
 
+  /** Misra–Gries heavy hitters over a skewed key stream, driven through
+    * SQL. The key render concentrates half the events on 4 hot keys (each
+    * ≈ N/8 of the stream) and scatters the rest across near-unique cold
+    * keys — the classic top-talkers shape where a full groupBy's key
+    * domain is unbounded but the sketch state is 16 counters. The output
+    * asserts the MG guarantee per hot key (present, and
+    * `exact − N/(k+1) ≤ est ≤ exact`), which is merge-order-independent —
+    * the `x_ndv_sketch` idiom, since surviving low-count counters may vary
+    * with partition order. Hot keys carry ≈ N/8 > N/17 at every sf, so
+    * presence is guaranteed, never lucky. */
+  def xHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketchMG.register(s)
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(when(col("event_id") % 2 === 0,
+        concat(lit("hot_"), (col("user_id") % 4).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+        .as("key"))
+      .createOrReplaceTempView("graft_hh_keys")
+    s.sql("""
+      WITH sk AS (SELECT freq_sketch(key, 16) AS m,
+                         count(*) AS n_total FROM graft_hh_keys),
+      est AS (SELECT explode(m) AS (key, est), n_total FROM sk),
+      hot AS (SELECT key, count(*) AS n_exact FROM graft_hh_keys
+              WHERE key LIKE 'hot%' GROUP BY key)
+      SELECT hot.key, hot.n_exact,
+             est.est IS NOT NULL AS found,
+             (est.est IS NOT NULL AND est.est <= hot.n_exact AND
+              est.est >= hot.n_exact - CAST(est.n_total / 17 AS BIGINT))
+               AS est_ok
+      FROM hot LEFT JOIN est ON hot.key = est.key
+      ORDER BY hot.key""")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_sql_cosine_pairs" -> xSqlCosinePairs,
-    "x_sql_kmv" -> xSqlKmv
+    "x_sql_kmv" -> xSqlKmv,
+    "x_heavy_hitters" -> xHeavyHitters
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,6 +117,16 @@ object SqlSurface {
         |SELECT vec_a, vec_b, round(sim, 6) AS cosine
         |FROM p WHERE sim >= 0.1 ORDER BY vec_a, vec_b""".stripMargin,
     // Identical sketch to the Column-API form — shares its oracle.
-    "x_sql_kmv" -> Dedup.oracles("x_kmv_sketch")
+    "x_sql_kmv" -> Dedup.oracles("x_kmv_sketch"),
+    // The oracle recomputes the exact hot-key counts; `found`/`est_ok` are
+    // literal true because the MG guarantee is unconditional.
+    "x_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE WHEN event_id % 2 = 0
+        |  THEN 'hot_' || CAST(user_id % 4 AS VARCHAR)
+        |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT key, count(*) AS n_exact, true AS found, true AS est_ok
+        |FROM keyed WHERE key LIKE 'hot%' GROUP BY key ORDER BY key""".stripMargin
   )
 }
