@@ -91,8 +91,56 @@ object Layout {
       .orderBy("layout", "probe")
   }
 
+  /** `x_compaction_plan` — the small-file `OPTIMIZE` planner: given a
+    * date-partitioned file listing, pack each partition's small files into
+    * target-sized rewrite groups and leave already-compact files alone —
+    * the bin-packing pass behind lakehouse `OPTIMIZE` / compaction jobs.
+    *
+    * The listing is rendered from lineitem (one "file" per partition-month
+    * and ship-day, size = its row count) with a deliberate heavy tail —
+    * every 13th day's file is 10× — so the keep/rewrite split is
+    * non-vacuous at every sf. The per-partition size target is
+    * `ceil(total/8)` (scale-free); files at or above it are kept as-is
+    * (rewriting them buys nothing), the rest pack sequentially in listing
+    * order: bin = exclusive-running-size div target — one window pass, the
+    * single-scan greedy a streaming compactor does.
+    *
+    * Scale shape: the listing aggregate is one grouped count; targets are
+    * one partition-count-sized frame broadcast back; packing is a window
+    * partitioned BY DATE PARTITION (never global); output is
+    * partitions×(bins+1) rows. All integer arithmetic — `div`, no float
+    * boundaries. */
+  def xCompactionPlan(s: SparkSession, dir: String, bins: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.load(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        dayofmonth(col("l_shipdate")).cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("part"), col("file_id"),
+        (col("n_rows") *
+          when(col("file_id") % 13 === 0, 10L).otherwise(1L)).as("size"))
+    val tgt = files.groupBy("part")
+      .agg(expr(s"(sum(size) + ${bins - 1}) div $bins").as("tgt"))
+    val sized = files.join(broadcast(tgt), Seq("part"))
+    val keeps = sized.filter(col("size") >= col("tgt"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_files"), sum("size").as("bytes"))
+      .select(col("part"), lit(-1L).as("bin"), col("n_files"), col("bytes"),
+        lit("keep").as("action"))
+    val w = Window.partitionBy("part").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rewrites = sized.filter(col("size") < col("tgt"))
+      .withColumn("cum_before", coalesce(sum("size").over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div tgt"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("size").as("bytes"))
+      .withColumn("action", lit("rewrite"))
+    keeps.unionByName(rewrites).orderBy("part", "bin")
+  }
+
   val queries: Map[String, Q] = Map(
-    "x_zorder_layout" -> ((s, dir) => xZorderLayout(s, dir))
+    "x_zorder_layout" -> ((s, dir) => xZorderLayout(s, dir)),
+    "x_compaction_plan" -> ((s, dir) => xCompactionPlan(s, dir))
   )
 
   // Morton interleave in DuckDB: the same 24 shift-and-mask terms, summed.
@@ -134,6 +182,28 @@ object Layout {
         |CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
         |CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT)
         |  AS rows_in_hit_files
-        |FROM h GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+        |FROM h GROUP BY layout, probe ORDER BY layout, probe""".stripMargin,
+    "x_compaction_plan" ->
+      """WITH f0 AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |  CAST(day(l_shipdate) AS BIGINT) AS file_id FROM lineitem),
+        |files AS (SELECT part, file_id,
+        |  count(*) * (CASE WHEN file_id % 13 = 0 THEN 10 ELSE 1 END) AS size
+        |  FROM f0 GROUP BY 1, 2),
+        |tgt AS (SELECT part, (sum(size) + 7) // 8 AS tgt FROM files GROUP BY 1),
+        |sized AS (SELECT f.*, t.tgt FROM files f JOIN tgt t USING (part)),
+        |keeps AS (SELECT part, CAST(-1 AS BIGINT) AS bin,
+        |  count(*) AS n_files, CAST(sum(size) AS BIGINT) AS bytes,
+        |  'keep' AS action
+        |  FROM sized WHERE size >= tgt GROUP BY 1),
+        |packed AS (SELECT part, tgt, size,
+        |  coalesce(sum(size) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM sized WHERE size < tgt),
+        |rewrites AS (SELECT part, CAST(cum_before // tgt AS BIGINT) AS bin,
+        |  count(*) AS n_files, CAST(sum(size) AS BIGINT) AS bytes,
+        |  'rewrite' AS action
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT * FROM keeps UNION ALL SELECT * FROM rewrites
+        |ORDER BY part, bin""".stripMargin
   )
 }

@@ -688,6 +688,36 @@ class ExtSpec extends AnyFunSuite {
     assert(rep(("linear", "band_a"))._2 > 0, "band_a probe vacuous")
   }
 
+  test("compaction plan: partitions the listing, bounded bins, loud keeps") {
+    val plan = Layout.xCompactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(plan.exists(_._5 == "keep"), "heavy-tail keeps must appear")
+    assert(plan.exists(_._5 == "rewrite"))
+    // brute-force listing from the raw table
+    val listing = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        dayofmonth(col("l_shipdate")).cast("long").as("d"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2) * (if (r.getLong(1) % 13 == 0) 10 else 1)))
+    val byPart = listing.groupBy(_._1)
+    // every byte of every file lands in exactly one plan row
+    assert(plan.map(_._4).sum == listing.map(_._3).sum)
+    assert(plan.map(_._3).sum == listing.length)
+    byPart.foreach { case (part, fs) =>
+      val tgt = (fs.map(_._3).sum + 7) / 8
+      val rows = plan.filter(_._1 == part)
+      // keeps are exactly the >= target files
+      val keepBytes = fs.filter(_._3 >= tgt).map(_._3).sum
+      assert(rows.filter(_._5 == "keep").map(_._4).sum == keepBytes)
+      // rewrite bins are contiguous from 0 and each stays under 2x target
+      val bins = rows.filter(_._5 == "rewrite").sortBy(_._2)
+      assert(bins.map(_._2).toSeq == bins.indices.map(_.toLong))
+      bins.foreach(b => assert(b._4 < 2 * tgt, s"$part bin ${b._2} overflow"))
+    }
+  }
+
   test("repeated spans: exact match of a brute-force reconstruction") {
     val L = 8
     val docs = spark.read.parquet(s"$dir/documents.parquet")
