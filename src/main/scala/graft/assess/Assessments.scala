@@ -426,6 +426,44 @@ object Assessments {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("src_num", "lang")
 
+  /** A11 — retry-chain analysis (gaps-and-islands): maximal runs of
+    * consecutive error events per user, rolled up by chain length with how
+    * many chains recovered (a non-error followed) versus ended the user's
+    * stream — the retry-storm signature an assessment flags before sizing
+    * the target (a workload that fails 5× then succeeds costs 6 slots per
+    * logical query). Chain id is the classic `rn − rn_within_errors`
+    * difference; "recovered" falls out of `end_rn < n_events` — no
+    * self-join against successors needed.
+    *
+    * Scale shape: both row_number windows and the chain groupBy partition
+    * by user (then (user, grp)); the n_events side reduces to one row per
+    * user before its co-partitioned join. Mean span divides an exact
+    * integer micros sum, so the rounding is engine-identical. */
+  def a11RetryChains(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("event_type") === "error").as("is_err"))
+    val wAll = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wErr = Window.partitionBy("user_id", "is_err")
+      .orderBy(col("us"), col("event_id"))
+    val marked = e.withColumn("rn", row_number().over(wAll))
+      .withColumn("grp", col("rn") - row_number().over(wErr))
+    val perUser = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val chains = marked.filter(col("is_err"))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("us").as("st"), max("us").as("en"),
+        max("rn").as("end_rn"))
+      .join(perUser, Seq("user_id"))
+    chains.groupBy("len")
+      .agg(count(lit(1)).as("n_chains"),
+        sum(when(col("end_rn") < col("n_events"), 1L).otherwise(0L))
+          .as("n_recovered"),
+        round(sum(col("en") - col("st")) / count(lit(1)) / 1e6 + lit(1e-9), 2)
+          .as("mean_span_s"))
+      .orderBy("len")
+  }
+
   /** A12 — day-over-day set ops: churned (EXCEPT) and retained (INTERSECT)
     * users between the first two days. */
   def a12ChurnRetention(s: SparkSession, dir: String): DataFrame = {
@@ -680,6 +718,7 @@ object Assessments {
     "a10_props_map_explode" -> a10PropsMapExplode,
     "a11_error_cohorts" -> a11ErrorCohorts,
     "a11_source_parse" -> a11SourceParse,
+    "a11_retry_chains" -> a11RetryChains,
     "a12_churn_retention" -> a12ChurnRetention,
     "a12_except_all" -> a12ExceptAll,
     "a13_asof_attribution" -> a13AsofAttribution,
@@ -875,6 +914,24 @@ object Assessments {
       """SELECT regexp_extract(source, '([0-9]+)', 1) AS src_num, lang,
         |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "a11_retry_chains" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  (event_type = 'error') AS is_err
+        |  FROM ($EVENTS) events WHERE user_id IS NOT NULL),
+        |m AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |  row_number() OVER (PARTITION BY user_id, is_err
+        |    ORDER BY us, event_id) AS rne FROM e),
+        |um AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1),
+        |c AS (SELECT user_id, rn - rne AS grp, count(*) AS len,
+        |  min(us) AS st, max(us) AS en, max(rn) AS end_rn
+        |  FROM m WHERE is_err GROUP BY 1, 2)
+        |SELECT len, count(*) AS n_chains,
+        |CAST(sum(CASE WHEN c.end_rn < um.n_events THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_recovered,
+        |round(CAST(sum(c.en - c.st) AS DOUBLE) / count(*) / 1e6 + 1e-9, 2)
+        |  AS mean_span_s
+        |FROM c JOIN um USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     "a12_churn_retention" ->
       """SELECT 'churned' AS cohort, user_id FROM (
         |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')

@@ -69,4 +69,45 @@ class AssessmentsSpec extends AnyFunSuite {
       assert(got(id) == want.toLong, s"event $id")
     }
   }
+
+  test("retry chains match a brute-force gaps-and-islands recompute") {
+    import org.apache.spark.sql.functions._
+    val got = Assessments.a11RetryChains(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val events = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // per user: split the (ts, event_id)-ordered stream into maximal error
+    // runs; a run recovers iff it is not the stream's suffix
+    case class Chain(len: Long, spanUs: Long, recovered: Boolean)
+    val chains = events.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Chain]
+      var i = 0
+      while (i < sorted.length) {
+        if (sorted(i)._4 == "error") {
+          var j = i
+          while (j + 1 < sorted.length && sorted(j + 1)._4 == "error") j += 1
+          runs += Chain(j - i + 1L, sorted(j)._3 - sorted(i)._3,
+            recovered = j + 1 < sorted.length)
+          i = j + 1
+        } else i += 1
+      }
+      runs
+    }.toSeq
+    assert(chains.nonEmpty && chains.exists(_.len > 1),
+      "fixture must contain a multi-event chain")
+    val exp = chains.groupBy(_.len).map { case (len, cs) =>
+      val mean = BigDecimal(
+        cs.map(_.spanUs).sum.toDouble / cs.size / 1e6 + 1e-9)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      len -> (cs.size.toLong, cs.count(_.recovered).toLong, mean)
+    }
+    assert(got == exp)
+  }
 }
