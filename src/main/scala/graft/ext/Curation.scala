@@ -496,6 +496,42 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Paragraph-granularity exact dedup (the RefinedWeb/Gopher-style
+    * sub-document pass): cut every document into non-overlapping 8-token
+    * chunks, keep only the corpus-wide FIRST occurrence of each distinct
+    * chunk (ordered by (doc_id, chunk_idx) — deterministic canonical), and
+    * report per document how much survives. Boilerplate that exact
+    * whole-doc dedup can't touch — shared headers, repeated spans — is
+    * what this removes at 100 TB.
+    *
+    * Scale shape: one explode to chunk rows, first-occurrence via a
+    * row_number window partitioned by the chunk's md5 (16-byte shuffle
+    * key, the chunk text itself never widens the exchange beyond its own
+    * row), then one per-doc aggregate. No self-join, no collect; output is
+    * doc-bounded. */
+  def xParagraphDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / n).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * n + 1, lit(n))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy("doc_id", "chunk_idx")
+    val kept = when(row_number().over(w) === 1, 1L).otherwise(0L)
+    chunks.withColumn("k", kept)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("k").as("n_kept"),
+        (sum(when(col("k") === 1, length(col("chunk")).cast("long"))
+          .otherwise(0L)) + greatest(sum("k") - 1, lit(0L))).as("chars_after"))
+      .withColumn("keep_ratio",
+        round(col("n_kept") / col("n_chunks") + lit(1e-9), 4))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training: concatenation-pack documents into
     * fixed token-budget rows (the layout step between curation and the
     * trainer — docs are concatenated in a deterministic order and sliced
@@ -1122,6 +1158,7 @@ object Curation {
     "x_sample_stratified" -> ((s, dir) => xSampleStratified(s, dir)),
     "x_pack_sequences" -> ((s, dir) => xPackSequences(s, dir)),
     "x_chunk_documents" -> ((s, dir) => xChunkDocuments(s, dir)),
+    "x_paragraph_dedup" -> ((s, dir) => xParagraphDedup(s, dir)),
     "x_tfidf_top" -> xTfidfTop
   )
 
@@ -1173,6 +1210,23 @@ object Curation {
         |md5(array_to_string(
         |  toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n_tokens)], ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, toks,
+        |  unnest(range(0, (len(toks) - 1) // 8 + 1)) AS chunk_idx FROM t),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx * 8 + 1 : chunk_idx * 8 + 8], ' ')
+        |    AS chunk FROM c0),
+        |m AS (SELECT doc_id, chunk, row_number() OVER (
+        |  PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) +
+        |  greatest(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) - 1, 0) AS BIGINT)
+        |  AS chars_after,
+        |round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) + 1e-9, 4) AS keep_ratio
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
         |  len(string_split(text, ' ')) AS n_tok FROM documents),

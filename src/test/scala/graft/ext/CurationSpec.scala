@@ -309,4 +309,24 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(ratio - (1.0 - nDis.toDouble / nTri)) < 1e-3)
     }
   }
+
+  test("paragraph dedup matches a brute-force first-occurrence recompute") {
+    val got = Curation.xParagraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val exp = docs.map { case (id, toks) =>
+      val chunks = toks.grouped(8).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(seen.add) // first occurrence wins, in order
+      val chars = kept.map(_.length).sum + math.max(kept.size - 1, 0)
+      id -> (chunks.size.toLong, kept.size.toLong, chars.toLong)
+    }.toMap
+    assert(got == exp)
+    // the pass must actually remove something at this sf
+    assert(got.exists { case (_, (n, k, _)) => k < n }, "no cross-doc dups")
+  }
 }
