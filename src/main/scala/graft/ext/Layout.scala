@@ -138,9 +138,58 @@ object Layout {
     keeps.unionByName(rewrites).orderBy("part", "bin")
   }
 
+  /** `x_range_partition_plan` — the sampled range partitioner made
+    * inspectable: draw a deterministic ~1/16 sample of the sort key, take
+    * its rank-based boundary values at the 8 bucket edges, assign EVERY
+    * row to a bucket by counting boundaries below it (a broadcast
+    * array + one codegen'd HOF — exactly how `repartitionByRange` places
+    * rows against its collected sample bounds), and report the per-bucket
+    * row counts and key ranges. The report IS the skew check a 100 TB sort
+    * runs before committing to a layout: sampled bounds promise ≈N/8 per
+    * bucket; the output shows what they deliver.
+    *
+    * Scale shape: the only global ordering touches the SAMPLE (the one
+    * frame a range partitioner centralizes by design — Spark's own
+    * RangePartitioner collects it); the full-data pass is a narrow map
+    * against broadcast bounds plus one grouped aggregate. The md5 draw
+    * makes the sample — hence the whole report — engine-deterministic. */
+  def xRangePartitionPlan(s: SparkSession, dir: String,
+                          buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+    val sample = li.filter(substring(md5(concat_ws("-",
+      col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
+    // rank the sample under a total order; boundary i sits at rank
+    // floor(i*m/buckets) — the sample is the bounded frame, so the global
+    // window is the legitimate single-partition exception here
+    val m = sample.agg(count(lit(1)).as("m"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+    // boundary ranks floor(i*m/buckets), i = 1..buckets-1 — strictly
+    // increasing (hence distinct) whenever m >= buckets
+    val bounds = ranked.crossJoin(broadcast(m))
+      .filter(array_contains(
+        expr(s"transform(sequence(1, ${buckets - 1}), " +
+          "i -> (CAST(i AS BIGINT) * m) div " + buckets + ")"),
+        col("rn").cast("long")))
+      .groupBy().agg(sort_array(collect_list(col("v"))).as("bnds"))
+    val assigned = li.crossJoin(broadcast(bounds))
+      .select(aggregate(col("bnds"), lit(0L),
+        (acc, b) => acc + when(col("v") > b, 1L).otherwise(0L)).as("bucket"),
+        col("v"))
+    assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("v"), 2).as("lo"), round(max("v"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_zorder_layout" -> ((s, dir) => xZorderLayout(s, dir)),
-    "x_compaction_plan" -> ((s, dir) => xCompactionPlan(s, dir))
+    "x_compaction_plan" -> ((s, dir) => xCompactionPlan(s, dir)),
+    "x_range_partition_plan" -> ((s, dir) => xRangePartitionPlan(s, dir))
   )
 
   // Morton interleave in DuckDB: the same 24 shift-and-mask terms, summed.
@@ -204,6 +253,23 @@ object Layout {
         |  'rewrite' AS action
         |  FROM packed GROUP BY 1, 2)
         |SELECT * FROM keeps UNION ALL SELECT * FROM rewrites
-        |ORDER BY part, bin""".stripMargin
+        |ORDER BY part, bin""".stripMargin,
+    "x_range_partition_plan" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+        |  FROM lineitem),
+        |s AS (SELECT * FROM li WHERE substring(md5(
+        |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |  ), 1, 1) = '0'),
+        |r AS (SELECT v, row_number() OVER (
+        |  ORDER BY v, l_orderkey, l_linenumber) AS rn FROM s),
+        |mm AS (SELECT count(*) AS m FROM s),
+        |b AS (SELECT v FROM r, mm, (SELECT unnest(range(1, 8)) AS i) g
+        |  WHERE rn = (i * m) // 8),
+        |bl AS (SELECT list_sort(list(v)) AS bnds FROM b),
+        |a AS (SELECT li.v,
+        |  len(list_filter(bl.bnds, b -> li.v > b)) AS bucket FROM li, bl)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+        |round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

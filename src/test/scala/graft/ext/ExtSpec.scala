@@ -718,6 +718,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("range partition plan: total partition, ordered ranges, balance") {
+    val rows = Layout.xRangePartitionPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    val total = graft.Tables.load(spark, dir, "lineitem").count()
+    assert(rows.map(_._2).sum == total)
+    // ranges are ordered and non-overlapping up to shared boundary values
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 + 1e-9, s"bucket ${a._1} overlaps ${b._1}")
+    }
+    // sampled bounds must deliver rough balance (the property the sample
+    // exists to buy): no bucket more than 2.5x the ideal share
+    val ideal = total.toDouble / 8
+    rows.foreach { case (bkt, n, _, _) =>
+      assert(n < 2.5 * ideal, s"bucket $bkt holds $n of ~$ideal")
+      assert(n > 0, s"bucket $bkt empty")
+    }
+  }
+
   test("repeated spans: exact match of a brute-force reconstruction") {
     val L = 8
     val docs = spark.read.parquet(s"$dir/documents.parquet")
