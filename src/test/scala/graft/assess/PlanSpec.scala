@@ -508,6 +508,38 @@ class PlanSpec extends AnyFunSuite {
     assert(lr.contains("Generate") && lr.contains("partial_"), lr.take(2000))
   }
 
+  test("r9 additions: audit single-pass, broadcast hierarchy, bounded windows") {
+    // dq audit: each table's constraint block is ONE aggregate (partial +
+    // final), no per-check jobs; RI is the only join
+    val dq = planOf(Audit.aDqAudit(spark, dir))
+    assert(dq.contains("partial_"), dq.take(2000))
+    assert(!dq.contains("CartesianProduct"), dq.take(2000))
+    // k-anonymity: the nation hierarchy joins as a broadcast dim
+    val ka = planOf(Audit.xKAnonymity(spark, dir))
+    assert(ka.contains("BroadcastHashJoin"), ka.take(2000))
+    // paragraph dedup: the first-occurrence window hashes on the chunk
+    // md5, never a single partition
+    val pd = planOf(graft.ext.Curation.xParagraphDedup(spark, dir))
+    assert(pd.contains("Window") && !pd.contains("Exchange SinglePartition"),
+      pd.take(2000))
+    // compaction: packing window partitions by the date partition
+    val cp = planOf(graft.ext.Layout.xCompactionPlan(spark, dir))
+    assert(cp.contains(", [part#"),
+      s"packing window must partition by part:\n${cp.take(2000)}")
+    // heavy hitters: the sketch aggregates through ObjectHashAggregate
+    // with a partial stage (map-side sketch merge, k-bounded buffers)
+    val hh = planOf(graft.ext.SqlSurface.xHeavyHitters(spark, dir))
+    assert(hh.contains("ObjectHashAggregate"), hh.take(2000))
+    assert(hh.contains("partial_freq_sketch"),
+      s"sketch must partial-aggregate map-side:\n${hh.take(2000)}")
+    // recurring jobs + retry chains: every window partitions on its
+    // analysis key (user/kind), no global funnel
+    Seq(planOf(Migration.aRecurringJobs(spark, dir)),
+      planOf(Assessments.a11RetryChains(spark, dir))).foreach { p =>
+      assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    }
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
