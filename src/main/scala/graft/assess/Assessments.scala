@@ -464,6 +464,52 @@ object Assessments {
       .orderBy("len")
   }
 
+  /** Ordered funnel conversion: view → click (after the first view) →
+    * purchase (after that click), counted per user with stage-over-stage
+    * conversion rates — the adoption-lifecycle readout (for captured query
+    * logs: explored → scheduled → migrated). Each stage is "first
+    * qualifying event strictly after the previous stage's instant", so a
+    * click that precedes every view does NOT convert — ordering is the
+    * point of a funnel.
+    *
+    * Scale shape: three per-user aggregates chained by co-partitioned
+    * joins on user_id (each stage's frame is one row per surviving user);
+    * the final lag window runs on the THREE-row stage frame, the bounded
+    * exception. */
+  def aFunnelConversion(s: SparkSession, dir: String): DataFrame =
+    funnelOver(ev(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** The funnel over a pre-shaped (user_id, event_type, us) frame — split
+    * out so the ordering semantics are pinnable on a handcrafted fixture
+    * (the shipped data's streams are dense enough that first-view almost
+    * always precedes some click, which would leave the ordered/unordered
+    * distinction untested). */
+  private[assess] def funnelOver(e: DataFrame): DataFrame = {
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t0"))
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    def stage(df: DataFrame, i: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    val stages = stage(v, 1, "view")
+      .unionByName(stage(c, 2, "click"))
+      .unionByName(stage(p, 3, "purchase"))
+    val w = Window.orderBy("stage") // 3 rows — bounded by construction
+    stages
+      .withColumn("conv_rate", round(
+        col("n_users") / coalesce(lag("n_users", 1).over(w), col("n_users"))
+          + lit(1e-9), 4))
+      .orderBy("stage")
+  }
+
   /** A12 — day-over-day set ops: churned (EXCEPT) and retained (INTERSECT)
     * users between the first two days. */
   def a12ChurnRetention(s: SparkSession, dir: String): DataFrame = {
@@ -719,6 +765,7 @@ object Assessments {
     "a11_error_cohorts" -> a11ErrorCohorts,
     "a11_source_parse" -> a11SourceParse,
     "a11_retry_chains" -> a11RetryChains,
+    "a_funnel_conversion" -> aFunnelConversion,
     "a12_churn_retention" -> a12ChurnRetention,
     "a12_except_all" -> a12ExceptAll,
     "a13_asof_attribution" -> a13AsofAttribution,
@@ -932,6 +979,24 @@ object Assessments {
         |round(CAST(sum(c.en - c.st) AS DOUBLE) / count(*) / 1e6 + 1e-9, 2)
         |  AS mean_span_s
         |FROM c JOIN um USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM ($EVENTS) events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(us) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS t1 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v.t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c.t1 GROUP BY 1),
+        |st AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+        |CAST(n_users AS BIGINT) AS n_users,
+        |round(CAST(n_users AS DOUBLE) /
+        |  coalesce(lag(n_users) OVER (ORDER BY stage), n_users) + 1e-9, 4)
+        |  AS conv_rate
+        |FROM st ORDER BY stage""".stripMargin,
     "a12_churn_retention" ->
       """SELECT 'churned' AS cohort, user_id FROM (
         |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')

@@ -110,4 +110,50 @@ class AssessmentsSpec extends AnyFunSuite {
     }
     assert(got == exp)
   }
+
+  test("funnel conversion matches a brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val got = Assessments.aFunnelConversion(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val byUser = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { es0 =>
+      val es = es0.toArray
+      val v = es.collect { case (_, "view", us) => us }.minOption
+      v.foreach { t0 =>
+        nv += 1
+        val c = es.collect { case (_, "click", us) if us > t0 => us }.minOption
+        c.foreach { t1 =>
+          nc += 1
+          if (es.exists { case (_, k, us) => k == "purchase" && us > t1 })
+            np += 1
+        }
+      }
+    }
+    assert(got == Map("view" -> nv, "click" -> nc, "purchase" -> np))
+    assert(nv >= nc && nc >= np && np > 0, s"degenerate funnel $nv/$nc/$np")
+  }
+
+  test("funnel ordering is load-bearing: pre-view clicks do not convert") {
+    import spark.implicits._
+    // user 1: view(1) -> click(2) -> purchase(3): full funnel
+    // user 2: click(1) -> view(2) -> purchase(3): click precedes the first
+    //   view, so the funnel stops at 'view' (set-intersect would count it)
+    // user 3: purchase(1), view(2): no click stage at all
+    val fixture = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L),
+      (3L, "purchase", 1L), (3L, "view", 2L)
+    ).toDF("user_id", "event_type", "us")
+    val got = Assessments.funnelOver(fixture).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("view", 3L, 1.0), ("click", 1L, 0.3333),
+      ("purchase", 1L, 1.0)))
+  }
 }
