@@ -397,6 +397,41 @@ object CaptureDemo {
     * exactly one copy of every event — the maintenance job a long-lived
     * event log runs to restore exactly-once semantics after retried
     * commits. */
+  /** Streaming heavy hitters: the custom Misra–Gries
+    * [[graft.functions.FreqSketchMG]] aggregate running INSIDE a streaming
+    * aggregation — the skewed hot/cold key stream is staged as four
+    * parquet files and replayed one file per micro-batch, so the k-bounded
+    * sketch buffers serialize through the state store and MERGE across
+    * batches (the path a batch query never exercises). Complete-mode
+    * memory sink; the final sketch is judged against exact batch counts
+    * with the order-independent MG guarantee per hot key — the same
+    * verdict frame (and oracle) as `x_heavy_hitters`, now earned through
+    * checkpointed streaming state.
+    *
+    * Scale shape: streaming state is one k-counter buffer per shuffle
+    * partition, constant regardless of stream length — the top-talkers
+    * monitor a 100 TB/day stream can actually afford. */
+  def capStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "topk_")
+    val src = s"$tmp/keys"
+    val k = 16
+    val keyed = graft.ext.SqlSurface.hotColdKeys(s, dir)
+    keyed.repartition(4).write.mode("overwrite").parquet(src)
+    val est = withShufflePartitions(s, 8) {
+      val stream = s.readStream.schema("key STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .agg(graft.functions.FreqSketchMG.freqSketch(k)(col("key")).as("m"))
+      val q = stream.writeStream.format("memory").queryName("graft_topk")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_topk").select(explode(col("m")).as(Seq("key", "est")))
+        .localCheckpoint() // detach from the stopped memory sink
+    }
+    require(!est.isEmpty, s"cap_stream_topk: empty sketch from $src")
+    val exact = keyed.groupBy("key").agg(count(lit(1)).as("n_exact"))
+    graft.ext.SqlSurface.hotKeyVerdict(exact, est, k)
+  }
+
   def capLogCompact(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "compact_")
     val log = s"$tmp/log"
@@ -421,6 +456,7 @@ object CaptureDemo {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("cap_pipeline" -> capPipeline, "cap_stream" -> capStream,
       "cap_stream_dedup" -> capStreamDedup,
+      "cap_stream_topk" -> capStreamTopk,
       "cap_stream_join" -> capStreamJoin,
       "cap_live_hook" -> capLiveHook,
       "cap_log_compact" -> capLogCompact,
@@ -468,6 +504,9 @@ object CaptureDemo {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS query_type,
         |count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same verdict frame as the batch/SQL form — the MG guarantee is
+    // unconditional, so the streaming path must land on the identical rows.
+    "cap_stream_topk" -> graft.ext.SqlSurface.oracles("x_heavy_hitters"),
     // Constant by construction: exactly the three tagged probes, captured
     // live, through the sink, each exactly once with SUCCESS.
     "cap_live_hook" ->

@@ -74,8 +74,10 @@ object SqlSurface {
     * the `x_ndv_sketch` idiom, since surviving low-count counters may vary
     * with partition order. Hot keys carry ≈ N/8 > N/17 at every sf, so
     * presence is guaranteed, never lucky. */
-  def xHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.FreqSketchMG.register(s)
+  /** The skewed key stream shared by [[xHeavyHitters]] and the streaming
+    * round trip ([[graft.capture.CaptureDemo]] `cap_stream_topk`): half the
+    * events on 4 hot keys, the rest near-unique. */
+  private[graft] def hotColdKeys(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
         col("value").isNotNull && col("user_id").isNotNull)
@@ -83,7 +85,27 @@ object SqlSurface {
         concat(lit("hot_"), (col("user_id") % 4).cast("string")))
         .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
         .as("key"))
-      .createOrReplaceTempView("graft_hh_keys")
+
+  /** Full exact (key, n_exact) counts joined against a (key, est) sketch
+    * frame: per hot key, presence and the MG guarantee
+    * `n_exact − N/(k+1) ≤ est ≤ n_exact` (N = all keys' total). */
+  private[graft] def hotKeyVerdict(exact: DataFrame, est: DataFrame,
+                                   k: Int): DataFrame = {
+    val total = exact.agg(sum("n_exact").as("n_all"))
+    val hot = exact.filter(col("key").startsWith("hot"))
+    hot.join(est, Seq("key"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_exact"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - (col("n_all") / (k + 1)).cast("long"))
+          .as("est_ok"))
+      .orderBy("key")
+  }
+
+  def xHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketchMG.register(s)
+    hotColdKeys(s, dir).createOrReplaceTempView("graft_hh_keys")
     s.sql("""
       WITH sk AS (SELECT freq_sketch(key, 16) AS m,
                          count(*) AS n_total FROM graft_hh_keys),
