@@ -464,6 +464,34 @@ object Assessments {
       .orderBy("len")
   }
 
+  /** Latency-percentile drift: p50/p95 of the duration proxy per statement
+    * kind, first half-month versus second, with the deltas and a
+    * one-sided >10% p95 regression flag — the SLA watch an assessment
+    * keeps running through a migration (percentile shifts, not means, are
+    * what users feel). Two grouped exact-percentile aggregates + one
+    * co-partitioned join on the kind key; the flag compares identically
+    * rounded inputs with exact IEEE arithmetic on both engines. */
+  def aLatencyDrift(s: SparkSession, dir: String): DataFrame = {
+    val agg = ev(s, dir)
+      .select(col("event_type"), (dayofmonth(col("ts")) <= 15).as("p1"),
+        col("value"))
+      .groupBy("event_type", "p1")
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+    val a = agg.filter(col("p1")).select(col("event_type"),
+      col("p50").as("p50_a"), col("p95").as("p95_a"), col("n").as("n_a"))
+    val b = agg.filter(!col("p1")).select(col("event_type"),
+      col("p50").as("p50_b"), col("p95").as("p95_b"), col("n").as("n_b"))
+    a.join(b, Seq("event_type"))
+      .select(col("event_type"), col("p50_a"), col("p50_b"),
+        col("p95_a"), col("p95_b"), col("n_a"), col("n_b"),
+        round(col("p50_b") - col("p50_a"), 4).as("d_p50"),
+        round(col("p95_b") - col("p95_a"), 4).as("d_p95"),
+        (col("p95_b") - col("p95_a") > col("p95_a") * 0.1).as("regressed"))
+      .orderBy("event_type")
+  }
+
   /** Ordered funnel conversion: view → click (after the first view) →
     * purchase (after that click), counted per user with stage-over-stage
     * conversion rates — the adoption-lifecycle readout (for captured query
@@ -766,6 +794,7 @@ object Assessments {
     "a11_source_parse" -> a11SourceParse,
     "a11_retry_chains" -> a11RetryChains,
     "a_funnel_conversion" -> aFunnelConversion,
+    "a_latency_drift" -> aLatencyDrift,
     "a12_churn_retention" -> a12ChurnRetention,
     "a12_except_all" -> a12ExceptAll,
     "a13_asof_attribution" -> a13AsofAttribution,
@@ -997,6 +1026,19 @@ object Assessments {
         |  coalesce(lag(n_users) OVER (ORDER BY stage), n_users) + 1e-9, 4)
         |  AS conv_rate
         |FROM st ORDER BY stage""".stripMargin,
+    "a_latency_drift" ->
+      """WITH g AS (SELECT event_type, day(ts) <= 15 AS p1,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  count(*) AS n FROM ($EVENTS) events GROUP BY 1, 2),
+        |a AS (SELECT event_type, p50 AS p50_a, p95 AS p95_a, n AS n_a
+        |  FROM g WHERE p1),
+        |b AS (SELECT event_type, p50 AS p50_b, p95 AS p95_b, n AS n_b
+        |  FROM g WHERE NOT p1)
+        |SELECT event_type, p50_a, p50_b, p95_a, p95_b, n_a, n_b,
+        |round(p50_b - p50_a, 4) AS d_p50, round(p95_b - p95_a, 4) AS d_p95,
+        |(p95_b - p95_a > p95_a * 0.1) AS regressed
+        |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
     "a12_churn_retention" ->
       """SELECT 'churned' AS cohort, user_id FROM (
         |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')

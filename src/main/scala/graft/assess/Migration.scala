@@ -444,7 +444,47 @@ object Migration {
       .orderBy("user_id", "event_type")
   }
 
+  // ---------------------------------------------------------------- advisor
+
+  /** Deterministic catalog-size render: row counts per table id (the
+    * catalog stats a real advisor reads from ANALYZE output; the events
+    * table carries none, so — as with [[queryText]] — the render supplies
+    * them and the oracle reproduces it). Mix spans 500..~23k rows so both
+    * sides of the broadcast threshold are populated. */
+  private def tblRows(t: Column): Column =
+    (t + 1) * 500 + (t % 7) * 1300
+
+  /** `a_join_advisor` — per co-read table pair, the join strategy the
+    * target engine should use: BROADCAST when the smaller side fits the
+    * broadcast threshold (3k rows here; 10 MB in production), SHUFFLE_HASH
+    * when sides are within 2× of each other, SORT_MERGE otherwise — the
+    * planner triage a migration runs over its hottest joins, ranked by
+    * co-read volume with the per-query shuffled-row cost of the choice.
+    *
+    * Scale shape: the pair census is the one event-bounded aggregate
+    * (catalog²-bounded output); the size render and strategy CASE are
+    * narrow integer expressions on that tiny frame. */
+  def aJoinAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val aff = pairFrame(s, dir)
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
+      .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+    val lo = tblRows(col("t_lo"))
+    val hi = tblRows(col("t_hi"))
+    val small = least(lo, hi)
+    val big = greatest(lo, hi)
+    val strategy = when(small <= 3000, "broadcast")
+      .when(big <= small * 2, "shuffle_hash")
+      .otherwise("sort_merge")
+    aff.select(col("t_lo"), col("t_hi"),
+      lo.as("rows_lo"), hi.as("rows_hi"), col("n_co"),
+      strategy.as("strategy"),
+      when(small <= 3000, 0L).otherwise(lo + hi).as("shuffle_rows_per_q"))
+      .orderBy("t_lo", "t_hi")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_join_advisor" -> aJoinAdvisor,
     "a_template_mining" -> aTemplateMining,
     "a_recurring_jobs" -> aRecurringJobs,
     "a_dialect_scan" -> aDialectScan,
@@ -522,6 +562,21 @@ object Migration {
         |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a_join_advisor" ->
+      (s"WITH $PairsCte,\n" +
+        """aff AS (SELECT t_lo, t_hi, count(*) AS n_co FROM pr GROUP BY 1, 2),
+        |sz AS (SELECT t_lo, t_hi, n_co,
+        |  (t_lo + 1) * 500 + (t_lo % 7) * 1300 AS rows_lo,
+        |  (t_hi + 1) * 500 + (t_hi % 7) * 1300 AS rows_hi FROM aff)
+        |SELECT t_lo, t_hi, CAST(rows_lo AS BIGINT) AS rows_lo,
+        |CAST(rows_hi AS BIGINT) AS rows_hi, n_co,
+        |CASE WHEN least(rows_lo, rows_hi) <= 3000 THEN 'broadcast'
+        |  WHEN greatest(rows_lo, rows_hi) <= least(rows_lo, rows_hi) * 2
+        |    THEN 'shuffle_hash'
+        |  ELSE 'sort_merge' END AS strategy,
+        |CAST(CASE WHEN least(rows_lo, rows_hi) <= 3000 THEN 0
+        |  ELSE rows_lo + rows_hi END AS BIGINT) AS shuffle_rows_per_q
+        |FROM sz ORDER BY t_lo, t_hi""".stripMargin),
     "a_template_mining" ->
       (s"WITH $DialectCte,\n" +
         """t AS (SELECT user_id,

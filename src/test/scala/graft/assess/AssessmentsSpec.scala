@@ -140,6 +140,26 @@ class AssessmentsSpec extends AnyFunSuite {
     assert(nv >= nc && nc >= np && np > 0, s"degenerate funnel $nv/$nc/$np")
   }
 
+  test("latency drift: halves partition the census; flags follow the deltas") {
+    import org.apache.spark.sql.functions._
+    val rows = Assessments.aLatencyDrift(spark, dir).collect()
+    val census = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == census.size)
+    rows.foreach { r =>
+      val (t, p50a, p50b, p95a, p95b) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(5) + r.getLong(6) == census(t), s"halves must partition $t")
+      assert(math.abs(r.getDouble(7) - BigDecimal(p50b - p50a)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getBoolean(9) == (p95b - p95a > p95a * 0.1), s"flag at $t")
+      assert(p95a >= p50a && p95b >= p50b, s"percentile order at $t")
+    }
+  }
+
   test("funnel ordering is load-bearing: pre-view clicks do not convert") {
     import spark.implicits._
     // user 1: view(1) -> click(2) -> purchase(3): full funnel

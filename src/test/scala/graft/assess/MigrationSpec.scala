@@ -152,6 +152,28 @@ class MigrationSpec extends AnyFunSuite {
     }
   }
 
+  test("join advisor applies the strategy rule; both regimes populated") {
+    val rows = Migration.aJoinAdvisor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    def sz(t: Long) = (t + 1) * 500 + (t % 7) * 1300
+    rows.foreach { case (lo, hi, rl, rh, nCo, strat, shuf) =>
+      assert(rl == sz(lo) && rh == sz(hi))
+      assert(nCo > 0)
+      val (small, big) = (math.min(rl, rh), math.max(rl, rh))
+      val want =
+        if (small <= 3000) "broadcast"
+        else if (big <= small * 2) "shuffle_hash"
+        else "sort_merge"
+      assert(strat == want, s"pair ($lo,$hi)")
+      assert(shuf == (if (small <= 3000) 0L else rl + rh))
+    }
+    val strategies = rows.map(_._6).toSet
+    assert(strategies.contains("broadcast") && strategies.size >= 2,
+      s"strategy mix degenerate: $strategies")
+  }
+
   test("template mining strips every literal and partitions the workload") {
     val rows = Migration.aTemplateMining(spark, dir).collect()
     // literal stripping is total: no '= <digits>' survives, every quoted
