@@ -483,7 +483,46 @@ object Migration {
       .orderBy("t_lo", "t_hi")
   }
 
+  /** `a_readiness_scorecard` — the per-user migration triage, composed
+    * from the layer's own analytics: dialect rewrite effort
+    * ([[aDialectComplexity]]), scheduled-workload surface (count of
+    * [[aRecurringJobs]] cron series — schedules must be ported, not just
+    * SQL), and failure pressure (error share of the user's events). The
+    * integer score buckets users into ready / assisted / complex — the
+    * list that decides who migrates self-serve and who gets an engineer.
+    *
+    * Scale shape: every constituent reduces to ONE row per user before
+    * joining, so the composition is three co-partitioned joins on the
+    * groupBy key (the A2 payload discipline), nothing event-bounded past
+    * its own aggregate. */
+  def aReadinessScorecard(s: SparkSession, dir: String): DataFrame = {
+    val cx = aDialectComplexity(s, dir)
+      .select("user_id", "n_queries", "tot_weight", "effort")
+    val sched = aRecurringJobs(s, dir).filter(col("scheduled"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sched"))
+    val fails = ev(s, dir).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("n_err"), count(lit(1)).as("n_ev"))
+    val score =
+      when(col("effort") === "low", 0L)
+        .when(col("effort") === "medium", 1L).otherwise(2L) +
+        least(col("n_sched"), lit(3L)) +
+        when(col("fail_ratio") > 0.25, 1L).otherwise(0L)
+    cx.join(sched, Seq("user_id"), "left")
+      .join(fails, Seq("user_id"))
+      .withColumn("n_sched", coalesce(col("n_sched"), lit(0L)))
+      .withColumn("fail_ratio",
+        round(col("n_err") / col("n_ev") + lit(1e-9), 4))
+      .withColumn("score", score)
+      .select(col("user_id"), col("n_queries"), col("tot_weight"),
+        col("effort"), col("n_sched"), col("fail_ratio"), col("score"),
+        when(col("score") <= 1, "ready").when(col("score") <= 3, "assisted")
+          .otherwise("complex").as("readiness"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_readiness_scorecard" -> aReadinessScorecard,
     "a_join_advisor" -> aJoinAdvisor,
     "a_template_mining" -> aTemplateMining,
     "a_recurring_jobs" -> aRecurringJobs,
@@ -562,6 +601,56 @@ object Migration {
         |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a_readiness_scorecard" ->
+      (s"WITH $DialectCte,\n" +
+        """m AS (SELECT q.event_id, q.user_id, f.weight
+        |  FROM q LEFT JOIN f ON instr(q.q_text, f.needle) > 0),
+        |pq AS (SELECT event_id, user_id,
+        |  CAST(coalesce(sum(weight), 0) AS BIGINT) AS q_weight
+        |  FROM m GROUP BY 1, 2),
+        |pu AS (SELECT user_id, count(*) AS n_queries,
+        |  CAST(sum(q_weight) AS BIGINT) AS tot_weight FROM pq GROUP BY 1),
+        |eff AS (SELECT user_id, n_queries, tot_weight,
+        |  CASE WHEN round(CAST(tot_weight AS DOUBLE) / n_queries + 1e-9, 4) < 1.5
+        |    THEN 'low'
+        |  WHEN round(CAST(tot_weight AS DOUBLE) / n_queries + 1e-9, 4) < 3.0
+        |    THEN 'medium' ELSE 'high' END AS effort FROM pu),
+        |runs AS (SELECT DISTINCT user_id, event_type,
+        |  CASE WHEN user_id % 41 = 0
+        |    THEN epoch_us(date_trunc('day', ts)) + (user_id % 24) * 3600000000
+        |    ELSE epoch_us(ts) END AS sub_us
+        |  FROM ($EVENTS) events),
+        |gaps AS (SELECT user_id, event_type,
+        |  CAST(floor((sub_us - lag(sub_us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY sub_us)) / 60000000.0) AS BIGINT) AS gap_min
+        |  FROM runs QUALIFY gap_min IS NOT NULL),
+        |hist AS (SELECT user_id, event_type, gap_min, count(*) AS n_gap
+        |  FROM gaps GROUP BY 1, 2, 3),
+        |modal AS (SELECT user_id, event_type, n_gap FROM hist
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY n_gap DESC, gap_min ASC) = 1),
+        |per AS (SELECT user_id, event_type, count(*) AS n_gaps
+        |  FROM gaps GROUP BY 1, 2),
+        |sched AS (SELECT per.user_id, count(*) AS n_sched
+        |  FROM per JOIN modal USING (user_id, event_type)
+        |  WHERE per.n_gaps >= 3 AND
+        |    round(CAST(modal.n_gap AS DOUBLE) / per.n_gaps + 1e-9, 4) >= 0.5
+        |  GROUP BY 1),
+        |fl AS (SELECT user_id,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+        |  count(*) AS n_ev FROM ($EVENTS) events GROUP BY 1),
+        |sc AS (SELECT eff.user_id, eff.n_queries, eff.tot_weight, eff.effort,
+        |  CAST(coalesce(sched.n_sched, 0) AS BIGINT) AS n_sched,
+        |  round(CAST(fl.n_err AS DOUBLE) / fl.n_ev + 1e-9, 4) AS fail_ratio,
+        |  CAST((CASE eff.effort WHEN 'low' THEN 0 WHEN 'medium' THEN 1
+        |      ELSE 2 END)
+        |    + least(coalesce(sched.n_sched, 0), 3)
+        |    + (CASE WHEN round(CAST(fl.n_err AS DOUBLE) / fl.n_ev + 1e-9, 4)
+        |        > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS score
+        |  FROM eff LEFT JOIN sched USING (user_id) JOIN fl USING (user_id))
+        |SELECT *, CASE WHEN score <= 1 THEN 'ready'
+        |  WHEN score <= 3 THEN 'assisted' ELSE 'complex' END AS readiness
+        |FROM sc ORDER BY user_id""".stripMargin),
     "a_join_advisor" ->
       (s"WITH $PairsCte,\n" +
         """aff AS (SELECT t_lo, t_hi, count(*) AS n_co FROM pr GROUP BY 1, 2),

@@ -174,6 +174,34 @@ class MigrationSpec extends AnyFunSuite {
       s"strategy mix degenerate: $strategies")
   }
 
+  test("readiness scorecard composes its constituents consistently") {
+    val rows = Migration.aReadinessScorecard(spark, dir).collect()
+    val cx = Migration.aDialectComplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(5)))
+      .toMap
+    val sched = Migration.aRecurringJobs(spark, dir).collect()
+      .filter(_.getBoolean(5)).groupBy(_.getLong(0))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.length == cx.size, "one row per dialect-complexity user")
+    val classes = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getString(3)) == cx(u))
+      assert(r.getLong(4) == sched.getOrElse(u, 0L), s"n_sched at $u")
+      val effortPts = r.getString(3) match {
+        case "low" => 0L; case "medium" => 1L; case _ => 2L
+      }
+      val want = effortPts + math.min(r.getLong(4), 3L) +
+        (if (r.getDouble(5) > 0.25) 1L else 0L)
+      assert(r.getLong(6) == want, s"score at $u")
+      val cls = if (want <= 1) "ready" else if (want <= 3) "assisted"
+        else "complex"
+      assert(r.getString(7) == cls)
+      classes += cls
+    }
+    assert(classes.size >= 2, s"degenerate triage: $classes")
+  }
+
   test("template mining strips every literal and partitions the workload") {
     val rows = Migration.aTemplateMining(spark, dir).collect()
     // literal stripping is total: no '= <digits>' survives, every quoted
