@@ -61,6 +61,39 @@ class ExtensionsSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("approx-distinct rewrite: flag-gated, conservative, close enough") {
+    withExtensionSession { s =>
+      def distinctUsers = {
+        import org.apache.spark.sql.functions._
+        graft.Tables.events(s, graft.TestSpark.Sf0001)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("u"),
+            countDistinct(col("user_id"), col("event_id")).as("multi"))
+      }
+      // flag off (default): exact plan, exact answer
+      val exactPlan = distinctUsers.queryExecution.optimizedPlan.toString
+      assert(!exactPlan.contains("approx_count_distinct"), exactPlan)
+      val exact = distinctUsers.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      s.conf.set(RewriteCountDistinctToSketch.FlagKey, "true")
+      try {
+        val plan = distinctUsers.queryExecution.optimizedPlan.toString
+        // single-column distinct rewritten; multi-column kept exact
+        assert(plan.contains("approx_count_distinct"), plan)
+        assert(plan.contains("count(distinct user_id#") ||
+          "count\\(distinct [^)]*event_id".r.findFirstIn(plan).isDefined,
+          s"multi-column distinct must stay exact:\n$plan")
+        distinctUsers.collect().foreach { r =>
+          val (u, multi) = exact(r.getString(0))
+          assert(r.getLong(2) == multi, "exact arm changed")
+          val est = r.getLong(1)
+          assert(math.abs(est - u) <= math.max(2L, (u * 0.1).toLong),
+            s"estimate $est vs exact $u for ${r.getString(0)}")
+        }
+      } finally s.conf.set(RewriteCountDistinctToSketch.FlagKey, "false")
+    }
+  }
+
   test("bottom_k rejects a non-literal k with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
