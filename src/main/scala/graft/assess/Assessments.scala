@@ -471,10 +471,17 @@ object Assessments {
     * what users feel). Two grouped exact-percentile aggregates + one
     * co-partitioned join on the kind key; the flag compares identically
     * rounded inputs with exact IEEE arithmetic on both engines. */
-  def aLatencyDrift(s: SparkSession, dir: String): DataFrame = {
-    val agg = ev(s, dir)
+  def aLatencyDrift(s: SparkSession, dir: String): DataFrame =
+    latencyDriftOver(ev(s, dir)
       .select(col("event_type"), (dayofmonth(col("ts")) <= 15).as("p1"),
-        col("value"))
+        col("value")))
+
+  /** The drift report over a pre-shaped (event_type, p1, value) frame —
+    * split out so the appeared/vanished arms (absent from the shipped
+    * data, where every kind spans both halves) are pinnable on a
+    * fixture. */
+  private[assess] def latencyDriftOver(e: DataFrame): DataFrame = {
+    val agg = e
       .groupBy("event_type", "p1")
       .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
         round(expr("percentile(value, 0.95D)"), 4).as("p95"),
@@ -483,12 +490,21 @@ object Assessments {
       col("p50").as("p50_a"), col("p95").as("p95_a"), col("n").as("n_a"))
     val b = agg.filter(!col("p1")).select(col("event_type"),
       col("p50").as("p50_b"), col("p95").as("p95_b"), col("n").as("n_b"))
-    a.join(b, Seq("event_type"))
+    // FULL OUTER: a kind present in only one half is the loudest drift
+    // signal of all (appeared / vanished) — an inner join would silently
+    // drop exactly those rows
+    a.join(b, Seq("event_type"), "full_outer")
       .select(col("event_type"), col("p50_a"), col("p50_b"),
-        col("p95_a"), col("p95_b"), col("n_a"), col("n_b"),
+        col("p95_a"), col("p95_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
         round(col("p50_b") - col("p50_a"), 4).as("d_p50"),
         round(col("p95_b") - col("p95_a"), 4).as("d_p95"),
-        (col("p95_b") - col("p95_a") > col("p95_a") * 0.1).as("regressed"))
+        coalesce(col("p95_b") - col("p95_a") > col("p95_a") * 0.1, lit(false))
+          .as("regressed"),
+        when(col("p50_a").isNull, "appeared")
+          .when(col("p50_b").isNull, "vanished")
+          .otherwise("steady").as("status"))
       .orderBy("event_type")
   }
 
@@ -1035,10 +1051,14 @@ object Assessments {
         |  FROM g WHERE p1),
         |b AS (SELECT event_type, p50 AS p50_b, p95 AS p95_b, n AS n_b
         |  FROM g WHERE NOT p1)
-        |SELECT event_type, p50_a, p50_b, p95_a, p95_b, n_a, n_b,
+        |SELECT event_type, p50_a, p50_b, p95_a, p95_b,
+        |CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
         |round(p50_b - p50_a, 4) AS d_p50, round(p95_b - p95_a, 4) AS d_p95,
-        |(p95_b - p95_a > p95_a * 0.1) AS regressed
-        |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
+        |coalesce(p95_b - p95_a > p95_a * 0.1, false) AS regressed,
+        |CASE WHEN p50_a IS NULL THEN 'appeared'
+        |  WHEN p50_b IS NULL THEN 'vanished' ELSE 'steady' END AS status
+        |FROM a FULL JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
     "a12_churn_retention" ->
       """SELECT 'churned' AS cohort, user_id FROM (
         |  SELECT user_id FROM (SELECT DISTINCT user_id FROM ($EVENTS) events WHERE strftime(ts,'%Y-%m-%d')='2024-01-01')

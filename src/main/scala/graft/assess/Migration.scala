@@ -203,7 +203,7 @@ object Migration {
       .orderBy("t_lo", "t_hi")
 
   /** `a_migration_waves` — connected components of the affinity graph
-    * above a support threshold (co-read in ≥ 0.1% of queries — scale-free,
+    * above a support threshold (co-read in ≥ 0.5% of queries — scale-free,
     * so the same constant works at every sf): each component is a set of
     * tables that can migrate together without severing frequent co-reads.
     * Singleton tables form their own wave. Same bounded min-label
@@ -213,12 +213,20 @@ object Migration {
     * [[aWaveCutCost]]: (t, wave) for every table read anywhere, wave = min
     * table id of its support-thresholded affinity component. */
   private def waveLabels(s: SparkSession, dir: String,
-                         maxRounds: Int = 40): DataFrame = {
+                         maxRounds: Int = 40): DataFrame =
+    waveState(s, dir, maxRounds)._1
+
+  /** (labels, affinity): the wave labeling plus the (t_lo, t_hi, n_co)
+    * aggregate it was thresholded from — shared so [[aWaveCutCost]] never
+    * pays a second event scan for the identical affinity matrix. */
+  private def waveState(s: SparkSession, dir: String,
+                        maxRounds: Int = 40): (DataFrame, DataFrame) = {
     val pf = pairFrame(s, dir).localCheckpoint() // shared by edges + nodes
     val total = pf.agg(count(lit(1)).as("n_total"))
     val aff = pf.select(explode(col("pairs")).as("p"))
       .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
       .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+      .localCheckpoint() // catalog²-sized; consumed by kept + cut cost
     // support threshold 0.5% of queries: the always-on group edges clear
     // it at every sf, the ad-hoc tail never does — scale-free constant
     val kept = aff.crossJoin(broadcast(total))
@@ -251,7 +259,7 @@ object Migration {
     if (changed > 0)
       throw new IllegalStateException(
         s"affinity components did not converge in $maxRounds rounds")
-    labels
+    (labels, aff)
   }
 
   def aMigrationWaves(s: SparkSession, dir: String,
@@ -304,11 +312,8 @@ object Migration {
     * Scale shape: the affinity matrix is catalog²-bounded; two label
     * joins + one grouped aggregate on it. */
   def aWaveCutCost(s: SparkSession, dir: String): DataFrame = {
-    val labels = waveLabels(s, dir).localCheckpoint()
-    val aff = pairFrame(s, dir)
-      .select(explode(col("pairs")).as("p"))
-      .select(col("p.t_lo").as("t_lo"), col("p.t_hi").as("t_hi"))
-      .groupBy("t_lo", "t_hi").agg(count(lit(1)).as("n_co"))
+    val (labels0, aff) = waveState(s, dir)
+    val labels = labels0.localCheckpoint()
     aff
       .join(labels.select(col("t").as("t_lo"), col("wave").as("wave_a")), Seq("t_lo"))
       .join(labels.select(col("t").as("t_hi"), col("wave").as("wave_b")), Seq("t_hi"))

@@ -67,23 +67,45 @@ final class SparkCaptureListener(appId: String, user: String,
   private val buildFailedN = new AtomicLong(0L)
   private val seenN = new AtomicLong(0L)
   // executionId → submit-time millis: duration fallback for End events whose
-  // engine-measured duration is absent. Entries die with their End event.
+  // engine-measured duration is absent. Entries normally die with their End
+  // event, but the shared bus DROPS events under saturation and cancelled
+  // executions may never post an End — so both tracking maps are pruned of
+  // stale entries (no activity for StaleMs) once they exceed MaxTracked,
+  // keeping the listener's footprint bounded even when Ends never arrive.
+  // Losing a stale startMs entry only degrades the duration fallback.
   private val startMs = new ConcurrentHashMap[java.lang.Long, java.lang.Long]
-  // executionIds opened under the self-tag: their End must not be admitted
-  // either. Start-side decision, so membership is settled before the End
-  // arrives (bus order).
-  private val selfIds = ConcurrentHashMap.newKeySet[java.lang.Long]
+  // executionIds opened under the self-tag (→ insert-time ms): their End
+  // must not be admitted either. Start-side decision, so membership is
+  // settled before the End arrives (bus order). Same stale-pruning bound;
+  // a pruned entry could at worst let one >10-min-old self-write's End
+  // through, versus growing without bound.
+  private val selfIds = new ConcurrentHashMap[java.lang.Long, java.lang.Long]
+
+  private val MaxTracked = 65536
+  private val StaleMs = 10L * 60 * 1000
+
+  private def prune(m: ConcurrentHashMap[java.lang.Long, java.lang.Long],
+                    now: Long): Unit =
+    if (m.size > MaxTracked) {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        if (now - it.next().getValue >= StaleMs) it.remove()
+      }
+    }
 
   override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
     case st: SparkListenerSQLExecutionStart =>
       if (st.jobTags.contains(SparkCaptureListener.SelfTag)) {
-        selfIds.add(Long.box(st.executionId)); ()
+        selfIds.put(Long.box(st.executionId), Long.box(st.time))
+        prune(selfIds, st.time)
+        ()
       } else {
         startMs.put(Long.box(st.executionId), Long.box(st.time))
+        prune(startMs, st.time)
         admit(() => submitted(st))
       }
     case en: SparkListenerSQLExecutionEnd =>
-      if (selfIds.remove(Long.box(en.executionId))) ()
+      if (selfIds.remove(Long.box(en.executionId)) != null) ()
       else {
         val sub = Option(startMs.remove(Long.box(en.executionId))).map(_.longValue())
         admit(() => completed(en, sub))
@@ -103,6 +125,21 @@ final class SparkCaptureListener(appId: String, user: String,
     }
     out.result()
   }
+
+  /** Put already-drained events BACK (a failed sink write hands its batch
+    * back rather than losing it). Bounded like first admission — overflow
+    * counts in [[dropped]] — but does NOT touch [[seen]]: these events were
+    * already counted on arrival. Order degrades to re-queue order; the
+    * sink's consumers key on QueryId, not position. */
+  private[capture] def requeue(events: Seq[QueryEvent]): Unit =
+    events.foreach { e =>
+      if (buffered.incrementAndGet() <= maxBuffered) { buf.add(e); () }
+      else {
+        buffered.decrementAndGet()
+        droppedN.incrementAndGet()
+        ()
+      }
+    }
 
   /** [[drain]] as a DataFrame in the 33-column QueryEvents schema —
     * directly writable by `EventSink.writeBatch`. */
@@ -214,7 +251,7 @@ final class SparkCaptureListener(appId: String, user: String,
         Option(e.getMessage).getOrElse(e.toString).take(2048)),
       PerfObject = qe.flatMap(SparkCaptureListener.perfObject),
       CountersObject = Some(counters),
-      InvokerInfo = SqlEndShim.executionName(en).fold[Option[String]](None)(Some(_)),
+      InvokerInfo = SqlEndShim.executionName(en),
       ThreadName = Some(Thread.currentThread().getName),
       YarnApplicationId = Some(appId)
     )
@@ -377,6 +414,14 @@ final class CaptureDrainer(session: SparkSession, sinkPath: String,
   private val flushedBatches = new AtomicLong(0L)
   def flushed: Long = flushedBatches.get()
 
+  /** Sink writes that failed even after the retry budget. The drained
+    * batch is handed BACK to the listener's bounded buffer (overflow
+    * counts in its `dropped`) and retried on the next tick — a transient
+    * outage longer than one retry budget delays capture instead of
+    * silently deleting it. */
+  private val writeFailedN = new AtomicLong(0L)
+  def writeFailed: Long = writeFailedN.get()
+
   private val closed = new AtomicBoolean(false)
   private val exec = Executors.newSingleThreadScheduledExecutor(
     new ThreadFactory {
@@ -403,6 +448,15 @@ final class CaptureDrainer(session: SparkSession, sinkPath: String,
         graft.sink.EventSink.writeBatchWithRetry(
           session.createDataset(events).toDF(), sinkPath)
         flushedBatches.incrementAndGet()
+        ()
+      } catch {
+        case e: Throwable =>
+          // exhausted the retry budget: count it loudly and hand the batch
+          // back for the next tick — never drop a drained batch on the
+          // floor (at JVM exit a still-failing sink leaves writeFailed > 0
+          // and the residue in the buffer, which is the honest outcome)
+          writeFailedN.incrementAndGet()
+          listener.requeue(events)
       } finally sc.removeJobTag(SparkCaptureListener.SelfTag)
     }
   }

@@ -169,7 +169,10 @@ object Layout {
       .withColumn("rn", row_number().over(
         Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
     // boundary ranks floor(i*m/buckets), i = 1..buckets-1 — strictly
-    // increasing (hence distinct) whenever m >= buckets
+    // increasing (hence distinct) whenever m >= buckets; under a degenerate
+    // sample (m < buckets) colliding ranks still select each boundary row
+    // ONCE (this is a filter, and the oracle dedupes its rank set to match),
+    // so the two engines agree at every m, buckets just collapse
     val bounds = ranked.crossJoin(broadcast(m))
       .filter(array_contains(
         expr(s"transform(sequence(1, ${buckets - 1}), " +
@@ -263,9 +266,10 @@ object Layout {
         |r AS (SELECT v, row_number() OVER (
         |  ORDER BY v, l_orderkey, l_linenumber) AS rn FROM s),
         |mm AS (SELECT count(*) AS m FROM s),
-        |b AS (SELECT v FROM r, mm, (SELECT unnest(range(1, 8)) AS i) g
-        |  WHERE rn = (i * m) // 8),
-        |bl AS (SELECT list_sort(list(v)) AS bnds FROM b),
+        |rk AS (SELECT DISTINCT (i * m) // 8 AS rk
+        |  FROM mm, (SELECT unnest(range(1, 8)) AS i) g),
+        |b AS (SELECT v FROM r JOIN rk ON r.rn = rk.rk),
+        |bl AS (SELECT coalesce(list_sort(list(v)), []) AS bnds FROM b),
         |a AS (SELECT li.v,
         |  len(list_filter(bl.bnds, b -> li.v > b)) AS bucket FROM li, bl)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,

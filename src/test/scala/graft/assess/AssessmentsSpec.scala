@@ -157,7 +157,23 @@ class AssessmentsSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
       assert(r.getBoolean(9) == (p95b - p95a > p95a * 0.1), s"flag at $t")
       assert(p95a >= p50a && p95b >= p50b, s"percentile order at $t")
+      assert(r.getString(10) == "steady", "shipped data spans both halves")
     }
+  }
+
+  test("latency drift surfaces appeared/vanished kinds via full outer") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("old", true, 1.0), ("old", true, 2.0),       // only first half
+      ("new", false, 5.0), ("new", false, 7.0),     // only second half
+      ("both", true, 1.0), ("both", false, 10.0)    // regresses hard
+    ).toDF("event_type", "p1", "value")
+    val rows = Assessments.latencyDriftOver(fixture).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(10), r.getBoolean(9), r.getLong(5), r.getLong(6))).toMap
+    assert(rows("old") == (("vanished", false, 2L, 0L)))
+    assert(rows("new") == (("appeared", false, 0L, 2L)))
+    assert(rows("both") == (("steady", true, 1L, 1L)))
   }
 
   test("funnel ordering is load-bearing: pre-view clicks do not convert") {

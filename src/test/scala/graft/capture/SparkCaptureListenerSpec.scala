@@ -233,4 +233,37 @@ class SparkCaptureListenerSpec extends AnyFunSuite {
       assert(selfWrites == 0, s"captured $selfWrites of its own sink writes")
     } finally { log.unpersist(); () }
   }
+
+  test("requeue hands a failed batch back, bounded, without touching seen") {
+    val l = new SparkCaptureListener("app", "tester", maxBuffered = 3)
+    def ev(i: Int) = graft.model.QueryEvent(QueryId = Some(s"q$i"))
+    l.requeue(Seq(ev(1), ev(2)))
+    assert(l.drain().flatMap(_.QueryId) == Seq("q1", "q2"))
+    assert(l.seen == 0 && l.dropped == 0, "requeue must not count as arrival")
+    // overflow beyond the cap counts in dropped, never grows the buffer
+    l.requeue((1 to 5).map(ev))
+    assert(l.dropped == 2)
+    assert(l.drain().size == 3)
+  }
+
+  test("drainer survives a failing sink: counts writeFailed, keeps events") {
+    val tag = nonce("badsink")
+    // the sink path's PARENT is a regular file, so every write attempt
+    // fails with an IO-shaped error after the retry budget
+    val parent = Files.createTempFile(s"graft_${tag}", ".notadir")
+    val d = new CaptureDrainer(spark, parent.toString + "/log",
+      intervalMs = 150L)
+    try {
+      spark.range(40).selectExpr(s"sum(id) AS ${tag}_x").collect()
+      awaitUntil(60000L)(d.writeFailed >= 1)
+      assert(d.flushed == 0)
+      awaitUntil()(d.listener.seen >= 2)
+      // stop the scheduler first (its ticks race an explicit drain); the
+      // final close-flush fails too and must requeue rather than lose
+      d.close()
+      val kept = d.listener.drain()
+      assert(kept.exists(_.QueryText.exists(_.contains(tag))),
+        s"failed batch lost; drained ${kept.size} events")
+    } finally d.close()
+  }
 }
