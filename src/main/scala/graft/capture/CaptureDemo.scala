@@ -79,17 +79,6 @@ object CaptureDemo {
       .orderBy("event_id")
   }
 
-  /** End-to-end streaming capture demo (VERDICT r3 stretch): the events
-    * table is replayed as a FILE STREAM through a capture projection
-    * (QueryEvent columns, status classification, counters-as-JSON) into the
-    * date-partitioned exactly-once sink ([[graft.sink.EventSink.writeStream]],
-    * Trigger.AvailableNow), then read BACK from the committed log and rolled
-    * up per (event date, query type) — so one driver-checkable query spans
-    * O1 source → O4/O5 projection → O16 counters JSON → O23 partitioned sink
-    * → O26 read → A2 rollup, and the DuckDB oracle checks the round trip
-    * end-to-end (any lost/duplicated/mis-partitioned record breaks the
-    * hash). Each call uses a fresh temp log + checkpoint: the run IS the
-    * test of the commit protocol. */
   /** One scratch root + ONE shutdown hook for the process: bench, verify
     * and test runs invoke [[capStream]] repeatedly, and registering a hook
     * per call accumulated hooks and undeleted temp dirs for the JVM
@@ -120,6 +109,17 @@ object CaptureDemo {
     try body finally s.conf.set(key, old)
   }
 
+  /** End-to-end streaming capture demo (VERDICT r3 stretch): the events
+    * table is replayed as a FILE STREAM through a capture projection
+    * (QueryEvent columns, status classification, counters-as-JSON) into the
+    * date-partitioned exactly-once sink ([[graft.sink.EventSink.writeStream]],
+    * Trigger.AvailableNow), then read BACK from the committed log and rolled
+    * up per (event date, query type) — so one driver-checkable query spans
+    * O1 source → O4/O5 projection → O16 counters JSON → O23 partitioned sink
+    * → O26 read → A2 rollup, and the DuckDB oracle checks the round trip
+    * end-to-end (any lost/duplicated/mis-partitioned record breaks the
+    * hash). Each call uses a fresh temp log + checkpoint: the run IS the
+    * test of the commit protocol. */
   def capStream(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "run_")
     val out = s"$tmp/log"
@@ -362,7 +362,7 @@ object CaptureDemo {
       .filter(col("QueryText").contains(tag))
       // which probe: the tag's alias suffix in the captured text
       .withColumn("probe",
-        regexp_extract(col("QueryText"), s"${tag}_(\\d)", 1).cast("int"))
+        regexp_extract(col("QueryText"), s"${tag}_(\\d+)", 1).cast("int"))
     val sub = log.filter(col("EventType") === "QUERY_SUBMITTED")
       .select(col("QueryId"), col("probe").as("sub_probe"),
         col("StartTime").as("sub_time"))
@@ -386,17 +386,6 @@ object CaptureDemo {
       .orderBy("probe")
   }
 
-  /** Log-compaction round trip — the at-least-once RECOVERY path proven
-    * end-to-end (ADVICE r8: a transient failure mid job-commit can leave
-    * some files published, and the append-mode retry then writes the whole
-    * batch again): the same batch is deliberately written TWICE, then
-    * [[graft.sink.EventSink.readLatestEvents]] collapses the duplicates to
-    * one row per (QueryId, EventType) lifecycle event and the compacted
-    * log is rolled up per (day, type). The DuckDB oracle aggregates the
-    * ORIGINAL table once, so the hash passes only if compaction returned
-    * exactly one copy of every event — the maintenance job a long-lived
-    * event log runs to restore exactly-once semantics after retried
-    * commits. */
   /** Streaming heavy hitters: the custom Misra–Gries
     * [[graft.functions.FreqSketchMG]] aggregate running INSIDE a streaming
     * aggregation — the skewed hot/cold key stream is staged as four
@@ -432,6 +421,17 @@ object CaptureDemo {
     graft.ext.SqlSurface.hotKeyVerdict(exact, est, k)
   }
 
+  /** Log-compaction round trip — the at-least-once RECOVERY path proven
+    * end-to-end (ADVICE r8: a transient failure mid job-commit can leave
+    * some files published, and the append-mode retry then writes the whole
+    * batch again): the same batch is deliberately written TWICE, then
+    * [[graft.sink.EventSink.readLatestEvents]] collapses the duplicates to
+    * one row per (QueryId, EventType) lifecycle event and the compacted
+    * log is rolled up per (day, type). The DuckDB oracle aggregates the
+    * ORIGINAL table once, so the hash passes only if compaction returned
+    * exactly one copy of every event — the maintenance job a long-lived
+    * event log runs to restore exactly-once semantics after retried
+    * commits. */
   def capLogCompact(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "compact_")
     val log = s"$tmp/log"

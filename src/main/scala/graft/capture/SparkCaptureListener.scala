@@ -87,10 +87,19 @@ final class SparkCaptureListener(appId: String, user: String,
   private def prune(m: ConcurrentHashMap[java.lang.Long, java.lang.Long],
                     now: Long): Unit =
     if (m.size > MaxTracked) {
+      // stale entries first; if the map is over cap with only YOUNG
+      // entries (a burst where Ends are being lost), evict arbitrarily
+      // down to the cap — a strict memory bound beats perfect tracking,
+      // and losing an entry only degrades a fallback (duration estimate /
+      // the self-suppression that [[selfPathHint]] also covers). Evicting
+      // to the cap also keeps this amortized O(1): the scan runs only
+      // when an insert pushed the map over.
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         if (now - it.next().getValue >= StaleMs) it.remove()
       }
+      val it2 = m.entrySet().iterator()
+      while (it2.hasNext && m.size > MaxTracked) { it2.next(); it2.remove() }
     }
 
   override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
@@ -106,12 +115,28 @@ final class SparkCaptureListener(appId: String, user: String,
       }
     case en: SparkListenerSQLExecutionEnd =>
       if (selfIds.remove(Long.box(en.executionId)) != null) ()
+      else if (isSelfByHint(en)) { startMs.remove(Long.box(en.executionId)); () }
       else {
         val sub = Option(startMs.remove(Long.box(en.executionId))).map(_.longValue())
         admit(() => completed(en, sub))
       }
     case _ => ()
   }
+
+  /** Backstop for the tag-based suppression: when the saturated bus DROPS
+    * a self-tagged Start, its End arrives with no `selfIds` entry — if the
+    * host registered where the capture machinery writes
+    * ([[selfPathHint]]), an End whose write targets that path is still
+    * suppressed, closing the feedback loop (a capture log that captures
+    * its own sink writes forever). */
+  @volatile private[capture] var selfPathHint: Option[String] = None
+
+  private def isSelfByHint(en: SparkListenerSQLExecutionEnd): Boolean =
+    selfPathHint.exists { h =>
+      Try(Option(SqlEndShim.qe(en)).exists(q =>
+        SparkCaptureListener.writeTargets(q).exists(_.contains(h))))
+        .getOrElse(false)
+    }
 
   /** Events captured so far, in arrival order; removes them from the
     * buffer. The host thread calls this, never the listener bus. */
@@ -404,11 +429,13 @@ object SparkCaptureListener {
   * also registered as a JVM shutdown hook) stops the scheduler, flushes the
   * residue exactly once, and detaches the listener. */
 final class CaptureDrainer(session: SparkSession, sinkPath: String,
-                           intervalMs: Long = 5000L, maxBuffered: Int = 8192)
+                           intervalMs: Long = 5000L, maxBuffered: Int = 8192,
+                           closeFlushTimeoutMs: Long = 10000L)
     extends AutoCloseable {
 
   val listener: SparkCaptureListener =
     SparkCaptureListener.install(session, maxBuffered)
+  listener.selfPathHint = Some(sinkPath) // backstop if a tagged Start is dropped
 
   /** Batches flushed to the sink so far (empty drains not counted). */
   private val flushedBatches = new AtomicLong(0L)
@@ -464,7 +491,16 @@ final class CaptureDrainer(session: SparkSession, sinkPath: String,
   override def close(): Unit = if (closed.compareAndSet(false, true)) {
     exec.shutdown()
     exec.awaitTermination(5, TimeUnit.SECONDS) // the reference's ≤5 s bound
-    drainOnce() // final flush — the residue, exactly once
+    // Final residue flush on a BOUNDED daemon thread: close() runs as a
+    // JVM shutdown hook, and an unreachable sink would otherwise block
+    // shutdown for the whole Spark-write + retry budget (the reference's
+    // writer thread has the same ≤5 s discipline; our flush is a Spark
+    // job, so it gets a wider but still finite bound). On timeout the
+    // events stay in the buffer and writeFailed tells the story.
+    val t = new Thread(() => { Try(drainOnce()); () }, "graft-capture-final-flush")
+    t.setDaemon(true)
+    t.start()
+    t.join(closeFlushTimeoutMs)
     SparkCaptureListener.uninstall(session, listener)
     Try(shutdownHook.remove())
     ()

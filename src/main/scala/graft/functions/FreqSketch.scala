@@ -4,8 +4,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import scala.collection.mutable
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -40,6 +43,14 @@ case class FreqSketchMG(
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
   require(k > 0, s"freq_sketch: k must be positive, got $k")
+
+  // reject non-string children at ANALYSIS time, not with a task-time
+  // ClassCastException (AbstractDataType/ExpectsInputTypes are private[sql],
+  // so the check lives here)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires a string column, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
@@ -83,11 +94,19 @@ case class FreqSketchMG(
       new GenericArrayData(ks.map(buf(_): Any)))
   }
 
+  // length-prefixed UTF-8, not writeUTF: the sketch is advertised for
+  // unbounded key domains, and writeUTF caps a key at 64 KB of modified
+  // UTF-8 (a long text key would kill the shuffle/state-store round trip)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (key, v) => out.writeUTF(key); out.writeLong(v) }
+    buf.foreach { case (key, v) =>
+      val kb = key.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(v)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -97,7 +116,12 @@ case class FreqSketchMG(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 
@@ -124,18 +148,24 @@ object FreqSketchMG {
         org.apache.spark.sql.classic.GraftBridge.expression(items),
         k).toAggregateExpression())
 
+  /** SQL-expression builder shared by [[register]] and
+    * [[graft.plans.GraftExtensions]] — one place owns the arity/literal
+    * validation for both install paths. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.size != 2)
+      throw new IllegalArgumentException(
+        s"freq_sketch expects (col, k), got ${exprs.size} arguments")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"freq_sketch: k must be an integer literal, got $other")
+    }
+    FreqSketchMG(exprs.head, k).toAggregateExpression()
+  }
+
   /** Register `freq_sketch(col, k)` for SQL / `expr(...)` use. Idempotent;
     * k must be an integer literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_sketch",
-      exprs => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"freq_sketch: k must be an integer literal, got $other")
-        }
-        FreqSketchMG(exprs.head, k).toAggregateExpression()
-      },
-      "scala_udf")
+      "freq_sketch", builder, "scala_udf")
 }

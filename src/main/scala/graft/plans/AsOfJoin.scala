@@ -216,14 +216,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[graft.functions.FreqSketchMG].getName,
         "freq_sketch"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"freq_sketch: k must be an integer literal, got $other")
-        }
-        graft.functions.FreqSketchMG(exprs.head, k).toAggregateExpression()
-      }))
+      (exprs: Seq[Expression]) => graft.functions.FreqSketchMG.builder(exprs)))
   }
 }
 

@@ -23,7 +23,10 @@ object RewriteCountDistinctToSketch extends Rule[LogicalPlan] {
   val FlagKey = "spark.graft.approxDistinct.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(FlagKey, "false").toBoolean) plan
+    // equalsIgnoreCase, not toBoolean: a malformed flag value ("1", "yes")
+    // must degrade to disabled, not throw inside the optimizer on EVERY
+    // query in the session
+    if (!conf.getConfString(FlagKey, "false").equalsIgnoreCase("true")) plan
     else plan.transform {
       case agg: Aggregate => agg.transformExpressions {
         case ae @ AggregateExpression(c: Count, _, true, None, _)

@@ -58,6 +58,23 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(rows == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
   }
 
+  test("non-string input fails at analysis, not with a task-time cast") {
+    FreqSketchMG.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT freq_sketch(id, 8) FROM range(10)").collect()
+    }
+    assert(e.getMessage.contains("freq_sketch requires a string column"),
+      e.getMessage)
+  }
+
+  test("keys past the 64KB writeUTF limit survive the serde round trip") {
+    val agg = FreqSketchMG(org.apache.spark.sql.classic.GraftBridge
+      .expression(col("x")), 4)
+    val big = "k" * 100000
+    val buf = scala.collection.mutable.HashMap(big -> 2L, "small" -> 1L)
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+  }
+
   test("partial buffers survive the binary serialization round trip") {
     val agg = FreqSketchMG(org.apache.spark.sql.classic.GraftBridge
       .expression(col("x")), 4)
