@@ -724,6 +724,34 @@ object Assessments {
       .orderBy("day")
   }
 
+  /** A15 — SEASONALITY-aware volume anomaly: each (day, kind) count
+    * against its day-of-week × kind baseline, not the global mean — a
+    * Monday batch window is normal on Mondays and an anomaly on Sundays,
+    * which the flat z-score ([[a15AnomalyDays]]) cannot see. The ratio is
+    * computed as `n·cnt / sum` (one division over exact integer
+    * aggregates) so the rounding is engine-identical; flags use the
+    * ROUNDED ratio.
+    *
+    * Scale shape: the event table reduces to day×kind counts in one
+    * partial-aggregated pass; the baseline groups that tiny frame by
+    * (dow, kind) and joins back co-partitioned. Nothing downstream is
+    * event-bounded. */
+  def a15SeasonalDow(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayofweek(col("ts")).as("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val base = daily.groupBy("dow", "event_type")
+      .agg(sum("n").as("tot"), count(lit(1)).as("n_days"))
+    val ratio = round(col("n") * col("n_days") / col("tot") + lit(1e-9), 4)
+    daily.join(base, Seq("dow", "event_type"))
+      .select(col("day"), col("event_type"), col("dow"), col("n"),
+        round(col("tot") / col("n_days") + lit(1e-9), 2).as("expected"),
+        ratio.as("ratio"),
+        (ratio > 1.5 || ratio < 0.5).as("anomalous"))
+      .orderBy("day", "event_type")
+  }
+
   /** The migration-assessment capstone (VERDICT r8 #7): the reference's
     * entire downstream purpose is an assessment REPORT over the captured
     * log (reference README.md:5-7) — this composes the assessment families
@@ -786,6 +814,7 @@ object Assessments {
   val queries: Map[String, Q] = Map(
     "a_migration_report" -> aMigrationReport,
     "a15_anomaly_days" -> a15AnomalyDays,
+    "a15_seasonal_dow" -> a15SeasonalDow,
     "a1_lifecycle_pairs" -> a1LifecyclePairs,
     "a1_abandoned_users" -> a1AbandonedUsers,
     "a2_user_rollup" -> a2UserRollup,
@@ -842,6 +871,19 @@ object Assessments {
         |SELECT day, n, round((n - mu) / NULLIF(sigma, 0) + 1e-9, 4) AS z,
         |CASE WHEN abs((n - mu) / NULLIF(sigma, 0)) > 1.5 THEN 1 ELSE 0 END AS is_anomaly
         |FROM d, s ORDER BY day""".stripMargin,
+    "a15_seasonal_dow" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  dayofweek(ts) + 1 AS dow, event_type, count(*) AS n
+        |  FROM ($EVENTS) events GROUP BY 1, 2, 3),
+        |b AS (SELECT dow, event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |  count(*) AS n_days FROM d GROUP BY 1, 2)
+        |SELECT d.day, d.event_type, CAST(d.dow AS INTEGER) AS dow, d.n,
+        |round(CAST(b.tot AS DOUBLE) / b.n_days + 1e-9, 2) AS expected,
+        |round(CAST(d.n * b.n_days AS DOUBLE) / b.tot + 1e-9, 4) AS ratio,
+        |(round(CAST(d.n * b.n_days AS DOUBLE) / b.tot + 1e-9, 4) > 1.5 OR
+        | round(CAST(d.n * b.n_days AS DOUBLE) / b.tot + 1e-9, 4) < 0.5)
+        |  AS anomalous
+        |FROM d JOIN b USING (dow, event_type) ORDER BY day, event_type""".stripMargin,
     "a_migration_report" ->
       """WITH base AS (SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value,

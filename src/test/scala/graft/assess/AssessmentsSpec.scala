@@ -161,6 +161,32 @@ class AssessmentsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal anomaly: baselines match brute force; flags follow ratio") {
+    import org.apache.spark.sql.functions._
+    val rows = Assessments.a15SeasonalDow(spark, dir).collect()
+    val daily = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayofweek(col("ts")).as("dow"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(rows.length == daily.size)
+    val base = daily.groupBy { case ((_, dow, t), _) => (dow, t) }
+      .map { case (k, vs) => k -> (vs.values.sum, vs.size) }
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getInt(2), r.getString(1))
+      val n = r.getLong(3)
+      assert(n == daily(key))
+      val (tot, nDays) = base((key._2, key._3))
+      val ratio = BigDecimal(n.toDouble * nDays / tot + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == ratio, s"ratio at $key")
+      assert(r.getBoolean(6) == (ratio > 1.5 || ratio < 0.5), s"flag at $key")
+    }
+  }
+
   test("latency drift surfaces appeared/vanished kinds via full outer") {
     import spark.implicits._
     val fixture = Seq(
