@@ -175,6 +175,48 @@ object Similarity {
       .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** Embedding/feature drift monitor — the check a feature store or
+    * embedding pipeline runs between snapshots before training on the new
+    * one: per-dimension means of a reference cohort (even vec_ids) versus
+    * a candidate cohort (odd vec_ids), with the per-dim delta and a drift
+    * flag. The candidate carries a RENDERED shift (+0.2 on the first 4
+    * dims — same fixture idiom as the migration renders: the table has no
+    * second snapshot, so the signal is injected and the DETECTOR is what
+    * the oracle checks end-to-end); the flag threshold (half the shift)
+    * must localize exactly those dims.
+    *
+    * Scale shape: one posexplode + one (dim, cohort)-grouped
+    * map-side-combinable aggregate; everything after is dim-bounded (64
+    * rows). No collects, no joins on the corpus. */
+  def xEmbeddingDrift(s: SparkSession, dir: String,
+                      shiftDims: Int = 4, shift: Double = 0.2): DataFrame = {
+    val e = emb(s, dir)
+    val ref = e.filter(col("vec_id") % 2 === 0).select(col("v"))
+    val cand = e.filter(col("vec_id") % 2 === 1)
+      .select(transform(col("v"),
+        (x, i) => x + when(i < shiftDims, lit(shift)).otherwise(lit(0.0)))
+        .as("v"))
+    def dims(df: DataFrame, half: String) = df
+      .select(lit(half).as("half"), posexplode(col("v")).as(Seq("dim", "x")))
+    val agg = dims(ref, "ref").unionByName(dims(cand, "cand"))
+      .groupBy("dim", "half")
+      .agg(avg("x").as("m"), count(lit(1)).as("n"))
+    val a = agg.filter(col("half") === "ref")
+      .select(col("dim"), col("m").as("m_a"), col("n").as("n_a"))
+    val b = agg.filter(col("half") === "cand")
+      .select(col("dim"), col("m").as("m_b"), col("n").as("n_b"))
+    // `+ 0.0` after round: IEEE −0.0 + 0.0 = +0.0, so a near-zero delta
+    // that rounds to signed zero prints identically in both engines
+    // (DuckDB keeps the IEEE sign; JVM BigDecimal rounding drops it)
+    val d = round(col("m_b") - col("m_a"), 4) + lit(0.0)
+    a.join(b, Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        (round(col("m_a"), 6) + lit(0.0)).as("mean_ref"),
+        (round(col("m_b"), 6) + lit(0.0)).as("mean_cand"),
+        d.as("d_mean"), (abs(d) > shift / 2).as("drifted"))
+      .orderBy("dim")
+  }
+
   /** Deterministic ±1 hyperplane component for (plane p, dim i): parity of
     * the first 16 bits of md5("p#i"). Computed once on the driver and shipped
     * as a literal — the executors do pure arithmetic, no per-row hashing. */
@@ -464,6 +506,7 @@ object Similarity {
     "x_embedding_neardup" -> ((s, dir) => xEmbeddingNeardup(s, dir)),
     "x_knn_graph" -> ((s, dir) => xKnnGraph(s, dir)),
     "x_label_centroids" -> xLabelCentroids,
+    "x_embedding_drift" -> ((s, dir) => xEmbeddingDrift(s, dir)),
     "x_ivf_assign" -> xIvfAssign,
     "x_semdedup" -> ((s, dir) => xSemdedup(s, dir)),
     "x_ann_ivf_topk" -> xAnnIvfTopk,
@@ -568,6 +611,23 @@ object Similarity {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS rk FROM p)
         |SELECT vec_id, rk, nbr, round(sim, 6) AS cosine
         |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "x_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |dr AS (SELECT unnest(v) AS x, unnest(range(len(v))) AS dim FROM e
+        |  WHERE vec_id % 2 = 0),
+        |dc0 AS (SELECT unnest(v) AS x, unnest(range(len(v))) AS dim FROM e
+        |  WHERE vec_id % 2 = 1),
+        |dc AS (SELECT dim, x + CASE WHEN dim < 4 THEN 0.2 ELSE 0 END AS x
+        |  FROM dc0),
+        |a AS (SELECT dim, avg(x) AS m_a, count(*) AS n_a FROM dr GROUP BY 1),
+        |b AS (SELECT dim, avg(x) AS m_b, count(*) AS n_b FROM dc GROUP BY 1)
+        |SELECT CAST(a.dim AS INTEGER) AS dim, a.n_a, b.n_b,
+        |round(a.m_a, 6) + 0 AS mean_ref, round(b.m_b, 6) + 0 AS mean_cand,
+        |round(b.m_b - a.m_a, 4) + 0 AS d_mean,
+        |abs(round(b.m_b - a.m_a, 4)) > 0.1 AS drifted
+        |FROM a JOIN b USING (dim) ORDER BY dim""".stripMargin,
     "x_label_centroids" ->
       """SELECT label, dim, round(avg(x), 6) AS mean_x, count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,

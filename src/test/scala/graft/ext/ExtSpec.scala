@@ -718,6 +718,20 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding drift: detector localizes exactly the injected dims") {
+    val rows = Similarity.xEmbeddingDrift(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(6))).toMap
+    assert(rows.nonEmpty)
+    // the +0.2 shift on dims 0..3 must be flagged, and ONLY those dims
+    rows.foreach { case (dim, (na, nb, mRef, mCand, drifted)) =>
+      assert(na > 0 && nb > 0)
+      assert(drifted == (dim < 4), s"dim $dim flagged=$drifted")
+      if (dim < 4)
+        assert(mCand - mRef > 0.1, s"dim $dim shift not visible")
+    }
+  }
+
   test("range partition plan: total partition, ordered ranges, balance") {
     val rows = Layout.xRangePartitionPlan(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
