@@ -246,6 +246,30 @@ object Dedup {
   def minhashPairsUnordered(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir, bands = 1)
 
+  /** Threshold-tuning curve over the scored LSH pairs: pair counts per
+    * 0.1-wide Jaccard bin plus the running "pairs at or above" total — the
+    * frame a dedup operator reads to PICK the near-dup threshold (how many
+    * merges does 0.8 vs 0.6 buy, and where does the tail explode). Bin
+    * edges use the `+1e-9` idiom so 0.7 lands in bin 7 on both engines
+    * despite IEEE `0.7*10 = 6.999…`.
+    *
+    * Scale shape: the pair stream reduces to ≤11 bins in one
+    * map-side-combinable aggregate; the cumulative window runs on that
+    * 11-row frame (the bounded exception). */
+  def xDedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = minhashPairsUnordered(s, dir)
+      .groupBy(floor(col("jaccard") * 10 + lit(1e-9)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("n_at_or_above", sum("n_pairs").over(w))
+      .select(col("bin"), round(col("bin") / 10.0 + lit(1e-9), 1).as("threshold"),
+        col("n_pairs"), col("n_at_or_above"))
+      .orderBy("bin")
+  }
+
   /** SimHash (64-bit, emitted as 16 hex chars): per token take its 64-bit
     * xxhash64 (one codegen'd hash per row — an order of magnitude cheaper
     * than md5 hex-string slicing); per bit position sum ±1 over tokens;
@@ -808,6 +832,7 @@ object Dedup {
     "x_kmv_native" -> xKmvNative,
     "x_minhash_signatures" -> xMinhashSignatures,
     "x_minhash_pairs" -> xMinhashPairs,
+    "x_dedup_threshold_curve" -> xDedupThresholdCurve,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
     "x_containment_pairs" -> xContainmentPairs,
     "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
@@ -850,7 +875,30 @@ object Dedup {
       |array_to_string(list_sort(list_transform(list_distinct(sh), x -> md5(x)))[1:8], ',') AS kmv
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** The x_minhash_pairs oracle, shared verbatim with the threshold-curve
+    * oracle (which aggregates the identical pair stream). */
+  private val MinhashPairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
+      |sig AS (SELECT doc_id, sh,
+      |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+      |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_dedup_threshold_curve" ->
+      (s"WITH p AS ($MinhashPairsSql),\n" +
+        """b AS (SELECT CAST(floor(jaccard * 10 + 1e-9) AS INTEGER) AS bin,
+        |  count(*) AS n_pairs FROM p GROUP BY 1)
+        |SELECT bin, round(bin / 10.0 + 1e-9, 1) AS threshold, n_pairs,
+        |CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_at_or_above
+        |FROM b ORDER BY bin""".stripMargin),
     "x_dedup_incremental" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
@@ -920,17 +968,7 @@ object Dedup {
         |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 17, 8))) AS sig2,
         |list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 25, 8))) AS sig3
         |FROM sh ORDER BY doc_id""".stripMargin,
-    "x_minhash_pairs" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),
-        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh FROM t),
-        |sig AS (SELECT doc_id, sh,
-        |  list_min(list_transform(list_distinct(sh), x -> substring(md5(x), 1, 8))) AS band FROM sh)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |round(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
-        |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_minhash_pairs" -> MinhashPairsSql,
     "x_containment_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 2)),

@@ -718,6 +718,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold curve partitions the pair stream; cumulative is monotone") {
+    val pairs = Dedup.xMinhashPairs(spark, dir).collect()
+      .map(_.getDouble(2))
+    val rows = Dedup.xDedupThresholdCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._2).sum == pairs.length, "bins must partition pairs")
+    rows.foreach { case (bin, n, _) =>
+      val want = pairs.count(j => math.floor(j * 10 + 1e-9).toInt == bin)
+      assert(n == want, s"bin $bin")
+    }
+    // descending-threshold cumulative: top bin equals its own count, the
+    // bottom row covers everything, monotone along the way
+    val byDesc = rows.sortBy(-_._1)
+    assert(byDesc.head._3 == byDesc.head._2)
+    assert(byDesc.last._3 == pairs.length)
+    byDesc.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._3 == hi._3 + lo._2)
+    }
+  }
+
   test("embedding drift: detector localizes exactly the injected dims") {
     val rows = Similarity.xEmbeddingDrift(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
