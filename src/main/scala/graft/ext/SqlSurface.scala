@@ -121,10 +121,46 @@ object SqlSurface {
       ORDER BY hot.key""")
   }
 
+  /** Per-GROUP heavy hitters — the sketch inside a GROUP BY (one k-counter
+    * buffer PER statement kind, the top-talkers-per-queue shape): each
+    * kind's stream carries the same 4 hot keys at ≈ N_kind/8, so the MG
+    * guarantee holds within every group independently. Verdict rows are
+    * (kind × hot key)-bounded with the per-group error budget
+    * `N_kind/(k+1)`. */
+  def xHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketchMG.register(s)
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        when(col("event_id") % 2 === 0,
+          concat(lit("hot_"), (col("user_id") % 4).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("key"))
+      .createOrReplaceTempView("graft_hhg_keys")
+    s.sql("""
+      WITH sk AS (SELECT event_type, freq_sketch(key, 16) AS m,
+                         count(*) AS n_kind
+                  FROM graft_hhg_keys GROUP BY event_type),
+      est AS (SELECT event_type, explode(m) AS (key, est), n_kind FROM sk),
+      hot AS (SELECT event_type, key, count(*) AS n_exact
+              FROM graft_hhg_keys WHERE key LIKE 'hot%'
+              GROUP BY event_type, key)
+      SELECT hot.event_type, hot.key, hot.n_exact,
+             est.est IS NOT NULL AS found,
+             (est.est IS NOT NULL AND est.est <= hot.n_exact AND
+              est.est >= hot.n_exact - CAST(est.n_kind / 17 AS BIGINT))
+               AS est_ok
+      FROM hot LEFT JOIN est
+        ON hot.event_type = est.event_type AND hot.key = est.key
+      ORDER BY hot.event_type, hot.key""")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_sql_cosine_pairs" -> xSqlCosinePairs,
     "x_sql_kmv" -> xSqlKmv,
-    "x_heavy_hitters" -> xHeavyHitters
+    "x_heavy_hitters" -> xHeavyHitters,
+    "x_heavy_hitters_grouped" -> xHeavyHittersGrouped
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +178,18 @@ object SqlSurface {
     "x_sql_kmv" -> Dedup.oracles("x_kmv_sketch"),
     // The oracle recomputes the exact hot-key counts; `found`/`est_ok` are
     // literal true because the MG guarantee is unconditional.
+    // Per-group form: exact hot counts per kind; the per-group guarantee
+    // is unconditional, so found/est_ok are literal true.
+    "x_heavy_hitters_grouped" ->
+      """WITH keyed AS (SELECT event_type, CASE WHEN event_id % 2 = 0
+        |  THEN 'hot_' || CAST(user_id % 4 AS VARCHAR)
+        |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT event_type, key, count(*) AS n_exact,
+        |true AS found, true AS est_ok
+        |FROM keyed WHERE key LIKE 'hot%' GROUP BY event_type, key
+        |ORDER BY event_type, key""".stripMargin,
     "x_heavy_hitters" ->
       """WITH keyed AS (SELECT CASE WHEN event_id % 2 = 0
         |  THEN 'hot_' || CAST(user_id % 4 AS VARCHAR)
