@@ -449,6 +449,77 @@ object Migration {
       .orderBy("user_id", "event_type")
   }
 
+  /** `a_wave_schedule` — the wave partition turned into a PHASED PLAN:
+    * waves ordered smallest-and-quietest first (fewest tables, then least
+    * workload — the proven-path sequencing every migration runbook uses:
+    * cheap isolated waves validate the target before the big ones move),
+    * with each phase's workload share and the cumulative share migrated
+    * so far — "after phase k, X% of queries run on the target".
+    *
+    * Scale shape: reuses [[waveState]]'s labels; events contribute one
+    * aggregate keyed by wave; the ordering window runs on the wave-count
+    * frame (bounded by construction). */
+  def aWaveSchedule(s: SparkSession, dir: String): DataFrame = {
+    val labels = waveLabels(s, dir).localCheckpoint()
+    val total = ev(s, dir).agg(count(lit(1)).as("n_total"))
+    val perWave = ev(s, dir)
+      .select((col("user_id") % 30).as("t"), col("user_id"))
+      .join(broadcast(labels), Seq("t"))
+      .groupBy("wave").agg(count(lit(1)).as("n_q"))
+    val sizes = labels.groupBy("wave").agg(count(lit(1)).as("n_tables"))
+    val joined = sizes.join(perWave, Seq("wave"), "left")
+      .select(col("wave"), col("n_tables"),
+        coalesce(col("n_q"), lit(0L)).as("n_queries"))
+    val ord = Window.orderBy(col("n_tables").asc, col("n_queries").asc,
+      col("wave").asc)
+    val cum = Window.orderBy(col("n_tables").asc, col("n_queries").asc,
+      col("wave").asc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.crossJoin(broadcast(total))
+      .select(row_number().over(ord).cast("long").as("phase"),
+        col("wave"), col("n_tables"), col("n_queries"),
+        round(col("n_queries") / col("n_total") + lit(1e-9), 4).as("share"),
+        round(sum("n_queries").over(cum) / col("n_total") + lit(1e-9), 4)
+          .as("cum_share"))
+      .orderBy("phase")
+  }
+
+  /** `a_capacity_forecast` — the sizing number projected FORWARD: ordinary
+    * least squares over the per-day peak-concurrency series (day index →
+    * peak), reporting slope, intercept, fit quality, and the projected
+    * peak one week past the window — the "how many slots do we buy for
+    * cutover month" input. Closed-form OLS from five sums, all over exact
+    * integers (day indices and peaks), so every division happens once on
+    * the final one-row frame and rounding is engine-identical.
+    *
+    * Scale shape: the daily-peak series is day-bounded (the concurrency
+    * sweep already reduced the log); the regression is ONE grouped-by-
+    * nothing aggregate over it — map-side-combinable sums, one output
+    * row. */
+  def aCapacityForecast(s: SparkSession, dir: String): DataFrame = {
+    val prof = aConcurrencyProfile(s, dir)
+      .select(col("day"), col("max_concurrent").as("y"))
+    val t0 = prof.agg(min("day").as("d0"))
+    val series = prof.crossJoin(broadcast(t0))
+      .select(datediff(to_date(col("day")), to_date(col("d0")))
+        .cast("long").as("t"), col("y"))
+    val sums = series.agg(count(lit(1)).as("n"), sum("t").as("st"),
+      sum("y").as("sy"), sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"), sum(col("y") * col("y")).as("syy"),
+      max("t").as("tmax"))
+    val num = col("n") * col("sty") - col("st") * col("sy")
+    val den = col("n") * col("stt") - col("st") * col("st")
+    val slope = num / den
+    val icept = (col("sy") - slope * col("st")) / col("n")
+    val r2num = num * num
+    val r2den = den * (col("n") * col("syy") - col("sy") * col("sy"))
+    sums.select(col("n").as("n_days"),
+      round(slope + lit(1e-9), 4).as("slope_per_day"),
+      round(icept + lit(1e-9), 2).as("intercept"),
+      round(r2num / r2den + lit(1e-9), 4).as("r2"),
+      round(icept + slope * (col("tmax") + 7) + lit(1e-9), 2)
+        .as("forecast_p7"))
+  }
+
   // ---------------------------------------------------------------- advisor
 
   /** Deterministic catalog-size render: row counts per table id (the
@@ -527,6 +598,8 @@ object Migration {
   }
 
   val queries: Map[String, Q] = Map(
+    "a_wave_schedule" -> aWaveSchedule,
+    "a_capacity_forecast" -> aCapacityForecast,
     "a_readiness_scorecard" -> aReadinessScorecard,
     "a_join_advisor" -> aJoinAdvisor,
     "a_template_mining" -> aTemplateMining,
@@ -605,7 +678,42 @@ object Migration {
         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.t),
         |cl AS (SELECT t, min(r) AS wave FROM reach GROUP BY 1)""".stripMargin
 
+  /** The concurrency-profile oracle, shared verbatim with the capacity
+    * forecast (which regresses over the identical daily-peak series). */
+  private val ConcProfileSql =
+    """WITH b AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t, 1 AS d, event_id
+      |    FROM ($EVENTS) events
+      |  UNION ALL
+      |  SELECT strftime(ts, '%Y-%m-%d'),
+      |    least(epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT),
+      |      epoch_us(date_trunc('day', ts)) + 86399999999), -1, event_id
+      |    FROM ($EVENTS) events),
+      |c AS (SELECT day, d, sum(d) OVER (PARTITION BY day
+      |  ORDER BY t, d DESC, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
+      |SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent,
+      |CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_queries
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "a_wave_schedule" ->
+      (s"WITH RECURSIVE $WavesCte,\n" +
+        """q2 AS (SELECT user_id % 30 AS t, user_id FROM ($EVENTS) events),
+        |per AS (SELECT cl.wave, count(*) AS n_q
+        |  FROM q2 JOIN cl ON q2.t = cl.t GROUP BY 1),
+        |sz AS (SELECT wave, count(*) AS n_tables FROM cl GROUP BY 1),
+        |j AS (SELECT sz.wave, sz.n_tables,
+        |  CAST(coalesce(per.n_q, 0) AS BIGINT) AS n_queries
+        |  FROM sz LEFT JOIN per USING (wave)),
+        |o AS (SELECT j.*, row_number() OVER (
+        |    ORDER BY n_tables, n_queries, wave) AS phase,
+        |  sum(n_queries) OVER (ORDER BY n_tables, n_queries, wave
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j)
+        |SELECT CAST(phase AS BIGINT) AS phase, wave, n_tables, n_queries,
+        |round(CAST(n_queries AS DOUBLE) / tot.n_total + 1e-9, 4) AS share,
+        |round(CAST(cum AS DOUBLE) / tot.n_total + 1e-9, 4) AS cum_share
+        |FROM o, tot ORDER BY phase""".stripMargin),
     "a_readiness_scorecard" ->
       (s"WITH $DialectCte,\n" +
         """m AS (SELECT q.event_id, q.user_id, f.weight
@@ -738,21 +846,28 @@ object Migration {
         |'tbl_' || CAST(t_hi AS VARCHAR) AS table_b,
         |count(*) AS n_co, count(DISTINCT user_id) AS n_users
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "a_concurrency_profile" ->
-      """WITH b AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t, 1 AS d, event_id
-        |    FROM ($EVENTS) events
-        |  UNION ALL
-        |  SELECT strftime(ts, '%Y-%m-%d'),
-        |    least(epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT),
-        |      epoch_us(date_trunc('day', ts)) + 86399999999), -1, event_id
-        |    FROM ($EVENTS) events),
-        |c AS (SELECT day, d, sum(d) OVER (PARTITION BY day
-        |  ORDER BY t, d DESC, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
-        |SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent,
-        |CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_queries
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_concurrency_profile" -> ConcProfileSql,
+    "a_capacity_forecast" ->
+      (s"WITH prof AS ($ConcProfileSql),\n" +
+        """d0 AS (SELECT min(day) AS d0 FROM prof),
+        |se AS (SELECT date_diff('day', CAST(d0.d0 AS DATE), CAST(day AS DATE))
+        |  AS t, max_concurrent AS y FROM prof, d0),
+        |su AS (SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS st,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * t) AS BIGINT) AS stt,
+        |  CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(y * y) AS BIGINT) AS syy,
+        |  max(t) AS tmax FROM se)
+        |SELECT n AS n_days,
+        |round(CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) + 1e-9, 4)
+        |  AS slope_per_day,
+        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) * st)
+        |  / n + 1e-9, 2) AS intercept,
+        |round(CAST(n * sty - st * sy AS DOUBLE) * (n * sty - st * sy) /
+        |  ((n * stt - st * st) * CAST(n * syy - sy * sy AS DOUBLE)) + 1e-9, 4)
+        |  AS r2,
+        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) * st)
+        |  / n + CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st)
+        |  * (tmax + 7) + 1e-9, 2) AS forecast_p7
+        |FROM su""".stripMargin),
     "a_migration_waves" ->
       (s"WITH RECURSIVE $WavesCte,\n" +
         """sz AS (SELECT wave, count(*) AS wave_tables FROM cl GROUP BY 1)

@@ -174,6 +174,49 @@ class MigrationSpec extends AnyFunSuite {
       s"strategy mix degenerate: $strategies")
   }
 
+  test("wave schedule: contiguous phases, smallest-first, cumulative to 1") {
+    val rows = Migration.aWaveSchedule(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    // smallest-and-quietest first: the sort key is non-decreasing
+    val ord = Ordering.Tuple3[Long, Long, Long]
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(ord.lteq((a._3, a._4, a._2), (b._3, b._4, b._2)), s"phase ${b._1}")
+    }
+    // workload partition: cumulative share ends at 1, monotone on the way
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._6 <= b._6) }
+    assert(math.abs(rows.last._6 - 1.0) < 1e-6)
+    // agrees with the rollup's per-wave numbers
+    val roll = Migration.aWaveRollup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (_, wave, nt, nq, _, _) =>
+      assert(roll(wave) == ((nt, nq)), s"wave $wave")
+    }
+  }
+
+  test("capacity forecast matches a brute-force least-squares fit") {
+    val prof = Migration.aConcurrencyProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+    val d0 = prof.map(_._1).min
+    def dayIdx(d: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(d0), java.time.LocalDate.parse(d)).toDouble
+    val pts = prof.map { case (d, y) => (dayIdx(d), y) }
+    val n = pts.length.toDouble
+    val (st, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val stt = pts.map(p => p._1 * p._1).sum
+    val sty = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sty - st * sy) / (n * stt - st * st)
+    val icept = (sy - slope * st) / n
+    val r = Migration.aCapacityForecast(spark, dir).collect().head
+    assert(r.getLong(0) == pts.length)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-3, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - icept) < 1e-2 + 1e-6)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9, "r2 range")
+    val fc = icept + slope * (pts.map(_._1).max + 7)
+    assert(math.abs(r.getDouble(4) - fc) < 1e-2 + 1e-6)
+  }
+
   test("readiness scorecard composes its constituents consistently") {
     val rows = Migration.aReadinessScorecard(spark, dir).collect()
     val cx = Migration.aDialectComplexity(spark, dir).collect()
