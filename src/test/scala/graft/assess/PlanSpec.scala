@@ -540,6 +540,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("late-r9 additions: partial aggregates, no cartesian, bounded windows") {
+    // seasonal + drift + forecast: map-side partials, no cartesian blowup
+    // (the forecast's one-row stats frames join via broadcast-able
+    // crossJoin, which Spark plans as BroadcastNestedLoop — allowed)
+    Seq(planOf(Assessments.a15SeasonalDow(spark, dir)),
+      planOf(graft.ext.Similarity.xEmbeddingDrift(spark, dir)),
+      planOf(Migration.aCapacityForecast(spark, dir))).foreach { p =>
+      assert(p.contains("partial_"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+    // threshold curve / wave schedule: the global cumulative window is fed
+    // by a HashAggregate — the exchange moves bins/waves, never raw pairs
+    // or events
+    Seq(planOf(graft.ext.Dedup.xDedupThresholdCurve(spark, dir)),
+      planOf(Migration.aWaveSchedule(spark, dir))).foreach { p =>
+      val idxAgg = p.indexOf("HashAggregate")
+      val idxWin = p.indexOf("Window")
+      assert(idxAgg >= 0 && idxWin >= 0, p.take(2000))
+      // plan strings print top-down: the window must sit ABOVE (before)
+      // an aggregate that reduced the stream
+      assert(idxWin < p.lastIndexOf("HashAggregate"),
+        s"window not fed by an aggregate:\n${p.take(2000)}")
+    }
+  }
+
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
     // cheap guard against accidental quadratic plans sneaking in
     SparkEntry.queries.foreach { case (name, fn) =>
