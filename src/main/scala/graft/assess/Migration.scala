@@ -520,6 +520,47 @@ object Migration {
         .as("forecast_p7"))
   }
 
+  /** `a_stale_tables` — the "don't migrate dead weight" screen: per table,
+    * total reads, LAST read day, days idle versus the corpus's latest
+    * activity, a recency-decayed heat score (weight ½ per week of age —
+    * exact powers of two, so the float sums are dyadic and
+    * engine-identical), and an active/cooling/stale verdict on integer
+    * idle-days thresholds. Stale tables get archived, not migrated; the
+    * verdict column is the scope cut every assessment starts with.
+    *
+    * Scale shape: events reduce to (table, day) counts in one pass; the
+    * decay/verdict math runs on that day×catalog-bounded frame against a
+    * one-row broadcast max-date. */
+  def aStaleTables(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select((col("user_id") % 30).as("t"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("t", "day").agg(count(lit(1)).as("n"))
+    val maxd = daily.agg(max("day").as("dmax"))
+    val aged = daily.crossJoin(broadcast(maxd))
+      .withColumn("age_w",
+        floor(datediff(to_date(col("dmax")), to_date(col("day"))) / 7)
+          .cast("int"))
+    val perTable = aged.groupBy("t")
+      .agg(sum("n").as("n_reads"), max("day").as("last_day"),
+        // pow(2, n) is exact for small integer n, so the decayed weights
+        // are dyadic rationals and the float sum is engine-identical
+        round(sum(col("n") / pow(lit(2.0), col("age_w"))), 4)
+          .as("heat"))
+    perTable.crossJoin(broadcast(maxd))
+      .select(col("t").as("table_id"), tblName(col("t")).as("table_name"),
+        col("n_reads"), col("last_day"),
+        datediff(to_date(col("dmax")), to_date(col("last_day")))
+          .cast("long").as("idle_days"),
+        col("heat"),
+        when(datediff(to_date(col("dmax")), to_date(col("last_day"))) <= 7,
+          "active")
+          .when(datediff(to_date(col("dmax")), to_date(col("last_day"))) <= 21,
+            "cooling")
+          .otherwise("stale").as("verdict"))
+      .orderBy("table_id")
+  }
+
   // ---------------------------------------------------------------- advisor
 
   /** Deterministic catalog-size render: row counts per table id (the
@@ -600,6 +641,7 @@ object Migration {
   val queries: Map[String, Q] = Map(
     "a_wave_schedule" -> aWaveSchedule,
     "a_capacity_forecast" -> aCapacityForecast,
+    "a_stale_tables" -> aStaleTables,
     "a_readiness_scorecard" -> aReadinessScorecard,
     "a_join_advisor" -> aJoinAdvisor,
     "a_template_mining" -> aTemplateMining,
@@ -697,6 +739,29 @@ object Migration {
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a_stale_tables" ->
+      """WITH daily AS (SELECT user_id % 30 AS t,
+        |  strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM ($EVENTS) events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS dmax FROM daily),
+        |aged AS (SELECT t, day, n,
+        |  CAST(floor(date_diff('day', CAST(day AS DATE), CAST(dmax AS DATE))
+        |    / 7.0) AS INTEGER) AS age_w FROM daily, mx),
+        |pt AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_reads,
+        |  max(day) AS last_day,
+        |  round(sum(n / CAST(1 << age_w AS DOUBLE)), 4) AS heat
+        |  FROM aged GROUP BY 1)
+        |SELECT t AS table_id, 'tbl_' || CAST(t AS VARCHAR) AS table_name,
+        |n_reads, last_day,
+        |CAST(date_diff('day', CAST(last_day AS DATE), CAST(mx.dmax AS DATE))
+        |  AS BIGINT) AS idle_days,
+        |heat,
+        |CASE WHEN date_diff('day', CAST(last_day AS DATE),
+        |    CAST(mx.dmax AS DATE)) <= 7 THEN 'active'
+        |  WHEN date_diff('day', CAST(last_day AS DATE),
+        |    CAST(mx.dmax AS DATE)) <= 21 THEN 'cooling'
+        |  ELSE 'stale' END AS verdict
+        |FROM pt, mx ORDER BY table_id""".stripMargin,
     "a_wave_schedule" ->
       (s"WITH RECURSIVE $WavesCte,\n" +
         """q2 AS (SELECT user_id % 30 AS t, user_id FROM ($EVENTS) events),

@@ -217,6 +217,34 @@ class MigrationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - fc) < 1e-2 + 1e-6)
   }
 
+  test("stale tables: brute-force heat/idle recompute; verdicts follow") {
+    val rows = Migration.aStaleTables(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getLong(4),
+        r.getDouble(5), r.getString(6))).toMap
+    val daily = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .select((col("user_id") % 30).as("t"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("t", "day").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dmax = daily.map(_._2).max
+    def days(a: String, b: String) = java.time.temporal.ChronoUnit.DAYS
+      .between(java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+    val exp = daily.groupBy(_._1).map { case (t, ds) =>
+      val heat = ds.map { case (_, day, n) =>
+        n / math.pow(2.0, days(day, dmax) / 7)
+      }.sum
+      val last = ds.map(_._2).max
+      val idle = days(last, dmax)
+      t -> (ds.map(_._3).sum, last, idle,
+        BigDecimal(heat).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (idle <= 7) "active" else if (idle <= 21) "cooling" else "stale")
+    }
+    assert(rows == exp)
+    assert(rows.values.map(_._5).toSet.contains("active"))
+  }
+
   test("readiness scorecard composes its constituents consistently") {
     val rows = Migration.aReadinessScorecard(spark, dir).collect()
     val cx = Migration.aDialectComplexity(spark, dir).collect()
