@@ -42,4 +42,17 @@ final class SqlEndShim {
   static Option<String> executionName(SparkListenerSQLExecutionEnd e) {
     return e.executionName();
   }
+
+  /** The session's stable UUID ({@code private[sql]} on the classic
+   *  session) — the live hook's SessionId. */
+  static String sessionUUID(org.apache.spark.sql.classic.SparkSession s) {
+    return s.sessionUUID();
+  }
+
+  /** The scan's execution-time partition listing after dynamic pruning
+   *  ({@code protected} on the trait) — the read-side partition entities. */
+  static org.apache.spark.sql.execution.ScanFileListing dynamicallySelectedPartitions(
+      org.apache.spark.sql.execution.FileSourceScanLike scan) {
+    return scan.dynamicallySelectedPartitions();
+  }
 }

@@ -507,11 +507,16 @@ object Migration {
       sum(col("t") * col("y")).as("sty"), sum(col("y") * col("y")).as("syy"),
       max("t").as("tmax"))
     val num = col("n") * col("sty") - col("st") * col("sy")
-    val den = col("n") * col("stt") - col("st") * col("st")
+    // nullif guards: a degenerate profile (single day, or all peaks
+    // identical) zeroes a denominator, and the two engines disagree on 0/0
+    // (ANSI Spark throws, IEEE DuckDB yields inf/NaN) — NULL-on-degenerate
+    // is the one answer both produce identically (ADVICE r9).
+    val den = nullif(col("n") * col("stt") - col("st") * col("st"), lit(0L))
     val slope = num / den
     val icept = (col("sy") - slope * col("st")) / col("n")
     val r2num = num * num
-    val r2den = den * (col("n") * col("syy") - col("sy") * col("sy"))
+    val r2den =
+      nullif(den * (col("n") * col("syy") - col("sy") * col("sy")), lit(0L))
     sums.select(col("n").as("n_days"),
       round(slope + lit(1e-9), 4).as("slope_per_day"),
       round(icept + lit(1e-9), 2).as("intercept"),
@@ -922,15 +927,15 @@ object Migration {
         |  CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(y * y) AS BIGINT) AS syy,
         |  max(t) AS tmax FROM se)
         |SELECT n AS n_days,
-        |round(CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) + 1e-9, 4)
+        |round(CAST(n * sty - st * sy AS DOUBLE) / nullif(n * stt - st * st, 0) + 1e-9, 4)
         |  AS slope_per_day,
-        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) * st)
+        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / nullif(n * stt - st * st, 0) * st)
         |  / n + 1e-9, 2) AS intercept,
         |round(CAST(n * sty - st * sy AS DOUBLE) * (n * sty - st * sy) /
-        |  ((n * stt - st * st) * CAST(n * syy - sy * sy AS DOUBLE)) + 1e-9, 4)
+        |  nullif((n * stt - st * st) * CAST(n * syy - sy * sy AS DOUBLE), 0) + 1e-9, 4)
         |  AS r2,
-        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) * st)
-        |  / n + CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st)
+        |round((sy - CAST(n * sty - st * sy AS DOUBLE) / nullif(n * stt - st * st, 0) * st)
+        |  / n + CAST(n * sty - st * sy AS DOUBLE) / nullif(n * stt - st * st, 0)
         |  * (tmax + 7) + 1e-9, 2) AS forecast_p7
         |FROM su""".stripMargin),
     "a_migration_waves" ->

@@ -386,6 +386,86 @@ object CaptureDemo {
       .orderBy("probe")
   }
 
+  /** Live entity + provenance round trip (VERDICT r9 #1): a partitioned
+    * catalog table is created, filled with TWO static-partition inserts and
+    * read back under a partition filter, all under the live hook — then the
+    * captured events flow through the sink and the six entity arrays plus
+    * the session surface are checked FROM THE LOG: PartitionsWritten must
+    * carry both static specs, PartitionsRead exactly the one PRUNED
+    * partition (the filter reached the scan — a pushdown proof captured as
+    * data), Databases{Read,Written} the bare db, Queue the session's pool,
+    * SessionId present, DefaultDatabase/HookVersion the constants. Output
+    * is a constant (aspect, value) frame, so the DuckDB oracle pins the
+    * whole surface hash-green. */
+  def capLiveEntities(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val table = s"capent_$tag"
+    val pool = s"pool_$tag"
+    val l = SparkCaptureListener.install(s)
+    s.conf.set("spark.scheduler.pool", pool)
+    val events = scala.collection.mutable.ArrayBuffer.empty[graft.model.QueryEvent]
+    try {
+      s.sql(s"CREATE TABLE $table (x INT, day STRING) USING parquet " +
+        "PARTITIONED BY (day)")
+      s.sql(s"INSERT INTO $table PARTITION (day='2024-01-01') VALUES (1), (2)")
+      s.sql(s"INSERT INTO $table PARTITION (day='2024-01-02') VALUES (3)")
+      s.sql(s"SELECT sum(x) AS s_$tag FROM $table WHERE day = '2024-01-01'")
+        .collect()
+      def ready = {
+        val done = events.filter(_.EventType
+          .contains(graft.model.EventType.QueryCompleted.name))
+        done.count(_.PartitionsWritten.exists(_.contains(table))) >= 2 &&
+          done.exists(_.PartitionsRead.exists(_.contains(table)))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (!ready && System.currentTimeMillis() < deadline) {
+        events ++= l.drain()
+        if (!ready) Thread.sleep(50)
+      }
+      require(ready, s"probe events not captured; got ${events.size}")
+    } finally {
+      scala.util.Try(s.conf.unset("spark.scheduler.pool"))
+      SparkCaptureListener.uninstall(s, l)
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $table"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livent_")
+    import s.implicits._
+    graft.sink.EventSink.writeBatchWithRetry(
+      s.createDataset(events.toSeq).toDF(), s"$tmp/log")
+    val back = graft.sink.EventSink.readAsEvents(s, s"$tmp/log")
+      .filter(col("EventType") === "QUERY_COMPLETED")
+    val ins = back.filter(exists(col("PartitionsWritten"),
+      p => p.contains(table)))
+    val rd = back.filter(size(col("PartitionsRead")) > 0 &&
+      exists(col("PartitionsRead"), p => p.contains(table)))
+    // `db@table@spec` → `spec`: the table name carries the nonce, the
+    // partition spec is the deterministic part the oracle can pin
+    def spec(c: org.apache.spark.sql.Column) = regexp_replace(c, "^.*@", "")
+    def one(aspect: String, value: org.apache.spark.sql.Column,
+            src: DataFrame): DataFrame =
+      src.agg(value.as("value")).select(lit(aspect).as("aspect"), col("value"))
+    one("parts_written",
+        concat_ws(";", sort_array(collect_set(spec(col("p"))))),
+        ins.select(explode(col("PartitionsWritten")).as("p")))
+      .unionByName(one("parts_read",
+        concat_ws(";", sort_array(collect_set(spec(col("p"))))),
+        rd.select(explode(col("PartitionsRead")).as("p"))))
+      .unionByName(one("dbs_written",
+        concat_ws(";", sort_array(collect_set(col("d")))),
+        ins.select(explode(col("DatabasesWritten")).as("d"))))
+      .unionByName(one("dbs_read",
+        concat_ws(";", sort_array(collect_set(col("d")))),
+        rd.select(explode(col("DatabasesRead")).as("d"))))
+      .unionByName(one("queue",
+        min(when(col("Queue") === pool, "pool_set").otherwise("missing")), rd))
+      .unionByName(one("session_id",
+        min(when(length(col("SessionId")) > 0, "present").otherwise("missing")),
+        rd))
+      .unionByName(one("default_db", min(col("DefaultDatabase")), rd))
+      .unionByName(one("hook_version", min(col("HookVersion")), rd))
+      .orderBy("aspect")
+  }
+
   /** Streaming heavy hitters: the custom Misra–Gries
     * [[graft.functions.FreqSketchMG]] aggregate running INSIDE a streaming
     * aggregation — the skewed hot/cold key stream is staged as four
@@ -460,7 +540,8 @@ object CaptureDemo {
       "cap_stream_join" -> capStreamJoin,
       "cap_live_hook" -> capLiveHook,
       "cap_log_compact" -> capLogCompact,
-      "cap_live_lifecycle" -> capLiveLifecycle)
+      "cap_live_lifecycle" -> capLiveLifecycle,
+      "cap_live_entities" -> capLiveEntities)
 
   val oracles: Map[String, String] = Map(
     "cap_pipeline" ->
@@ -518,6 +599,20 @@ object CaptureDemo {
       """SELECT probe, CAST(1 AS BIGINT) AS n_pairs,
         |1 AS probe_consistent, 1 AS dur_ok, 'SUCCESS' AS status
         |FROM (SELECT unnest([1, 2, 3]) AS probe) ORDER BY probe""".stripMargin,
+    // Constant by construction: the full entity + provenance surface of
+    // the live hook, captured on a partitioned-table probe and read back
+    // through the sink (VERDICT r9 #1).
+    "cap_live_entities" ->
+      """SELECT aspect, value FROM (VALUES
+        |  ('dbs_read', 'default'),
+        |  ('dbs_written', 'default'),
+        |  ('default_db', 'default'),
+        |  ('hook_version', '1.0'),
+        |  ('parts_read', 'day=2024-01-01'),
+        |  ('parts_written', 'day=2024-01-01;day=2024-01-02'),
+        |  ('queue', 'pool_set'),
+        |  ('session_id', 'present')) AS t(aspect, value)
+        |ORDER BY aspect""".stripMargin,
     // The original table, each event paired ONCE with its shifted twin —
     // passes only if the stream-stream join was exactly-once end-to-end.
     "cap_stream_join" ->

@@ -8,7 +8,7 @@ import scala.util.Try
 
 import graft.model.{EventStatus, EventType, ExecutionMode, QueryEvent}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, V2WriteCommand}
@@ -82,6 +82,13 @@ final class SparkCaptureListener(appId: String, user: String,
   private val selfIds = new ConcurrentHashMap[java.lang.Long, java.lang.Long]
 
   private val MaxTracked = 65536
+  // Eviction drains to a LOW WATERMARK, not the cap: evicting to exactly
+  // MaxTracked would re-trigger the full scan on the very next insert
+  // under sustained saturation (all-young entries because Ends are being
+  // lost), putting an O(MaxTracked) sweep on the listener bus thread per
+  // Start. Draining a quarter of the map buys MaxTracked/4 cheap inserts
+  // per sweep — genuinely amortized O(1) in every regime (ADVICE r9).
+  private val LowWatermark = MaxTracked - MaxTracked / 4
   private val StaleMs = 10L * 60 * 1000
 
   private def prune(m: ConcurrentHashMap[java.lang.Long, java.lang.Long],
@@ -89,18 +96,43 @@ final class SparkCaptureListener(appId: String, user: String,
     if (m.size > MaxTracked) {
       // stale entries first; if the map is over cap with only YOUNG
       // entries (a burst where Ends are being lost), evict arbitrarily
-      // down to the cap — a strict memory bound beats perfect tracking,
-      // and losing an entry only degrades a fallback (duration estimate /
-      // the self-suppression that [[selfPathHint]] also covers). Evicting
-      // to the cap also keeps this amortized O(1): the scan runs only
-      // when an insert pushed the map over.
+      // down to the watermark — a strict memory bound beats perfect
+      // tracking, and losing an entry only degrades a fallback (duration
+      // estimate / the self-suppression that [[selfPathHint]] also covers).
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         if (now - it.next().getValue >= StaleMs) it.remove()
       }
       val it2 = m.entrySet().iterator()
-      while (it2.hasNext && m.size > MaxTracked) { it2.next(); it2.remove() }
+      while (it2.hasNext && m.size > LowWatermark) { it2.next(); it2.remove() }
     }
+
+  // executionId → fair-scheduler pool, observed from the FIRST job the
+  // execution launches (SparkListenerJobStart.properties carries the
+  // submitting thread's `spark.scheduler.pool`, which the SQL events do
+  // not) — the reference's O11 queue lookup for the live hook. Bounded
+  // like the tracking maps; losing an entry only nulls the Queue field.
+  private val poolById = new ConcurrentHashMap[java.lang.Long, String]
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val props = jobStart.properties
+    if (props != null) {
+      val execId = props.getProperty("spark.sql.execution.id")
+      val pool = props.getProperty("spark.scheduler.pool")
+      if (execId != null && pool != null) {
+        Try {
+          poolById.put(Long.box(execId.toLong), pool)
+          if (poolById.size > MaxTracked) {
+            val it = poolById.entrySet().iterator()
+            while (it.hasNext && poolById.size > LowWatermark) {
+              it.next(); it.remove()
+            }
+          }
+        }
+        ()
+      }
+    }
+  }
 
   override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
     case st: SparkListenerSQLExecutionStart =>
@@ -114,11 +146,15 @@ final class SparkCaptureListener(appId: String, user: String,
         admit(() => submitted(st))
       }
     case en: SparkListenerSQLExecutionEnd =>
-      if (selfIds.remove(Long.box(en.executionId)) != null) ()
-      else if (isSelfByHint(en)) { startMs.remove(Long.box(en.executionId)); () }
-      else {
+      if (selfIds.remove(Long.box(en.executionId)) != null) {
+        poolById.remove(Long.box(en.executionId)); ()
+      } else if (isSelfByHint(en)) {
+        startMs.remove(Long.box(en.executionId))
+        poolById.remove(Long.box(en.executionId)); ()
+      } else {
         val sub = Option(startMs.remove(Long.box(en.executionId))).map(_.longValue())
-        admit(() => completed(en, sub))
+        val pool = Option(poolById.remove(Long.box(en.executionId)))
+        admit(() => completed(en, sub, pool))
       }
     case _ => ()
   }
@@ -176,6 +212,11 @@ final class SparkCaptureListener(appId: String, user: String,
   /** O21 contract: events dropped because the buffer was full. */
   def dropped: Long = droppedN.get()
 
+  /** Events currently buffered and not yet drained — the residue a closing
+    * drainer reports instead of leaving the loss observable only through
+    * counter polling. */
+  def pending: Int = buffered.get()
+
   /** Events lost to a record-construction failure — kept separate from
     * [[dropped]] so backpressure and build bugs stay distinguishable. */
   def buildFailed: Long = buildFailedN.get()
@@ -208,14 +249,22 @@ final class SparkCaptureListener(appId: String, user: String,
     * populated from what is knowable at submit time — id, user, start
     * time, query text (the action's call site plus the physical plan,
     * whose output aliases identify the query), type from the plan when the
-    * in-flight execution is still registered. No end time, status, perf or
-    * counters — those belong to the POST event. */
+    * in-flight execution is still registered, plus the session/provenance
+    * surface the reference fills on PRE (Queue ← the session's
+    * fair-scheduler pool conf, SessionId, DefaultDatabase, engine version,
+    * driver address — reference `:118-130`). Read-side entities include
+    * the database names (`getDatabasesFromEntitySet`, `:128`); partitions
+    * need the executed physical plan, so they belong to the POST event
+    * only (forcing physical planning on the listener bus thread is the one
+    * thing a hook must never do). No end time, status, perf or counters —
+    * those belong to the POST event. */
   private def submitted(st: SparkListenerSQLExecutionStart): QueryEvent = {
     // Opportunistic: the in-flight QueryExecution is registered for the
     // span of the execution; an already-finished one (fast query, slow
     // bus) just means plan-derived fields fall back to the event payload.
     val qe = Option(org.apache.spark.sql.execution.SQLExecution
       .getQueryExecution(st.executionId))
+    val reads = qe.map(q => SparkCaptureListener.readTargets(q)).getOrElse(Nil)
     QueryEvent(
       QueryId = Some(s"${appId}_${st.executionId}"),
       QueryType = qe.map(q => SparkCaptureListener.queryType(q.analyzed)),
@@ -226,17 +275,39 @@ final class SparkCaptureListener(appId: String, user: String,
       ExecutionEngine = Some("spark"),
       RequestUser = Some(user),
       UserName = Some(user),
+      Queue = qe.flatMap(SparkCaptureListener.sessionPool),
+      // sub-execution grouping: a root execution spawning nested ones is
+      // the closest Spark analog of the reference's per-operation id
+      OperationId = st.rootExecutionId.map(r => s"${appId}_$r"),
       StartTime = Some(new Timestamp(st.time)),
-      TablesRead = qe.map(q => SparkCaptureListener.readTargets(q))
-        .getOrElse(Nil),
+      TablesRead = reads,
+      SessionId = qe.flatMap(q => Try(SqlEndShim.sessionUUID(q.sparkSession)).toOption),
+      HiveVersion = Some(org.apache.spark.SPARK_VERSION),
+      ClientIpAddress = driverHost,
+      HiveAddress = driverHost,
       ThreadName = Some(Thread.currentThread().getName),
-      YarnApplicationId = Some(appId)
+      YarnApplicationId = Some(appId),
+      DatabasesRead = SparkCaptureListener.databasesOf(reads),
+      DefaultDatabase = qe.flatMap(q =>
+        Try(q.sparkSession.catalog.currentDatabase).toOption)
     )
   }
 
-  /** The POST event (reference `EventRecordConstructor.java:134-172`). */
+  /** Driver host/IP (set once at install): the live hook runs embedded in
+    * the driver, so the reference's client/server address pair both point
+    * at it (`HiveAddress`/`ClientIpAddress`, reference `:121-126`). */
+  @volatile private[capture] var driverHost: Option[String] = None
+
+  /** The POST event (reference `EventRecordConstructor.java:134-172`),
+    * extended with the full entity surface the reference captures on the
+    * hook context: tables, PARTITIONS (the physical scan's pruned
+    * listing + the write command's static partition spec) and DATABASES
+    * on both the read and write side, plus Queue (the job's observed
+    * fair-scheduler pool, the YARN-report dual of reference `:163-166`),
+    * SessionId and DefaultDatabase. */
   private def completed(en: SparkListenerSQLExecutionEnd,
-                        submitMs: Option[Long]): QueryEvent = {
+                        submitMs: Option[Long],
+                        jobPool: Option[String]): QueryEvent = {
     val qe = Option(SqlEndShim.qe(en))
     // the engine posts errorMessage = Some("") on SUCCESS — blank ≠ failed
     val error: Option[Throwable] = SqlEndShim.failure(en)
@@ -266,19 +337,32 @@ final class SparkCaptureListener(appId: String, user: String,
       ExecutionEngine = Some("spark"),
       RequestUser = Some(user),
       UserName = Some(user),
+      Queue = jobPool.orElse(qe.flatMap(SparkCaptureListener.sessionPool)),
       StartTime = Some(new Timestamp(start)),
       EndTime = Some(new Timestamp(en.time)),
       TablesRead = reads,
       TablesWritten = writes,
+      PartitionsRead = qe.map(SparkCaptureListener.partitionsRead)
+        .getOrElse(Nil),
+      PartitionsWritten = qe.map(SparkCaptureListener.partitionsWritten)
+        .getOrElse(Nil),
       Status = Some(
         if (error.isEmpty) EventStatus.Success.name else EventStatus.Fail.name),
       ErrorMessage = error.map(e =>
         Option(e.getMessage).getOrElse(e.toString).take(2048)),
       PerfObject = qe.flatMap(SparkCaptureListener.perfObject),
       CountersObject = Some(counters),
+      SessionId = qe.flatMap(q => Try(SqlEndShim.sessionUUID(q.sparkSession)).toOption),
       InvokerInfo = SqlEndShim.executionName(en),
       ThreadName = Some(Thread.currentThread().getName),
-      YarnApplicationId = Some(appId)
+      HiveVersion = Some(org.apache.spark.SPARK_VERSION),
+      ClientIpAddress = driverHost,
+      HiveAddress = driverHost,
+      YarnApplicationId = Some(appId),
+      DatabasesRead = SparkCaptureListener.databasesOf(reads),
+      DatabasesWritten = SparkCaptureListener.databasesOf(writes),
+      DefaultDatabase = qe.flatMap(q =>
+        Try(q.sparkSession.catalog.currentDatabase).toOption)
     )
   }
 }
@@ -297,6 +381,7 @@ object SparkCaptureListener {
               maxBuffered: Int = 8192): SparkCaptureListener = {
     val sc = session.sparkContext
     val l = new SparkCaptureListener(sc.applicationId, sc.sparkUser, maxBuffered)
+    l.driverHost = sc.getConf.getOption("spark.driver.host")
     sc.addSparkListener(l)
     l
   }
@@ -368,6 +453,104 @@ object SparkCaptureListener {
       case _ => Nil
     }.distinct
 
+  /** Database components of catalog-qualified entity names — the live
+    * analog of the reference's `getDatabasesFromEntitySet`
+    * (`EventRecordConstructor.java:293-300`). Pathed lakehouse "tables"
+    * (anything with a '/') have no database, exactly as a Hive path entity
+    * has none. */
+  def databasesOf(names: Seq[String]): Seq[String] =
+    names.filter(n => !n.contains("/") && n.contains("."))
+      // the component right above the table: `db.t` and `catalog.db.t`
+      // both yield `db` (the reference records bare database names)
+      .map(n => n.split('.').dropRight(1).last)
+      .distinct
+
+  /** Bound on partitions recorded per event: a scan touching a year of
+    * hourly partitions must not turn one event record into megabytes —
+    * the heat map downstream (A4) weighs by occurrence, and 1000 names
+    * per query is already far past any assessment's resolution. */
+  private val MaxPartitionsPerEvent = 1000
+
+  /** Read-side partition entities — the reference's
+    * `getPartitionsFromEntitySet` (`EventRecordConstructor.java:283-291`,
+    * Hive complete names `db@table@p=v`): here, the PHYSICAL scan's pruned
+    * partition listing, i.e. the partitions the engine actually decided to
+    * read after static + dynamic pruning (strictly more faithful than the
+    * reference's semantic-analyzer set, which predates pruning). Walked
+    * through the AQE wrappers; the listing lazy vals were already forced
+    * by the execution itself, so this never triggers file listing on the
+    * listener bus thread for an executed scan. */
+  def partitionsRead(qe: QueryExecution): Seq[String] =
+    Try {
+      import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val out = Vector.newBuilder[String]
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case scan: FileSourceScanLike
+            if scan.relation.partitionSchema.nonEmpty =>
+          val label = scan.tableIdentifier
+            .map(t => (t.database.toSeq :+ t.table).mkString("@"))
+            .getOrElse(scan.relation.location.rootPaths.mkString(","))
+          val schema = scan.relation.partitionSchema
+          val listing = Try(SqlEndShim.dynamicallySelectedPartitions(scan))
+            .getOrElse(scan.selectedPartitions)
+          val it = listing.filePartitionIterator
+          var taken = 0
+          while (it.hasNext && taken < MaxPartitionsPerEvent) {
+            val part = it.next()
+            out += s"$label@${renderPartitionSpec(schema, part.values)}"
+            taken += 1
+          }
+        case node => node.children.foreach(walk)
+      }
+      walk(qe.executedPlan)
+      out.result().distinct
+    }.getOrElse(Nil)
+
+  /** Write-side partition entities: the insert command's STATIC partition
+    * spec (`INSERT ... PARTITION (day='2024-01-01')`), rendered in
+    * partition-column order as Hive complete names. Dynamic-partition
+    * writes surface only as the `dynamicPartsWritten` counter — Spark's
+    * commit protocol does not retain the written partition VALUES for a
+    * post-hoc listener, a documented divergence from the reference's
+    * semantic-analyzer write set. */
+  def partitionsWritten(qe: QueryExecution): Seq[String] =
+    Try(qe.analyzed.collect {
+      case i: InsertIntoHadoopFsRelationCommand if i.staticPartitions.nonEmpty =>
+        val label = i.catalogTable
+          .map(t => (t.identifier.database.toSeq :+ t.identifier.table)
+            .mkString("@"))
+          .getOrElse(i.outputPath.toString)
+        val spec = i.partitionColumns
+          .flatMap(c => i.staticPartitions.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c.name) => s"${c.name}=$v"
+          })
+          .mkString("/")
+        s"$label@$spec"
+    }.distinct).getOrElse(Nil)
+
+  private def renderPartitionSpec(
+      schema: org.apache.spark.sql.types.StructType,
+      values: org.apache.spark.sql.catalyst.InternalRow): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = values.get(i, f.dataType)
+      val scalaV = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, f.dataType)
+      s"${f.name}=${if (scalaV == null) "__HIVE_DEFAULT_PARTITION__" else scalaV}"
+    }.mkString("/")
+
+  /** The session's fair-scheduler pool conf, when set — the Spark analog
+    * of the reference's conf-derived queue name
+    * (`retrieveSessionQueueName`, `EventRecordConstructor.java:182-193`).
+    * The job-observed pool (from SparkListenerJobStart properties) takes
+    * precedence on the POST event, exactly as the reference's YARN-report
+    * queue overrides the conf guess. */
+  def sessionPool(qe: QueryExecution): Option[String] =
+    Try(qe.sparkSession.conf.getOption("spark.scheduler.pool"))
+      .toOption.flatten
+
   /** The reference's CountersObject carries the engine's own execution
     * counters (MR/Tez counter groups, `EventRecordConstructor.java:158-166`
     * via O16/O17). The Spark analog is the executed plan's SQL metrics —
@@ -381,7 +564,10 @@ object SparkCaptureListener {
     "filesSize" -> "bytesScanned",
     "shuffleBytesWritten" -> "shuffleBytesWritten",
     "recordsWritten" -> "recordsWritten",
-    "numPartitions" -> "shufflePartitions")
+    "numPartitions" -> "shufflePartitions",
+    // dynamic-partition writes: the VALUES aren't retained post-commit
+    // (see partitionsWritten), but the count is a plan metric
+    "numParts" -> "dynamicPartsWritten")
 
   def planCounters(qe: QueryExecution): Seq[(String, Long)] =
     Try {
@@ -501,7 +687,25 @@ final class CaptureDrainer(session: SparkSession, sinkPath: String,
     t.setDaemon(true)
     t.start()
     t.join(closeFlushTimeoutMs)
+    if (t.isAlive) {
+      // The flush overran its bound: interrupt it BEFORE uninstalling the
+      // listener so the in-flight self-tagged write doesn't race the
+      // detach, and give the interrupt a moment to land (ADVICE r9).
+      t.interrupt()
+      t.join(500)
+      System.err.println(
+        s"[graft-capture] final flush exceeded ${closeFlushTimeoutMs} ms " +
+          "and was interrupted; un-flushed events remain buffered")
+    }
     SparkCaptureListener.uninstall(session, listener)
+    val residue = listener.pending
+    if (residue > 0 || writeFailed > 0) {
+      // Loss must be loud at close, not discoverable only by counter
+      // polling: say exactly what stayed behind.
+      System.err.println(
+        s"[graft-capture] drainer closed with $residue events un-flushed " +
+          s"(writeFailed=$writeFailed, dropped=${listener.dropped})")
+    }
     Try(shutdownHook.remove())
     ()
   }

@@ -31,7 +31,10 @@ object RewriteCountDistinctToSketch extends Rule[LogicalPlan] {
       case agg: Aggregate => agg.transformExpressions {
         case ae @ AggregateExpression(c: Count, _, true, None, _)
             if c.children.size == 1 =>
-          ae.copy(aggregateFunction = HyperLogLogPlusPlus(c.children.head),
+          // relativeSD pinned explicitly to the ~2% the doc promises —
+          // the constructor default is 0.05 (ADVICE r9)
+          ae.copy(aggregateFunction =
+            HyperLogLogPlusPlus(c.children.head, relativeSD = 0.02),
             isDistinct = false)
       }
     }

@@ -234,6 +234,60 @@ class SparkCaptureListenerSpec extends AnyFunSuite {
     } finally { log.unpersist(); () }
   }
 
+  test("entity + provenance surface on a partitioned-table read+write probe") {
+    // VERDICT r9 #1: the live hook must fill all six entity arrays plus the
+    // session/provenance fields, not just TablesRead/Written.
+    val tag = nonce("ent")
+    val table = s"tbl_$tag"
+    val pool = s"pool_$tag"
+    val l = SparkCaptureListener.install(spark)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    try {
+      spark.sql(s"CREATE TABLE $table (x INT, day STRING) USING parquet PARTITIONED BY (day)")
+      spark.sql(s"INSERT INTO $table PARTITION (day='2024-01-01') VALUES (1), (2)")
+      spark.sql(s"INSERT INTO $table PARTITION (day='2024-01-02') VALUES (3)")
+      spark.sql(s"SELECT sum(x) AS s_$tag FROM $table WHERE day = '2024-01-01'")
+        .collect()
+      awaitUntil()(l.seen >= 8) // 4 statements × 2 lifecycle events
+      val events = l.drain()
+      val inserts = events.filter(e =>
+        e.EventType.contains("QUERY_COMPLETED") &&
+          e.PartitionsWritten.exists(_.contains(table)))
+      // write side: static partition specs as Hive-style complete names
+      assert(inserts.size == 2, events.flatMap(_.PartitionsWritten).toString)
+      assert(inserts.flatMap(_.PartitionsWritten).toSet ==
+        Set(s"default@$table@day=2024-01-01", s"default@$table@day=2024-01-02"))
+      assert(inserts.forall(_.DatabasesWritten == Seq("default")),
+        inserts.map(_.DatabasesWritten).toString)
+      assert(inserts.forall(_.TablesWritten.exists(_.endsWith(s"default.$table"))))
+      // read side: only the PRUNED partition appears
+      val read = events.find(e => e.EventType.contains("QUERY_COMPLETED") &&
+        e.PartitionsRead.exists(_.contains(table))).get
+      assert(read.PartitionsRead == Seq(s"default@$table@day=2024-01-01"),
+        read.PartitionsRead.toString)
+      assert(read.DatabasesRead == Seq("default"), read.DatabasesRead.toString)
+      assert(read.TablesRead.exists(_.endsWith(s"default.$table")))
+      // provenance: pool observed from the job, session id, default db,
+      // engine version, driver address, hook version
+      assert(read.Queue.contains(pool), read.Queue.toString)
+      assert(read.SessionId.exists(_.nonEmpty))
+      assert(read.DefaultDatabase.contains("default"))
+      assert(read.HiveVersion.contains(org.apache.spark.SPARK_VERSION))
+      assert(read.HiveAddress.nonEmpty && read.ClientIpAddress.nonEmpty)
+      assert(read.HookVersion.contains("1.0"))
+      // the SUBMITTED twin carries the read-side dbs + session surface too
+      val sub = events.find(e => e.EventType.contains("QUERY_SUBMITTED") &&
+        e.TablesRead.exists(_.endsWith(s"default.$table"))).get
+      assert(sub.DatabasesRead == Seq("default"))
+      assert(sub.SessionId.exists(_.nonEmpty) &&
+        sub.DefaultDatabase.contains("default"))
+    } finally {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      SparkCaptureListener.uninstall(spark, l)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("requeue hands a failed batch back, bounded, without touching seen") {
     val l = new SparkCaptureListener("app", "tester", maxBuffered = 3)
     def ev(i: Int) = graft.model.QueryEvent(QueryId = Some(s"q$i"))
