@@ -91,8 +91,15 @@ object EventSink {
     * scalar fields → null, absent array fields → `[]`. Old logs stay
     * readable after the schema grows — the evolution contract a long-lived
     * event log needs. */
-  def readAsEvents(spark: SparkSession, path: String): DataFrame = {
-    val raw = read(spark, path)
+  def readAsEvents(spark: SparkSession, path: String): DataFrame =
+    conform(read(spark, path))
+
+  /** The evolution conform as a standalone transform: any frame carrying a
+    * SUBSET of the QueryEvent columns becomes a full 33-column frame with
+    * the Avro defaults applied — also the adapter a caller uses to feed a
+    * partial projection into the Avro container sink (whose record builder
+    * wants every field present). */
+  def conform(raw: DataFrame): DataFrame = {
     val present = raw.columns.toSet
     val srcType = raw.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = graft.model.QueryEvent.schema.fields.toIndexedSeq.map { f =>
