@@ -384,13 +384,43 @@ object Migration {
     * inside codegen; one grouped aggregate keyed by template (template-count
     * output rows, never event-bounded). */
   def aTemplateMining(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .select(col("user_id"), template(queryText).as("template"))
+    templateMiningOver(ev(s, dir)
+      .select(col("user_id").cast("string").as("user"),
+        queryText.as("query_text")))
+
+  /** [[aTemplateMining]]'s implementation over ANY query log — a frame
+    * with `user` and `query_text` columns. The oracle-pinned fixture query
+    * and the live capture→assess loop share this one body, so what the
+    * DuckDB hash pins is exactly what runs on self-captured events. */
+  def templateMiningOver(log: DataFrame): DataFrame =
+    log
+      .select(col("user"), template(col("query_text")).as("template"))
       .groupBy("template")
-      .agg(count(lit(1)).as("n_queries"), countDistinct("user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_queries"), countDistinct("user").as("n_users"))
       .select(md5(col("template")).as("tpl_fp"), col("template"),
         col("n_queries"), col("n_users"))
       .orderBy("template")
+
+  /** Adapter from the captured 33-column QueryEvents log to the query-log
+    * shape the assessment duals consume: one row per COMPLETED execution
+    * with `user`, `kind`, `query_text`, `sub_us`, `duration_ms`,
+    * `status`. Plan text is canonicalized (`#123` expression ids and
+    * `[id=#42]` plan tags stripped) so two runs of the SAME statement
+    * yield the SAME template even though Spark assigns fresh expression
+    * ids per analysis — the live analog of literal-stripping. */
+  def liveQueryLog(captured: DataFrame): DataFrame =
+    captured
+      .filter(col("EventType") === "QUERY_COMPLETED" &&
+        col("QueryText").isNotNull)
+      .select(
+        coalesce(col("RequestUser"), col("UserName"), lit("unknown"))
+          .as("user"),
+        coalesce(col("QueryType"), lit("QUERY")).as("kind"),
+        regexp_replace(col("QueryText"), "#\\d+", "#").as("query_text"),
+        unix_micros(col("StartTime")).as("sub_us"),
+        (unix_millis(col("EndTime")) - unix_millis(col("StartTime")))
+          .as("duration_ms"),
+        coalesce(col("Status"), lit("UNKNOWN")).as("status"))
 
   // -------------------------------------------------------------- schedules
 
@@ -422,9 +452,17 @@ object Migration {
     * dedup, the lag window, the gap-histogram groupBy, and the final joins
     * all co-partition on that key; no global window, no driver loop. Output
     * is user×kind-bounded. */
-  def aRecurringJobs(s: SparkSession, dir: String): DataFrame = {
-    val runs = ev(s, dir)
-      .select(col("user_id"), col("event_type"), subUs.as("sub_us"))
+  def aRecurringJobs(s: SparkSession, dir: String): DataFrame =
+    recurringJobsOver(ev(s, dir)
+      .select(col("user_id"), col("event_type"), subUs.as("sub_us")))
+
+  /** [[aRecurringJobs]]'s implementation over ANY run log — a frame with
+    * `user_id`, `event_type` (the series key: statement kind, or a
+    * template fingerprint for live plan text) and `sub_us` submission
+    * instants. Shared by the fixture oracle and the live loop. */
+  def recurringJobsOver(runLog: DataFrame): DataFrame = {
+    val runs = runLog
+      .select(col("user_id"), col("event_type"), col("sub_us"))
       .distinct()
     val w = Window.partitionBy("user_id", "event_type").orderBy("sub_us")
     val gaps = runs
@@ -447,6 +485,43 @@ object Migration {
         reg.as("regularity"),
         (col("n_gaps") >= 3 && reg >= 0.5).as("scheduled"))
       .orderBy("user_id", "event_type")
+  }
+
+  /** The migration report's LIVE face: per-user workload summary over a
+    * captured query log ([[liveQueryLog]] shape) — volume, failure rate,
+    * duration p50/p95, dominant statement kind, and how many distinct
+    * templates the user's queries compress to (the per-user translation
+    * effort). Composes the same A2-rollup + A5-percentile + A6-top-kind +
+    * template-census shapes the oracle-pinned queries run on the fixture.
+    *
+    * Scale shape: every constituent is a per-user aggregate of the one
+    * log; the joins meet on the groupBy key. percentile() carries exact
+    * per-group state — at 100 TB swap percentile_approx, whose error
+    * contract a5_sketch_bounds pins. */
+  def liveWorkloadReport(log: DataFrame): DataFrame = {
+    val base = log.groupBy("user").agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("status") =!= "SUCCESS", 1L).otherwise(0L)).as("n_fail"),
+      round(expr("percentile(duration_ms, 0.5D)"), 2).as("p50_ms"),
+      round(expr("percentile(duration_ms, 0.95D)"), 2).as("p95_ms"))
+    val wTop = Window.partitionBy(col("user"))
+      .orderBy(desc("n"), asc("kind"))
+    val top = log.groupBy("user", "kind").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user"), col("kind").as("top_kind"))
+    val tpl = log
+      .select(col("user"), template(col("query_text")).as("template"))
+      .groupBy("user")
+      .agg(countDistinct("template").as("n_templates"))
+    base
+      .join(top, Seq("user"))
+      .join(tpl, Seq("user"))
+      .select(col("user"), col("n_queries"),
+        round(col("n_fail") / col("n_queries") + lit(1e-9), 4)
+          .as("fail_rate"),
+        col("p50_ms"), col("p95_ms"), col("top_kind"), col("n_templates"))
+      .orderBy("user")
   }
 
   /** `a_wave_schedule` — the wave partition turned into a PHASED PLAN:
