@@ -616,8 +616,17 @@ object SparkCaptureListener {
   * residue exactly once, and detaches the listener. */
 final class CaptureDrainer(session: SparkSession, sinkPath: String,
                            intervalMs: Long = 5000L, maxBuffered: Int = 8192,
-                           closeFlushTimeoutMs: Long = 10000L)
+                           closeFlushTimeoutMs: Long = 10000L,
+                           sink: Option[DataFrame => Unit] = None)
     extends AutoCloseable {
+
+  /** Where a drained batch goes: the date-partitioned retrying parquet
+    * sink by default, or a caller-supplied function — e.g. the
+    * reference-format [[graft.sink.DatePartitionedAvroWriter]] under a
+    * test clock (the live multi-day rollover path), or a network
+    * forwarder. Runs under the self-tag either way. */
+  private val sinkFn: DataFrame => Unit = sink.getOrElse(df =>
+    graft.sink.EventSink.writeBatchWithRetry(df, sinkPath))
 
   val listener: SparkCaptureListener =
     SparkCaptureListener.install(session, maxBuffered)
@@ -658,8 +667,7 @@ final class CaptureDrainer(session: SparkSession, sinkPath: String,
       sc.addJobTag(SparkCaptureListener.SelfTag)
       try {
         import session.implicits._
-        graft.sink.EventSink.writeBatchWithRetry(
-          session.createDataset(events).toDF(), sinkPath)
+        sinkFn(session.createDataset(events).toDF())
         flushedBatches.incrementAndGet()
         ()
       } catch {

@@ -81,8 +81,8 @@ object AvroEventSink {
     QueryEvent.schema.fields.filter(_.dataType.typeName == "array")
       .map(_.name).toSet
 
-  private[sink] def toRecord(row: Row, names: Array[String],
-                             schema: Schema): GenericRecord = {
+  private[graft] def toRecord(row: Row, names: Array[String],
+                              schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     names.foreach { n =>
       val v = row.get(row.fieldIndex(n)) match {
