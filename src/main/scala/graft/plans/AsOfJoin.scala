@@ -194,6 +194,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
     e.injectOptimizerRule(_ => RewriteCountDistinctToSketch)
+    e.injectOptimizerRule(_ => RewritePercentileToApprox)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
@@ -238,6 +239,15 @@ object AsOfJoin {
         .exists(_ eq PruneAsOfJoinColumns)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    }
+    // the flag-gated acceleration rewrites ride along on the imperative
+    // path too, so a session installed via asofJoin() (not GraftExtensions)
+    // can still flip spark.graft.approxDistinct/approxPercentile.enabled
+    Seq(RewriteCountDistinctToSketch, RewritePercentileToApprox).foreach { r =>
+      if (!spark.experimental.extraOptimizations.exists(_ eq r)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+      }
     }
   }
 

@@ -79,6 +79,11 @@ object RewritePercentileToApprox extends Rule[LogicalPlan] {
           case ae @ AggregateExpression(
               p: Percentile, _, false, None, _)
               if p.child.dataType == DoubleType &&
+                // DESC percentiles (Percentile(reverse=true) from WITHIN
+                // GROUP (ORDER BY x DESC)) have no ApproximatePercentile
+                // analog — rewriting would silently return the p-quantile
+                // instead of the (1-p)-quantile; keep them exact
+                !p.reverse &&
                 p.frequencyExpression.foldable &&
                 scala.util.Try(p.frequencyExpression.eval() == 1L)
                   .getOrElse(false) =>

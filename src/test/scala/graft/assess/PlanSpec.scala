@@ -463,14 +463,22 @@ class PlanSpec extends AnyFunSuite {
       s"offsets should broadcast, not shuffle the corpus:\n${plan.take(2000)}")
   }
 
-  test("edit pairs: gram index materialized once, no per-pair set algebra") {
+  test("edit pairs: one posting-list shuffle, no per-pair set algebra") {
     val df = graft.ext.Dedup.xEditPairs(spark, dir)
     val opt = df.queryExecution.optimizedPlan.toString
     assert(!opt.contains("array_intersect"), opt.take(2000))
-    // the checkpointed gram index shows up as scan nodes, not three
-    // re-expansions of the explode pipeline
-    assert("ExistingRDD|Scan ExistingRDD|LogicalRDD".r
-      .findAllIn(opt).nonEmpty, opt.take(2000))
+    // r10 shape: the gram pipeline expands ONCE into the posting-list
+    // aggregate (sort_array(collect_list(...))); candidate pairs are
+    // generated in-bucket from the sorted array, so there is exactly one
+    // Generate over the gram transform — the r9 dual-branch self-join
+    // re-expanded it per side
+    // the second Generate in the plan is the in-bucket pair expansion over
+    // `ids` — only the gram transform itself must not be re-expanded
+    assert("explode\\(array_distinct\\(transform\\(sequence".r
+      .findAllIn(opt).length == 1,
+      s"gram pipeline must expand exactly once:\n${opt.take(2000)}")
+    assert(opt.contains("sort_array(collect_list("),
+      s"posting-list aggregate missing:\n${opt.take(2000)}")
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }

@@ -94,6 +94,46 @@ class ExtensionsSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("approx-percentile rewrite: flag-gated, conservative, close enough") {
+    withExtensionSession { s =>
+      import org.apache.spark.sql.functions._
+      def q = graft.Tables.events(s, graft.TestSpark.Sf0001)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.9)").as("p90"), // DOUBLE → eligible
+          expr("percentile(user_id, 0.9)").as("p90_int"), // int-typed: exact
+          // DESC percentile resolves to Percentile(reverse=true); approx
+          // has no reverse arm, must stay exact (= ASC p10, checked below)
+          expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value DESC)")
+            .as("p90_desc"),
+          expr("percentile(value, 0.1)").as("p10"))
+      // flag off (default): exact plan, exact answers
+      val exactPlan = q.queryExecution.optimizedPlan.toString
+      assert(!exactPlan.contains("percentile_approx") &&
+        !exactPlan.contains("approx_percentile"), exactPlan)
+      val exact = q.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      s.conf.set(RewritePercentileToApprox.FlagKey, "true")
+      try {
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("percentile_approx") ||
+          plan.contains("approx_percentile"),
+          s"eligible percentile not rewritten:\n$plan")
+        // the integer-typed and reverse percentiles keep exact Percentile
+        assert("percentile\\((user_id|cast)".r.findFirstIn(plan).isDefined,
+          s"integer-typed percentile must stay exact:\n$plan")
+        q.collect().foreach { r =>
+          val (p90, p90Int, p90Desc, _) = exact(r.getString(0))
+          assert(r.getDouble(2) == p90Int, "exact integer arm changed")
+          assert(r.getDouble(3) == p90Desc, "reverse arm changed")
+          // GK sketch at default accuracy: tight on 12k rows
+          assert(math.abs(r.getDouble(1) - p90) <= math.max(0.05 * p90, 1.0),
+            s"p90 estimate ${r.getDouble(1)} vs exact $p90")
+        }
+      } finally s.conf.set(RewritePercentileToApprox.FlagKey, "false")
+    }
+  }
+
   test("bottom_k rejects a non-literal k with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
