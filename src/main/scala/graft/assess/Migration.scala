@@ -700,6 +700,18 @@ object Migration {
     val fails = ev(s, dir).groupBy("user_id")
       .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
         .as("n_err"), count(lit(1)).as("n_ev"))
+    readinessScorecardOver(cx, sched, fails)
+  }
+
+  /** [[aReadinessScorecard]]'s composition over ANY three per-user
+    * frames — `cx(user_id, n_queries, tot_weight, effort)`,
+    * `sched(user_id, n_sched)`, `fails(user_id, n_err, n_ev)` — the same
+    * shared-body pattern as [[templateMiningOver]]/[[recurringJobsOver]]:
+    * the DuckDB-pinned fixture query and the live capture→assess loop run
+    * this one body, so the scoring/bucketing the oracle hashes is exactly
+    * what triages self-captured workloads. */
+  def readinessScorecardOver(cx: DataFrame, sched: DataFrame,
+                             fails: DataFrame): DataFrame = {
     val score =
       when(col("effort") === "low", 0L)
         .when(col("effort") === "medium", 1L).otherwise(2L) +
@@ -716,6 +728,53 @@ object Migration {
         when(col("score") <= 1, "ready").when(col("score") <= 3, "assisted")
           .otherwise("complex").as("readiness"))
       .orderBy("user_id")
+  }
+
+  /** The scorecard's LIVE face over a [[liveQueryLog]]-shaped frame: the
+    * dialect-weight constituent has no meaning on Spark plan text, so
+    * translation effort comes from TEMPLATE COMPRESSION instead (distinct
+    * canonical statements the user must port — `tot_weight` is the
+    * template count, bucketed ≤2 low / ≤5 medium / else high); scheduled
+    * series are [[recurringJobsOver]] keyed by template fingerprint;
+    * failure pressure is the captured Status. Composition, scoring and
+    * bucketing are [[readinessScorecardOver]] — identical to the
+    * oracle-pinned path. */
+  def liveReadinessScorecard(log: DataFrame): DataFrame = {
+    val cx = log
+      .select(col("user").as("user_id"),
+        template(col("query_text")).as("template"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct("template").as("tot_weight"))
+      .withColumn("effort",
+        when(col("tot_weight") <= 2, "low")
+          .when(col("tot_weight") <= 5, "medium").otherwise("high"))
+    val sched = recurringJobsOver(log.select(col("user").as("user_id"),
+        md5(template(col("query_text"))).as("event_type"), col("sub_us")))
+      .filter(col("scheduled"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sched"))
+    val fails = log.groupBy(col("user").as("user_id"))
+      .agg(sum(when(col("status") =!= "SUCCESS", 1L).otherwise(0L))
+        .as("n_err"), count(lit(1)).as("n_ev"))
+    readinessScorecardOver(cx, sched, fails)
+  }
+
+  /** [[Assessments.aLatencyDrift]]'s LIVE face: captured duration drift
+    * per statement kind, first half of the OBSERVED capture window versus
+    * the second (the fixture splits on day-of-month; a live log's window
+    * is whatever was captured, so the midpoint is computed from the log
+    * itself and broadcast back — one extra one-row join, no second pass).
+    * The drift report body — percentiles, full-outer appeared/vanished
+    * arms, regression flag — is [[Assessments.latencyDriftOver]],
+    * identical to the oracle-pinned path. */
+  def liveLatencyDrift(log: DataFrame): DataFrame = {
+    val bounds = log.agg(
+      ((min("sub_us") + max("sub_us")) / 2).cast("long").as("mid_us"))
+    Assessments.latencyDriftOver(
+      log.crossJoin(broadcast(bounds))
+        .select(col("kind").as("event_type"),
+          (col("sub_us") <= col("mid_us")).as("p1"),
+          col("duration_ms").cast("double").as("value")))
   }
 
   val queries: Map[String, Q] = Map(

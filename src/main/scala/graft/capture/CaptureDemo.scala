@@ -466,6 +466,67 @@ object CaptureDemo {
       .orderBy("aspect")
   }
 
+  /** Live FAIL path end-to-end (VERDICT r10 #5): the reference emits FAIL
+    * COMPLETED events as first-class data (`EventStatus.java:20-21`) —
+    * here a deliberately failing query (a per-row `assert_true` that trips
+    * at TASK time, so submission really happened and the plan exists) runs
+    * under the full production wiring, [[CaptureDrainer]]: hook → bounded
+    * buffer → daemon drain → retrying sink. The pinned frame proves, from
+    * the SINK's content, that the failure produced a paired
+    * SUBMITTED/COMPLETED lifecycle with Status=FAIL, a non-empty captured
+    * error message carrying the task's own assertion text, QUERY type and
+    * a non-negative duration. Pollution-proof by construction: the sink
+    * also captures this method's own polling reads (they carry the tag
+    * LITERAL in their plan text), so the filter keys on Status=FAIL plus
+    * the tag inside ErrorMessage — a property only the failing probe's
+    * completion event can have. */
+  def capLiveFail(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"boom_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livefail_")
+    val log = s"$tmp/log"
+    val drainer = new CaptureDrainer(s, log, intervalMs = 250L)
+    try {
+      val probe = scala.util.Try(
+        s.sql(s"SELECT assert_true(id < 5, '$tag') AS ok FROM range(10)")
+          .collect())
+      require(probe.isFailure, "fail probe unexpectedly succeeded")
+      def ready: Boolean = scala.util.Try {
+        val evs = graft.sink.EventSink.readAsEvents(s, log)
+        val failIds = evs.filter(col("EventType") === "QUERY_COMPLETED" &&
+          col("Status") === "FAIL" && col("ErrorMessage").contains(tag))
+          .select("QueryId")
+        evs.filter(col("EventType") === "QUERY_SUBMITTED")
+          .join(failIds, "QueryId").count() >= 1
+      }.getOrElse(false)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      require(ready, s"tagged FAIL pair never reached the sink at $log")
+    } finally drainer.close()
+    val evs = graft.sink.EventSink.readAsEvents(s, log)
+    val done = evs.filter(col("EventType") === "QUERY_COMPLETED" &&
+        col("Status") === "FAIL" && col("ErrorMessage").contains(tag))
+      .select(col("QueryId"), col("QueryType"), col("Status"),
+        col("ErrorMessage"), col("EndTime"))
+    val sub = evs.filter(col("EventType") === "QUERY_SUBMITTED")
+      .select(col("QueryId"), col("StartTime").as("sub_time"))
+    done.join(sub, "QueryId")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("Status")).as("status"),
+        min(when(length(col("ErrorMessage")) > 0, "present")
+          .otherwise("missing")).as("err"),
+        min(col("QueryType")).as("qt"),
+        min((unix_millis(col("EndTime")) >= unix_millis(col("sub_time")))
+          .cast("int")).as("dur_ok"))
+      .select(explode(map(
+        lit("dur_ok"), col("dur_ok").cast("string"),
+        lit("error"), col("err"),
+        lit("n_pairs"), col("n").cast("string"),
+        lit("query_type"), col("qt"),
+        lit("status"), col("status"))).as(Seq("aspect", "value")))
+      .orderBy("aspect")
+  }
+
   /** Streaming heavy hitters: the custom Misra–Gries
     * [[graft.functions.FreqSketchMG]] aggregate running INSIDE a streaming
     * aggregation — the skewed hot/cold key stream is staged as four
@@ -578,6 +639,7 @@ object CaptureDemo {
       "cap_log_compact" -> capLogCompact,
       "cap_live_lifecycle" -> capLiveLifecycle,
       "cap_live_entities" -> capLiveEntities,
+      "cap_live_fail" -> capLiveFail,
       "cap_avro_roundtrip" -> capAvroRoundtrip)
 
   val oracles: Map[String, String] = Map(
@@ -659,6 +721,17 @@ object CaptureDemo {
         |  ('parts_written', 'day=2024-01-01;day=2024-01-02'),
         |  ('queue', 'pool_set'),
         |  ('session_id', 'present')) AS t(aspect, value)
+        |ORDER BY aspect""".stripMargin,
+    // Constant by construction: the failing probe's lifecycle, captured
+    // live through the drainer and read from the sink — one paired
+    // SUBMITTED/COMPLETED, FAIL status, non-empty error, QUERY type.
+    "cap_live_fail" ->
+      """SELECT aspect, value FROM (VALUES
+        |  ('dur_ok', '1'),
+        |  ('error', 'present'),
+        |  ('n_pairs', '1'),
+        |  ('query_type', 'QUERY'),
+        |  ('status', 'FAIL')) AS t(aspect, value)
         |ORDER BY aspect""".stripMargin,
     // The original table, each event paired ONCE with its shifted twin —
     // passes only if the stream-stream join was exactly-once end-to-end.

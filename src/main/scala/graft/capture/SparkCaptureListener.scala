@@ -479,7 +479,12 @@ object SparkCaptureListener {
     * reference's semantic-analyzer set, which predates pruning). Walked
     * through the AQE wrappers; the listing lazy vals were already forced
     * by the execution itself, so this never triggers file listing on the
-    * listener bus thread for an executed scan. */
+    * listener bus thread for an executed scan. Scans whose listing was
+    * NEVER forced (a stage AQE planned but skipped, e.g. pruned to empty)
+    * are detected via the numFiles driver metric — set as a side effect
+    * of computing the listing — and skipped entirely, so the fallback
+    * can't start a driver-side file listing on the bus thread
+    * (ADVICE r10). */
   def partitionsRead(qe: QueryExecution): Seq[String] =
     Try {
       import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
@@ -489,7 +494,12 @@ object SparkCaptureListener {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case qs: QueryStageExec => walk(qs.plan)
         case scan: FileSourceScanLike
-            if scan.relation.partitionSchema.nonEmpty =>
+            if scan.relation.partitionSchema.nonEmpty &&
+              // listing-was-forced sentinel: setFilesNumAndSizeMetric sets
+              // this on the driver when (dynamically)selectedPartitions is
+              // computed; untouched (zero) means the scan never executed
+              // and forcing either lazy val HERE would do the file listing
+              scan.metrics.get("numFiles").exists(_.value > 0) =>
           val label = scan.tableIdentifier
             .map(t => (t.database.toSeq :+ t.table).mkString("@"))
             .getOrElse(scan.relation.location.rootPaths.mkString(","))

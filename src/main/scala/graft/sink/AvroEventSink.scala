@@ -215,7 +215,22 @@ object AvroEventSink {
                   path: String): DataFrame = {
     val readerSchemaJson = avroSchema.toString
     val names = QueryEvent.schema.fieldNames
-    val arrayNames = arrayFieldNames
+    // Decode dispatch keyed on the SPARK-side field type, not the runtime
+    // value class (ADVICE r10): "any long is a timestamp / anything else is
+    // a string" was only correct because the 33-field schema happens to
+    // hold exclusively string/timestamp/array fields — a future numeric
+    // field would be silently mis-typed. Unknown kinds fail loudly at
+    // closure-construction time, on the driver.
+    val fieldKinds: Array[Int] = QueryEvent.schema.fields.map { f =>
+      f.dataType.typeName match {
+        case "string" => 0
+        case "timestamp" => 1
+        case "array" => 2
+        case other => throw new IllegalStateException(
+          s"readAsFrame has no decode rule for field ${f.name}: $other — " +
+            "extend the dispatch before adding new field types")
+      }
+    }
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "dwhassessment_*.avro")
       .option("recursiveFileLookup", "true")
@@ -239,14 +254,17 @@ object AvroEventSink {
           val out = Vector.newBuilder[Row]
           while (reader.hasNext) {
             val rec = reader.next()
-            out += Row.fromSeq(names.toIndexedSeq.map { n =>
-              rec.get(n) match {
-                case null =>
-                  if (arrayNames(n)) Seq.empty[String] else null
-                case l: java.lang.Long => new Timestamp(l)
-                case a: java.util.Collection[_] =>
+            out += Row.fromSeq(names.indices.map { i =>
+              (rec.get(names(i)), fieldKinds(i)) match {
+                case (null, 2) => Seq.empty[String]
+                case (null, _) => null
+                case (v, 0) => v.toString
+                case (l: java.lang.Long, 1) => new Timestamp(l)
+                case (a: java.util.Collection[_], 2) =>
                   a.asScala.map(String.valueOf).toSeq
-                case other => other.toString
+                case (v, k) => throw new IllegalStateException(
+                  s"field ${names(i)} (kind $k) holds unexpected " +
+                    s"${v.getClass.getName}: $v")
               }
             })
           }
@@ -277,7 +295,8 @@ class DatePartitionedAvroWriter(
     clock: Clock,
     loggerId: String,
     rolloverInterval: Duration,
-    maxWriteRetries: Int = 2) {
+    maxWriteRetries: Int = 2,
+    maxFileBytes: Long = DatePartitionedAvroWriter.DefaultMaxFileBytes) {
 
   private var rolloverTime: Instant = calculateNextRolloverTime()
   private var current: DataFileWriter[GenericRecord] = null
@@ -335,6 +354,16 @@ class DatePartitionedAvroWriter(
     if (shouldRollover) {
       close()
       rolloverTime = calculateNextRolloverTime()
+    } else if (current != null && maxFileBytes > 0 &&
+        currentFile.length() >= maxFileBytes) {
+      // Size trigger (beyond the reference, which never reads back what it
+      // writes): readAsFrame decodes one WHOLE container file per task via
+      // binaryFile (2 GB row cap), so a burst hour must not grow a single
+      // file past what a read task can hold. Roll at the byte bound too;
+      // the clock schedule is untouched. length() is exact here because
+      // every append flushes. Same-timestamp reopen dedupes via the _rN
+      // suffix in openWriter.
+      close()
     }
     var attempt = 0
     var done = false
@@ -371,4 +400,12 @@ class DatePartitionedAvroWriter(
     current = null
     currentFile = null
   }
+}
+
+object DatePartitionedAvroWriter {
+  /** Default size trigger: 256 MB keeps any single container file an order
+    * of magnitude under binaryFile's 2 GB whole-file row cap, with headroom
+    * for decode-time expansion. `maxFileBytes <= 0` disables the trigger
+    * (pure reference policy: hourly + midnight only). */
+  val DefaultMaxFileBytes: Long = 256L * 1024 * 1024
 }

@@ -81,6 +81,33 @@ class LiveAssessSpec extends AnyFunSuite {
         assert(r.getAs[String]("top_kind") == "QUERY")
         assert(r.getAs[Double]("p50_ms") >= 0.0 &&
           r.getAs[Double]("p95_ms") >= r.getAs[Double]("p50_ms"))
+
+        // --- readiness scorecard on the captured log (VERDICT r10 #6) ---
+        val sc = graft.assess.Migration.liveReadinessScorecard(log).collect()
+        assert(sc.length == 1, sc.mkString("; "))
+        val row = sc.head
+        assert(row.getAs[Long]("n_queries") == workload.size.toLong)
+        // translation effort = template compression: 5 distinct canonical
+        // statements → medium bucket, score 1, self-serve "ready"
+        assert(row.getAs[Long]("tot_weight") == 5L)
+        assert(row.getAs[String]("effort") == "medium")
+        // 2-run series have a single gap (< 3) — below the scheduled bar
+        assert(row.getAs[Long]("n_sched") == 0L)
+        assert(row.getAs[Double]("fail_ratio") == 0.0)
+        assert(row.getAs[Long]("score") == 1L)
+        assert(row.getAs[String]("readiness") == "ready")
+
+        // --- latency drift on the captured log ---
+        val drift = graft.assess.Migration.liveLatencyDrift(log).collect()
+        assert(drift.length == 1, drift.mkString("; "))
+        val d = drift.head
+        assert(d.getAs[String]("event_type") == "QUERY")
+        assert(d.getAs[Long]("n_a") + d.getAs[Long]("n_b") ==
+          workload.size.toLong)
+        // the window midpoint split puts min() in half A and max() in
+        // half B, so the one kind spans both halves: steady, never
+        // appeared/vanished
+        assert(d.getAs[String]("status") == "steady")
       } finally { log.unpersist(); () }
     } finally SparkCaptureListener.uninstall(spark, l)
   }

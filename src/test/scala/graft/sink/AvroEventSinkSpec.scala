@@ -405,6 +405,35 @@ class RolloverWriterSpec extends AnyFunSuite {
       .map(_.get("QueryId").toString).sorted.toSeq == Seq("id1", "id2"))
   }
 
+  test("size bound rolls the file within a rollover window") {
+    // a burst inside one clock window must not grow a single container
+    // file past what a binaryFile read task can hold: with a tiny byte
+    // bound, consecutive same-instant writes split into _rN-suffixed
+    // files, every record still lands exactly once
+    val base = Files.createTempDirectory("rollsize").toFile
+    val clock = new TickableClock(T0)
+    val w = new DatePartitionedAvroWriter(base, AvroEventSink.avroSchema,
+      clock, "a665f132", Duration.ofMinutes(30), maxFileBytes = 1L)
+    (1 to 4).foreach(i => w.write(rec(s"id$i")))
+    w.close()
+    val fs = filesIn(new File(base, "2022-12-25"))
+    assert(fs.length > 1, s"size trigger never fired: ${fs.mkString(",")}")
+    assert(fs.forall(_.getName
+      .startsWith("dwhassessment_2022-12-25T120022.3344_a665f132")), fs.toSeq)
+    assert(fs.flatMap(AvroEventSink.readRecords)
+      .map(_.get("QueryId").toString).sorted.toSeq ==
+      Seq("id1", "id2", "id3", "id4"))
+  }
+
+  test("default size bound leaves small files alone (reference policy)") {
+    val base = Files.createTempDirectory("rollsize2").toFile
+    val clock = new TickableClock(T0)
+    val w = newWriter(base, clock) // DefaultMaxFileBytes = 256 MB
+    (1 to 50).foreach(i => w.write(rec(s"id$i")))
+    w.close()
+    assert(filesIn(new File(base, "2022-12-25")).length == 1)
+  }
+
   test("rollover never crosses midnight even with a long interval") {
     // policy: min(now + interval, next UTC midnight) — ref :196-202
     val base = Files.createTempDirectory("roll5").toFile
