@@ -3,26 +3,36 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale probe (VERDICT r9 #3): synthesizes a ~10× corpus from sf0.1
-  * by self-union with re-keyed ids and copy-perturbed content, then
-  * measures the heaviest queries on both scales so the "linear at 100×"
-  * design claims get MEASURED evidence, not just plan audits.
+/** Scale probe (VERDICT r9 #3, extended r11): synthesizes ~10× and ~30×
+  * corpora from sf0.1 by self-union with re-keyed ids and copy-perturbed
+  * content, then measures the heaviest queries at every scale so the
+  * "linear at 100×" design claims get MEASURED evidence, not just plan
+  * audits — including a fitted growth EXPONENT across the 1×/10×/30×
+  * scales for the two worst 10× ratios (VERDICT r10 #3: one decade is a
+  * point, two pin the slope).
   *
   * Content is perturbed per copy — every third WORD is rewritten with a
   * copy-specific suffix, so cross-copy shingle/gram overlap collapses to
   * ~zero while per-document statistics (length, word count, language
   * marker density) stay realistic; embeddings get an epsilon, event times
-  * a shift. A byte-exact (or prefix-marked) ×10 duplication is NOT a
+  * a shift. A byte-exact (or prefix-marked) ×N duplication is NOT a
   * bigger corpus — it is a pathological near-dup cluster: every true-pair
-  * and candidate count grows ~100× BY CONSTRUCTION (measured: the first
+  * and candidate count grows ~N² BY CONSTRUCTION (measured: the first
   * probe cut used a prefix marker and x_lsh_recall's exact ground truth
   * went 20× for 10× data purely from the synthetic cross-copy pairs),
   * which measures the corpus, not the operator. Realistic growth is
   * mostly new content, and that is what the substitution produces.
   *
-  * Usage: `runMain graft.ScaleProbe [outDir]` — writes the corpus (once;
-  * reused if present), times each probe query on sf0.1 and on the 10× dir,
-  * prints one JSON line per query and a summary ratio table.
+  * Timing discipline (ADVICE r10): each (query, scale) runs TWICE and the
+  * SECOND pass is what ratios and exponents are computed from — the first
+  * pass absorbs cold file listing, code generation and first-touch page
+  * cache of the scaled directory, which otherwise folds fixed overhead
+  * into the scaling ratio (x_edit_pairs' 10× ratio read 1.14 with
+  * single-pass timing — mostly overhead, not scaling).
+  *
+  * Usage: `runMain graft.ScaleProbe [outDirBase]` — writes the corpora
+  * (once; reused if present) at `<base>` and `<base>30`, prints one JSON
+  * line per query and summary tables.
   */
 object ScaleProbe {
 
@@ -30,19 +40,29 @@ object ScaleProbe {
     "x_edit_pairs", "x_lsh_recall", "x_jaccard_ngram",
     "x_quality_calibration", "x_triangles", "x_split_leakage_safe",
     "x_dup_pagerank", "x_cluster_histogram", "x_minhash_pairs",
-    "x_dedup_threshold_curve")
+    "x_dedup_threshold_curve",
+    // the three heaviest ASSESS-layer queries (VERDICT r10 stretch #8) —
+    // event-bounded, so they scale with the synthesized events table
+    "a_readiness_scorecard", "a_dialect_complexity", "a_wave_cut_cost")
 
-  /** Build the 10× dir: documents/embeddings/events get 10 re-keyed,
-    * perturbed copies; every other table is carried over unchanged (the
-    * probe queries don't scale with them). */
-  def synthesize(s: SparkSession, srcDir: String, outDir: String): Unit = {
-    val copies = s.range(10).select(col("id").cast("int").as("copy"))
-    def tenfold(name: String)(rekey: DataFrame => DataFrame): Unit = {
+  /** The two worst 10× ratios from r10 get a second octave (30×) and a
+    * fitted exponent — any super-linear slope here is a structural bug. */
+  val OctaveQueries: Seq[String] = Seq(
+    "x_jaccard_ngram", "x_split_leakage_safe")
+
+  /** Build a `factor`× dir: documents/embeddings/events get `factor`
+    * re-keyed, perturbed copies; every other table is carried over
+    * unchanged (the probe queries don't scale with them). */
+  def synthesize(s: SparkSession, srcDir: String, outDir: String,
+                 factor: Int = 10): Unit = {
+    val copies = s.range(factor).select(col("id").cast("int").as("copy"))
+    val f = lit(factor.toLong)
+    def nfold(name: String)(rekey: DataFrame => DataFrame): Unit = {
       val base = s.read.parquet(s"$srcDir/$name.parquet")
       rekey(base.crossJoin(broadcast(copies)))
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    tenfold("documents") { d =>
+    nfold("documents") { d =>
       val rewritten = concat_ws(" ",
         zip_with(
           split(col("text"), " "),
@@ -51,48 +71,66 @@ object ScaleProbe {
             concat(w, lit("x"), col("copy"))).otherwise(w)))
       val txt = when(col("copy") === 0, col("text")).otherwise(rewritten)
       d.select(
-        (col("doc_id") * 10 + col("copy")).as("doc_id"),
+        (col("doc_id") * f + col("copy")).as("doc_id"),
         txt.as("text"),
         col("lang"), col("source"),
         length(txt).as("n_chars"))
     }
-    tenfold("embeddings") { e =>
+    nfold("embeddings") { e =>
       e.select(
-        (col("vec_id") * 10 + col("copy")).as("vec_id"),
+        (col("vec_id") * f + col("copy")).as("vec_id"),
         transform(col("embedding"),
           x => (x + col("copy").cast("float") * lit(0.001f)).cast("float"))
           .as("embedding"),
         col("label"))
     }
-    tenfold("events") { ev =>
+    nfold("events") { ev =>
       ev.select(
-        (col("event_id") * 10 + col("copy")).as("event_id"),
+        (col("event_id") * f + col("copy")).as("event_id"),
         (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, copy)")).as("ts"),
-        (col("user_id") * 10 + col("copy")).as("user_id"),
+        (col("user_id") * f + col("copy")).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
     // remaining tables: unchanged carry-over so any incidental load works
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
-      val f = new java.io.File(s"$srcDir/$t.parquet")
-      if (f.exists())
-        s.read.parquet(f.toString).write.mode("overwrite")
+      val src = new java.io.File(s"$srcDir/$t.parquet")
+      if (src.exists())
+        s.read.parquet(src.toString).write.mode("overwrite")
           .parquet(s"$outDir/$t.parquet")
     }
   }
 
+  /** Least-squares slope of log(t) on log(n) — the growth exponent
+    * (1.0 = linear in data size; the shuffle-bound ideal is ≲ 1 plus a
+    * log factor from sort-based exchange). */
+  def fitExponent(points: Seq[(Double, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1))
+    val ys = points.map(p => math.log(p._2))
+    val xm = xs.sum / xs.size
+    val ym = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+    val den = xs.map(x => (x - xm) * (x - xm)).sum
+    num / den
+  }
+
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/tmp/graft_sf1x10")
+    val base10 = args.headOption.getOrElse("/tmp/graft_sf1x10")
+    val base30 = base10 + "30"
     val srcDir = "/root/testdata/sf0.1"
     val s = Graft.session("graft-scale-probe", 32)
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
-      println(s"[scale] synthesizing 10x corpus at $outDir")
-      synthesize(s, srcDir, outDir)
+    if (!new java.io.File(s"$base10/documents.parquet").exists()) {
+      println(s"[scale] synthesizing 10x corpus at $base10")
+      synthesize(s, srcDir, base10, factor = 10)
+    }
+    if (!new java.io.File(s"$base30/documents.parquet").exists()) {
+      println(s"[scale] synthesizing 30x corpus at $base30")
+      synthesize(s, srcDir, base30, factor = 30)
     }
     // same warmup + inter-query hygiene as Bench
     s.range(1000).selectExpr("sum(id)").collect()
     Tables.events(s, srcDir).count()
-    def measure(name: String, dir: String): Double = {
+    def pass(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(s, dir).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -100,16 +138,34 @@ object ScaleProbe {
       System.gc()
       dt
     }
-    val rows = ProbeQueries.map { q =>
-      val t1 = measure(q, srcDir)
-      val t10 = measure(q, outDir)
-      println(f"""{"query":"$q","sf01_s":$t1%.2f,"x10_s":$t10%.2f,"ratio":${t10 / t1}%.2f}""")
-      (q, t1, t10, t10 / t1)
+    // two passes; the SECOND is the number (first absorbs cold listing +
+    // codegen + page-cache first touch of the scaled directory)
+    def measure(name: String, dir: String): (Double, Double) = {
+      val first = pass(name, dir)
+      val second = pass(name, dir)
+      (first, second)
     }
-    println(f"| query | sf0.1 s | 10x s | ratio |")
-    println(f"|---|---|---|---|")
+    val rows = ProbeQueries.map { q =>
+      val (a1, a2) = measure(q, srcDir)
+      val (b1, b2) = measure(q, base10)
+      println(f"""{"query":"$q","sf01_s":$a2%.2f,"x10_s":$b2%.2f,"ratio":${b2 / a2}%.2f,"sf01_first_s":$a1%.2f,"x10_first_s":$b1%.2f}""")
+      (q, a2, b2, b2 / a2)
+    }
+    println("| query | sf0.1 s (2nd pass) | 10x s (2nd pass) | ratio |")
+    println("|---|---|---|---|")
     rows.foreach { case (q, a, b, r) =>
       println(f"| $q | $a%.2f | $b%.2f | $r%.2f |")
+    }
+    // the 30x octave + exponent fit for the worst 10x ratios
+    val byName = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    println("| query | 1x s | 10x s | 30x s | exponent |")
+    println("|---|---|---|---|---|")
+    OctaveQueries.foreach { q =>
+      val (t1, t10) = byName(q)
+      val (_, t30) = measure(q, base30)
+      val e = fitExponent(Seq((1.0, t1), (10.0, t10), (30.0, t30)))
+      println(f"""{"query":"$q","sf01_s":$t1%.2f,"x10_s":$t10%.2f,"x30_s":$t30%.2f,"exponent":$e%.3f}""")
+      println(f"| $q | $t1%.2f | $t10%.2f | $t30%.2f | $e%.3f |")
     }
     s.stop()
   }

@@ -417,9 +417,27 @@ object Dedup {
     * inherent to exact all-pairs scoring; [[xMinhashPairs]] is the 100 TB
     * front end when even that is too much. Near-dups that straddle a
     * bucket boundary are missed by construction (mirrored exactly by the
-    * oracle); widen buckets or overlap them for recall. */
+    * oracle); widen buckets or overlap them for recall.
+    *
+    * Scale shape (rewritten r11 — the 30× probe CAUGHT the old one): the
+    * r9 design self-joined the full gram index on (lang, bucket, gram)
+    * and counted shared grams per pair, so every bigram common within a
+    * length bucket contributed df²/2 join rows — quadratic in bucket
+    * population, measured 11.6× wall-time for 10× data once second-pass
+    * timing stripped the warmup that had been hiding it. Now the gram
+    * index takes the [[xEditPairs]] treatment: ONE aggregation builds
+    * df-capped posting lists per (lang, bucket, gram), candidate pairs
+    * expand in-bucket from the sorted list (≤ dfCap²/2 per gram — linear
+    * in corpus size), and the exact Jaccard is scored per CANDIDATE from
+    * the two full bigram arrays. Per-pair set algebra on a candidate-
+    * bounded frame is the edit-pairs levenshtein pattern, not the r5
+    * anti-pattern (which ran it on the quadratic in-bucket pair set). The
+    * df cap is a recall knob exactly like the gram cap in [[xEditPairs]]:
+    * a pair whose EVERY shared bigram is more common than dfCap in its
+    * bucket is missed, and the oracle mirrors the cap exactly. */
   def xJaccardNgram(s: SparkSession, dir: String,
-                    threshold: Double = 0.3, bucketWidth: Int = 20): DataFrame = {
+                    threshold: Double = 0.3, bucketWidth: Int = 20,
+                    dfCap: Int = 50): DataFrame = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
     // OOB-safe like [[shingles]]: the optimizer infers a size(bg)>0
     // pre-filter from the explode and evaluates this expression on rows
@@ -430,25 +448,37 @@ object Dedup {
       sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
       i => concat_ws(" ", element_at(col("toks"), i),
         try_element_at(col("toks"), i + 1))))
-    val inv = Tables.load(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2) // bigram-less docs can't pair anyway
       .select(col("doc_id"), col("lang"),
         floor(size(col("toks")) / bucketWidth).cast("bigint").as("bucket"),
         bigrams.as("bg"))
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        size(col("bg")).cast("bigint").as("n_bg"), explode(col("bg")).as("g"))
-      // explicit exchange on the join key → computed once, reused by both
-      // self-join branches (same idiom as lshPairs)
-      .repartition(col("lang"), col("bucket"), col("g"))
-    inv.as("a").join(inv.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
-          && col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_bg").as("n_a"), col("b.n_bg").as("n_b"))
-      .agg(count(lit(1)).as("ni"))
+    val postings = docs
+      .select(col("lang"), col("bucket"), col("doc_id"),
+        explode(col("bg")).as("g"))
+      .groupBy("lang", "bucket", "g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+    val cand = postings
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("bg"),
+      size(col("bg")).cast("bigint").as("n_bg"))
+    cand
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      // ni as a NAMED column: inlining it would evaluate array_intersect
+      // twice per candidate (numerator + union denominator)
       .select(col("doc_a"), col("doc_b"),
-        round(col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")), 4)
+        size(array_intersect(col("a.bg"), col("b.bg"))).cast("bigint").as("ni"),
+        (col("a.n_bg") + col("b.n_bg")).as("tot"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / (col("tot") - col("ni")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -1009,17 +1039,25 @@ object Dedup {
         |  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         |FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Mirrors the df-capped (lang, bucket, gram) blocking exactly, then
+    // exact Jaccard on the candidate pairs' full bigram sets.
     "x_jaccard_ngram" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
         |f AS (SELECT * FROM t WHERE len(toks) >= 2),
         |b AS (SELECT doc_id, lang, CAST(floor(len(toks) / 20) AS BIGINT) AS bucket,
         |  list_distinct(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM f)
-        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM f),
+        |g AS (SELECT lang, bucket, doc_id, unnest(bg) AS g FROM b),
+        |p AS (SELECT lang, bucket, g FROM g GROUP BY lang, bucket, g
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |gg AS (SELECT g.* FROM g JOIN p USING (lang, bucket, g)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM gg a JOIN gg b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
         |round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
         |  / len(list_distinct(a.bg || b2.bg)), 4) AS jaccard
-        |FROM b a JOIN b b2 ON a.lang = b2.lang AND a.bucket = b2.bucket
-        |  AND a.doc_id < b2.doc_id
+        |FROM cand JOIN b a ON a.doc_id = doc_a JOIN b b2 ON b2.doc_id = doc_b
         |WHERE round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
         |  / len(list_distinct(a.bg || b2.bg)), 4) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -195,6 +195,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
     e.injectOptimizerRule(_ => RewriteCountDistinctToSketch)
     e.injectOptimizerRule(_ => RewritePercentileToApprox)
+    e.injectOptimizerRule(_ => RewriteExplodeCountToHistogram)
+    e.injectFunction((
+      FunctionIdentifier("array_histogram"),
+      new ExpressionInfo(classOf[graft.functions.ArrayHistogram].getName,
+        "array_histogram"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ArrayHistogram(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
@@ -243,7 +250,8 @@ object AsOfJoin {
     // the flag-gated acceleration rewrites ride along on the imperative
     // path too, so a session installed via asofJoin() (not GraftExtensions)
     // can still flip spark.graft.approxDistinct/approxPercentile.enabled
-    Seq(RewriteCountDistinctToSketch, RewritePercentileToApprox).foreach { r =>
+    Seq(RewriteCountDistinctToSketch, RewritePercentileToApprox,
+        RewriteExplodeCountToHistogram).foreach { r =>
       if (!spark.experimental.extraOptimizations.exists(_ eq r)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

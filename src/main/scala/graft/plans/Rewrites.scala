@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Explode, Inline, Literal, MapEntries, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Percentile, Sum}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Opt-in acceleration rewrite: `count(DISTINCT x)` → HyperLogLog++.
@@ -92,5 +92,99 @@ object RewritePercentileToApprox extends Rule[LogicalPlan] {
               Literal(accuracy, IntegerType)))
         }
       }
+    }
+}
+
+/** Opt-in acceleration rewrite #3 — SURVEY §4's anticipated rule (b), the
+  * heat-map shape: `explode(arr) → groupBy(element) → count(*)` becomes a
+  * per-row histogram ([[graft.functions.ArrayHistogram]]) whose entries are
+  * inlined and SUMMED:
+  *
+  * {{{
+  *   Aggregate [e], [e, count(1)]          Aggregate [k], [k, sum(v)]
+  *     Generate explode(arr) AS e    →       Generate inline(map_entries(
+  *       child                                 array_histogram(arr))) AS (k, v)
+  *                                              child
+  * }}}
+  *
+  * What it buys: the Generate emits one row per DISTINCT element instead of
+  * one per OCCURRENCE, so heavily repetitive arrays (document token lists —
+  * a4's shape — or partition-path explosions where one query touches the
+  * same name hundreds of times) push proportionally fewer rows through the
+  * generate → partial-aggregate pipeline. What it does NOT buy: shuffle
+  * volume — partial hash aggregation already combines per partition, so
+  * bytes on the wire are identical either way. That is why the flag
+  * (`spark.graft.explodeCount.enabled`) defaults OFF: on low-repetition
+  * arrays the per-row map build costs more than the saved generate rows
+  * (the stock plan fuses Generate and partial_count in ONE whole-stage
+  * codegen span — the PlanSpec contract pins that the default is already
+  * map-side). Flip it for workloads whose arrays repeat elements heavily.
+  *
+  * Eligibility, deliberately conservative: single grouping key = exactly
+  * the exploded element, aggregates = the key + one bare `count(*)`/
+  * `count(1)` (no DISTINCT/FILTER), non-outer explode of a non-null
+  * atomic-element array ([[graft.functions.ArrayHistogram]]'s domain — a
+  * null element would need a null map key), and the Generate's own output
+  * is the only thing the aggregate reads. Output attribute ids are
+  * preserved, so parent operators re-resolve untouched; `sum` is coalesced
+  * to 0 to keep count's non-nullable schema.
+  */
+object RewriteExplodeCountToHistogram extends Rule[LogicalPlan] {
+  val FlagKey = "spark.graft.explodeCount.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(FlagKey, "false").equalsIgnoreCase("true")) plan
+    else plan.transform {
+      case agg @ Aggregate(
+          Seq(g: Attribute),
+          aggExprs,
+          gen @ Generate(Explode(arr), _, false, _, Seq(elemAttr), _),
+          _)
+          if g.semanticEquals(elemAttr) &&
+            arr.dataType.isInstanceOf[ArrayType] &&
+            !arr.dataType.asInstanceOf[ArrayType].containsNull &&
+            graft.functions.ArrayHistogram.hashableElement(
+              arr.dataType.asInstanceOf[ArrayType].elementType) &&
+            isKeyPlusCount(aggExprs, elemAttr) =>
+        val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
+        val keyAttr = AttributeReference("hist_key", elemType,
+          nullable = false)()
+        val cntAttr = AttributeReference("hist_cnt", LongType,
+          nullable = false)()
+        val newGen = Generate(
+          Inline(MapEntries(graft.functions.ArrayHistogram(arr))),
+          unrequiredChildIndex = gen.unrequiredChildIndex,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(keyAttr, cntAttr),
+          child = gen.child)
+        val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+          case a: Attribute if a.semanticEquals(elemAttr) =>
+            Alias(keyAttr, a.name)(exprId = a.exprId)
+          case al @ Alias(AggregateExpression(Count(_), _, _, _, _), name) =>
+            Alias(
+              Coalesce(Seq(
+                AggregateExpression(Sum(cntAttr), Complete, isDistinct = false),
+                Literal(0L))),
+              name)(exprId = al.exprId)
+          case al @ Alias(a: Attribute, name) if a.semanticEquals(elemAttr) =>
+            Alias(keyAttr, name)(exprId = al.exprId)
+        }
+        agg.copy(groupingExpressions = Seq(keyAttr),
+          aggregateExpressions = newAggExprs, child = newGen)
+    }
+
+  /** aggExprs is exactly {the element (bare or aliased), one unfiltered
+    * non-distinct count(constant)} — anything else keeps the stock plan. */
+  private def isKeyPlusCount(aggExprs: Seq[NamedExpression],
+                             elem: Attribute): Boolean =
+    aggExprs.size == 2 && aggExprs.forall {
+      case a: Attribute => a.semanticEquals(elem)
+      case Alias(a: Attribute, _) => a.semanticEquals(elem)
+      case Alias(AggregateExpression(
+          Count(Seq(_: Literal)), Complete, false, None, _), _) => true
+      case _ => false
+    } && aggExprs.exists {
+      case Alias(AggregateExpression(Count(_), _, _, _, _), _) => true
+      case _ => false
     }
 }

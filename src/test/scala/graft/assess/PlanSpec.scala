@@ -282,17 +282,26 @@ class PlanSpec extends AnyFunSuite {
       s"scale twin funnels rows through a window:\n${plan.take(2000)}")
   }
 
-  test("jaccard ngram: inverted index computed once, no per-pair set algebra") {
+  test("jaccard ngram: df-capped posting lists, candidate-bounded scoring") {
+    // r11 shape (the 30x probe caught the r9 self-join going quadratic in
+    // bucket population): ONE expansion of the bigram pipeline into the
+    // df-capped posting-list aggregate, in-bucket pair generation, and
+    // array_intersect only on the candidate-bounded frame (the edit-pairs
+    // levenshtein pattern — per-pair set algebra was the anti-pattern only
+    // on the QUADRATIC in-bucket pair set, where it measured 92 s at sf0.1)
     val df = graft.ext.Dedup.xJaccardNgram(spark, dir)
-    // the r5 anti-pattern: per-candidate array_intersect/array_union over
-    // full bigram arrays (92 s at sf0.1); scoring must stay an equi-join +
-    // count, with the exploded index's exchange reused by both join sides
     val opt = df.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("array_intersect"), opt.take(2000))
-    assert(!opt.contains("array_union"), opt.take(2000))
+    assert(opt.contains("sort_array(collect_list("),
+      s"posting-list aggregate missing:\n${opt.take(2000)}")
+    // exactly two Generates: the gram expansion feeding the posting-list
+    // aggregate and the in-bucket pair expansion — a third would mean the
+    // gram index is being self-joined again (the quadratic r9 shape); the
+    // scoring joins recompute the per-doc bigram ARRAY (linear, like
+    // edit-pairs' title re-read), never re-explode it
+    assert("Generate explode\\(".r.findAllIn(opt).length == 2,
+      s"expected gram + pair expansion only:\n${opt.take(2000)}")
     val plan = planOf(df)
-    assert(plan.contains("ReusedExchange"),
-      s"bigram index built twice:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("sequence packing: sharded window, never a single-partition funnel") {
@@ -481,6 +490,23 @@ class PlanSpec extends AnyFunSuite {
       s"posting-list aggregate missing:\n${opt.take(2000)}")
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("a4 heat map: generate fuses with partial count in one codegen span") {
+    // the property SURVEY §4's anticipated rule (b) would buy — map-side
+    // partial counts — is ALREADY the stock plan: the explode and the
+    // partial aggregation share a single whole-stage-codegen span, so
+    // occurrence rows never materialize between them. This contract is why
+    // RewriteExplodeCountToHistogram defaults OFF (it only pays on
+    // heavy-repetition arrays, where it shrinks the generate fan-out).
+    val plan = planOf(Assessments.a4TokenHeatmap(spark, dir))
+    val agg = "\\*\\((\\d+)\\) HashAggregate\\(keys=\\[token[^\\]]*\\], functions=\\[partial_count"
+      .r.findFirstMatchIn(plan)
+    val gen = "\\*\\((\\d+)\\) Generate explode".r.findFirstMatchIn(plan)
+    assert(agg.isDefined && gen.isDefined,
+      s"expected codegen'd partial_count over Generate:\n${plan.take(2000)}")
+    assert(agg.get.group(1) == gen.get.group(1),
+      s"explode and partial count in different codegen spans:\n${plan.take(2000)}")
   }
 
   test("skew report + inverted index: head is TakeOrdered, dims broadcast") {

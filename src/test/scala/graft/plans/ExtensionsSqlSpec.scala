@@ -134,6 +134,46 @@ class ExtensionsSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("extension session resolves array_histogram through spark.sql") {
+    withExtensionSession { s =>
+      val r = s.sql(
+        """SELECT array_histogram(array('a', 'b', 'a', 'a')) AS h,
+          |       array_histogram(split(cast(null AS string), ' ')) AS nh
+          |""".stripMargin).head()
+      assert(r.getMap[String, Long](0).toMap == Map("a" -> 3L, "b" -> 1L))
+      assert(r.isNullAt(1))
+    }
+  }
+
+  test("explode-count rewrite: flag-gated, conservative, identical results") {
+    withExtensionSession { s =>
+      import org.apache.spark.sql.functions._
+      def heat = graft.Tables.load(s, graft.TestSpark.Sf0001, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      // flag off (default): stock explode + count plan
+      val stockPlan = heat.queryExecution.optimizedPlan.toString
+      assert(!stockPlan.contains("array_histogram"), stockPlan.take(2000))
+      val exact = heat.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      s.conf.set(RewriteExplodeCountToHistogram.FlagKey, "true")
+      try {
+        val plan = heat.queryExecution.optimizedPlan.toString
+        assert(plan.contains("array_histogram") &&
+          plan.contains("inline(map_entries("), s"rewrite did not fire:\n$plan")
+        val got = heat.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == exact, "histogram path changed the heat map")
+        // conservatism: any second aggregate keeps the stock shape
+        val multi = graft.Tables.load(s, graft.TestSpark.Sf0001, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+        assert(!multi.queryExecution.optimizedPlan.toString
+          .contains("array_histogram"),
+          "multi-aggregate explode must stay exact/stock")
+      } finally s.conf.set(RewriteExplodeCountToHistogram.FlagKey, "false")
+    }
+  }
+
   test("bottom_k rejects a non-literal k with a clear error") {
     withExtensionSession { s =>
       val e = intercept[Exception] {
