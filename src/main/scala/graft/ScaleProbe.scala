@@ -45,10 +45,11 @@ object ScaleProbe {
     // event-bounded, so they scale with the synthesized events table
     "a_readiness_scorecard", "a_dialect_complexity", "a_wave_cut_cost")
 
-  /** The two worst 10× ratios from r10 get a second octave (30×) and a
-    * fitted exponent — any super-linear slope here is a structural bug. */
-  val OctaveQueries: Seq[String] = Seq(
-    "x_jaccard_ngram", "x_split_leakage_safe")
+  /** How many of the WORST measured 10× ratios get a second octave (30×)
+    * and a fitted exponent — derived from the rows the run just computed,
+    * not a hardcoded list (a super-linear slope should chase whichever
+    * query is steepest NOW, per review r11). */
+  val OctaveCount: Int = 2
 
   /** Build a `factor`× dir: documents/embeddings/events get `factor`
     * re-keyed, perturbed copies; every other table is carried over
@@ -156,12 +157,13 @@ object ScaleProbe {
     rows.foreach { case (q, a, b, r) =>
       println(f"| $q | $a%.2f | $b%.2f | $r%.2f |")
     }
-    // the 30x octave + exponent fit for the worst 10x ratios
-    val byName = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // the 30x octave + exponent fit for the worst MEASURED 10x ratios
+    val octave = rows.sortBy(-_._4).take(OctaveCount)
+    println(s"[scale] octave set (worst ${OctaveCount} measured ratios): " +
+      octave.map(_._1).mkString(", "))
     println("| query | 1x s | 10x s | 30x s | exponent |")
     println("|---|---|---|---|---|")
-    OctaveQueries.foreach { q =>
-      val (t1, t10) = byName(q)
+    octave.foreach { case (q, t1, t10, _) =>
       val (_, t30) = measure(q, base30)
       val e = fitExponent(Seq((1.0, t1), (10.0, t10), (30.0, t30)))
       println(f"""{"query":"$q","sf01_s":$t1%.2f,"x10_s":$t10%.2f,"x30_s":$t30%.2f,"exponent":$e%.3f}""")

@@ -495,11 +495,14 @@ object SparkCaptureListener {
         case qs: QueryStageExec => walk(qs.plan)
         case scan: FileSourceScanLike
             if scan.relation.partitionSchema.nonEmpty &&
-              // listing-was-forced sentinel: setFilesNumAndSizeMetric sets
-              // this on the driver when (dynamically)selectedPartitions is
-              // computed; untouched (zero) means the scan never executed
-              // and forcing either lazy val HERE would do the file listing
-              scan.metrics.get("numFiles").exists(_.value > 0) =>
+              // listing-was-forced sentinel: setFilesNumAndSizeMetric SETS
+              // filesSize (a size metric, init -1) on the driver when
+              // (dynamically)selectedPartitions is computed, so isZero
+              // flips false even for a pruned-to-zero-files listing
+              // (numFiles.value would conflate that with never-forced —
+              // review r11); still-zero means the scan never executed and
+              // forcing either lazy val HERE would do the file listing
+              scan.metrics.get("filesSize").exists(!_.isZero) =>
           val label = scan.tableIdentifier
             .map(t => (t.database.toSeq :+ t.table).mkString("@"))
             .getOrElse(scan.relation.location.rootPaths.mkString(","))

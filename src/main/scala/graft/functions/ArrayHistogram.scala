@@ -79,7 +79,21 @@ object ArrayHistogram {
       new java.util.LinkedHashMap[Any, java.lang.Long](math.max(8, n / 4))
     var i = 0
     while (i < n) {
-      val k = arr.get(i, elementType)
+      // SQL equality, not java.lang equals: -0.0 groups with 0.0 and every
+      // NaN bit pattern is one key (java Double.equals would split them
+      // into duplicate map keys, breaking Spark's no-duplicate-key
+      // invariant and element_at lookups)
+      val k = arr.get(i, elementType) match {
+        case d: java.lang.Double =>
+          if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+          else if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+          else d
+        case f: java.lang.Float =>
+          if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+          else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+          else f
+        case other => other
+      }
       val prev = counts.get(k)
       counts.put(k,
         if (prev == null) java.lang.Long.valueOf(1L)

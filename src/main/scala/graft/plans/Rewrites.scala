@@ -180,8 +180,11 @@ object RewriteExplodeCountToHistogram extends Rule[LogicalPlan] {
     aggExprs.size == 2 && aggExprs.forall {
       case a: Attribute => a.semanticEquals(elem)
       case Alias(a: Attribute, _) => a.semanticEquals(elem)
+      // non-null literal only: count(NULL) is 0 per group, not the
+      // occurrence count sum(hist_cnt) would return
       case Alias(AggregateExpression(
-          Count(Seq(_: Literal)), Complete, false, None, _), _) => true
+          Count(Seq(l: Literal)), Complete, false, None, _), _) =>
+        l.value != null
       case _ => false
     } && aggExprs.exists {
       case Alias(AggregateExpression(Count(_), _, _, _, _), _) => true

@@ -296,7 +296,8 @@ class DatePartitionedAvroWriter(
     loggerId: String,
     rolloverInterval: Duration,
     maxWriteRetries: Int = 2,
-    maxFileBytes: Long = DatePartitionedAvroWriter.DefaultMaxFileBytes) {
+    maxFileBytes: Long = DatePartitionedAvroWriter.DefaultMaxFileBytes,
+    sizeCheckEvery: Long = DatePartitionedAvroWriter.SizeCheckEvery) {
 
   private var rolloverTime: Instant = calculateNextRolloverTime()
   private var current: DataFileWriter[GenericRecord] = null
@@ -355,14 +356,17 @@ class DatePartitionedAvroWriter(
       close()
       rolloverTime = calculateNextRolloverTime()
     } else if (current != null && maxFileBytes > 0 &&
+        recordsInCurrentFile % sizeCheckEvery == 0 &&
         currentFile.length() >= maxFileBytes) {
       // Size trigger (beyond the reference, which never reads back what it
       // writes): readAsFrame decodes one WHOLE container file per task via
       // binaryFile (2 GB row cap), so a burst hour must not grow a single
       // file past what a read task can hold. Roll at the byte bound too;
       // the clock schedule is untouched. length() is exact here because
-      // every append flushes. Same-timestamp reopen dedupes via the _rN
-      // suffix in openWriter.
+      // every append flushes, but the stat syscall is throttled to every
+      // 64th record (review r11) — bounded overshoot of 63 records versus
+      // a per-append metadata round trip on network filesystems.
+      // Same-timestamp reopen dedupes via the _rN suffix in openWriter.
       close()
     }
     var attempt = 0
@@ -408,4 +412,7 @@ object DatePartitionedAvroWriter {
     * for decode-time expansion. `maxFileBytes <= 0` disables the trigger
     * (pure reference policy: hourly + midnight only). */
   val DefaultMaxFileBytes: Long = 256L * 1024 * 1024
+
+  /** Stat the file for the size trigger every N appends, not every append. */
+  val SizeCheckEvery: Long = 64L
 }

@@ -142,6 +142,17 @@ class ExtensionsSqlSpec extends AnyFunSuite {
           |""".stripMargin).head()
       assert(r.getMap[String, Long](0).toMap == Map("a" -> 3L, "b" -> 1L))
       assert(r.isNullAt(1))
+      // SQL equality on float keys: -0.0 groups with 0.0, NaN with NaN —
+      // java.lang.Double.equals would split them into duplicate map keys
+      val f = s.sql(
+        """SELECT array_histogram(array(0.0D, -0.0D,
+          |  coalesce(cast('NaN' AS double), 0.0D),
+          |  coalesce(cast('NaN' AS double), 0.0D), 1.5D)) AS h""".stripMargin)
+        .head()
+      val m = f.getMap[Double, Long](0).toMap
+      assert(m.size == 3, m.toString)
+      assert(m(0.0) == 2L && m(1.5) == 1L)
+      assert(m.exists { case (k, v) => k.isNaN && v == 2L }, m.toString)
     }
   }
 
@@ -170,6 +181,15 @@ class ExtensionsSqlSpec extends AnyFunSuite {
         assert(!multi.queryExecution.optimizedPlan.toString
           .contains("array_histogram"),
           "multi-aggregate explode must stay exact/stock")
+        // count(NULL) is 0 per group, never the occurrence sum — must not
+        // be rewritten
+        val cntNull = graft.Tables.load(s, graft.TestSpark.Sf0001, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(null)).as("n"))
+        assert(!cntNull.queryExecution.optimizedPlan.toString
+          .contains("array_histogram"), "count(NULL) must stay stock")
+        assert(cntNull.limit(5).collect().forall(_.getLong(1) == 0L))
       } finally s.conf.set(RewriteExplodeCountToHistogram.FlagKey, "false")
     }
   }

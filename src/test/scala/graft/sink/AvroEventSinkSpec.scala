@@ -413,7 +413,8 @@ class RolloverWriterSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("rollsize").toFile
     val clock = new TickableClock(T0)
     val w = new DatePartitionedAvroWriter(base, AvroEventSink.avroSchema,
-      clock, "a665f132", Duration.ofMinutes(30), maxFileBytes = 1L)
+      clock, "a665f132", Duration.ofMinutes(30), maxFileBytes = 1L,
+      sizeCheckEvery = 1L)
     (1 to 4).foreach(i => w.write(rec(s"id$i")))
     w.close()
     val fs = filesIn(new File(base, "2022-12-25"))
