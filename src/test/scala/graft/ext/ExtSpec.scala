@@ -537,6 +537,45 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty, "blocking produced no pairs at sf0.001 — vacuous")
   }
 
+  test("jaccard ngram: brute-force blocked + df-capped reconstruction") {
+    // independent reconstruction of the r11 semantics (df-capped
+    // candidate blocking, exact full-set scoring) — in particular it
+    // re-derives the output WITHOUT the exact-pruning upper bound, so a
+    // bound that ever dropped a qualifying pair would fail here
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    case class D(id: Long, bg: Set[String])
+    val grouped: Map[(String, Int), Seq[D]] = docs.toSeq
+      .flatMap { case (id, lang, text) =>
+        val toks = text.split(" ", -1) // Spark split keeps empties
+        if (toks.length >= 2) {
+          val bg = (1 until toks.length)
+            .map(i => toks(i - 1) + " " + toks(i)).toSet
+          Seq(((lang, toks.length / 20), D(id, bg)))
+        } else Seq.empty
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val exp = grouped.values.flatMap { grp =>
+      val dfc: Map[String, Int] = grp.flatMap(_.bg.toSeq)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val surviving = dfc.filter(kv => kv._2 >= 2 && kv._2 <= 50).keySet
+      for {
+        a <- grp; b <- grp
+        if a.id < b.id
+        shared = a.bg.intersect(b.bg)
+        if shared.exists(surviving)
+        ni = shared.size
+        j = BigDecimal(ni.toDouble / (a.bg.size + b.bg.size - ni))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.3
+      } yield (a.id, b.id, j)
+    }.toSet
+    val got = Dedup.xJaccardNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(got.nonEmpty, "blocking produced no pairs at sf0.001 — vacuous")
+  }
+
   test("snm pairs: brute-force blocked sorted-neighborhood reconstruction") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
