@@ -46,8 +46,8 @@ object ScaleProbe {
     "a_readiness_scorecard", "a_dialect_complexity", "a_wave_cut_cost",
     // next tier (r11): the remaining bench top-10 batch queries, so the
     // measured-coverage frontier tracks the cost ranking, not history
-    "x_canonical_docs", "x_dup_clusters", "x_repeated_spans",
-    "x_containment_pairs")
+    "x_canonical_docs", "x_dup_clusters", "x_dup_quality",
+    "x_repeated_spans", "x_containment_pairs")
 
   /** How many of the WORST measured 10× ratios get a second octave (30×)
     * and a fitted exponent — derived from the rows the run just computed,

@@ -464,7 +464,12 @@ object Dedup {
         struct(col("doc_id"), size(col("bg")).cast("bigint").as("n_bg"))
           .as("e"))
       .groupBy("lang", "bucket", "g")
-      .agg(sort_array(collect_list(col("e"))).as("entries"))
+      // collect UNSORTED: only the cand branch needs order, and sorting
+      // there — after the size filter — touches only <=dfCap-element
+      // arrays, never the heaviest capped lists (review r11); the
+      // aggregate body executes once per branch (the exchange is what's
+      // reused), so keeping it minimal pays twice
+      .agg(collect_list(col("e")).as("entries"))
     // EXACT candidate pruning (pure optimization — the result set and the
     // oracle are untouched): the pair expansion keeps one row per SHARED
     // SURVIVING gram, so the group-count `ni_s` is the pair's exact count
@@ -478,6 +483,7 @@ object Dedup {
     // 10.8 -> 6.6 s / 40.5 -> 33.8 s at 10x with byte-identical output.
     val cand = grouped
       .filter(size(col("entries")).between(2, dfCap))
+      .select(sort_array(col("entries")).as("entries"))
       .select(explode(expr(
         """flatten(transform(entries, (a, i) ->
           |  transform(slice(entries, i + 2, size(entries)), b ->

@@ -291,14 +291,27 @@ class PlanSpec extends AnyFunSuite {
     // on the QUADRATIC in-bucket pair set, where it measured 92 s at sf0.1)
     val df = graft.ext.Dedup.xJaccardNgram(spark, dir)
     val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.contains("sort_array(collect_list("),
+    assert(opt.contains("collect_list("),
       s"posting-list aggregate missing:\n${opt.take(2000)}")
+    // the sort lives OUTSIDE the aggregate, after the df-cap filter, so
+    // only <=dfCap-element arrays are ever sorted — sorting inside the
+    // aggregate would sort the heaviest capped lists, twice (review r11)
+    assert(opt.contains("sort_array(entries"),
+      s"pair expansion must sort the capped posting lists:\n${opt.take(2000)}")
+    assert(!opt.contains("sort_array(collect_list("),
+      s"sort must not run inside the shared aggregate:\n${opt.take(2000)}")
     // the candidate and capped-count branches both consume the grouped
     // gram index — the logical plan duplicates that subtree, but the
     // PHYSICAL index exchange must be computed once and reused (the 25M-
     // row-per-sf0.1 gram shuffle is the dominant cost; shuffling it twice
     // would double it)
     val plan = planOf(df)
+    // pin the SPECIFIC exchange: the (lang, bucket, gram) index shuffle
+    // must appear exactly once as a real Exchange — a bare
+    // contains("ReusedExchange") would pass vacuously off the ca/cb
+    // capped-count reuse even if the index were shuffled twice
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).length == 1,
+      s"gram-index exchange must be computed exactly once:\n${plan.take(3000)}")
     assert(plan.contains("ReusedExchange"),
       s"gram-index exchange must be shared by both branches:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
