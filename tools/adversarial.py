@@ -15,6 +15,10 @@ Every corpus is the sf0.001 tables with targeted damage injected:
           indexing parity)
   longdoc 10k+-token and single-huge-line documents (chunk/packing window
           bounds, shingle-array blowup, regex scaling on one line)
+  skew    90% of docs in ONE (lang, length-bucket) blocking cell, 90% of
+          events from ONE user (hot-key correctness for the blocked
+          pair-joins and per-user windows; the df caps and rank windows
+          must absorb the hot cell, not explode it)
 
 Usage: python3 tools/adversarial.py [corpus ...]   (default: all)
 Requires: duckdb, pyarrow; sbt on PATH; run from the repo root.
@@ -136,6 +140,38 @@ def build_longdoc():
     return d
 
 
+def build_skew():
+    # KEY SKEW, not dirty values (VERDICT r11 #5): 90% of documents land in
+    # ONE (lang, length-bucket) blocking cell — the worst case for every
+    # blocked pair-join (jaccard, SNM, minhash-band all key on lang and/or
+    # a length/prefix block) — and 90% of events come from ONE user (hot
+    # key for every per-user aggregate/window). Text is truncated to 25
+    # tokens so the docs share length bucket 1 (bucketWidth=20), lang is
+    # forced to 'en'; every 10th row keeps its original shape so the cold
+    # keys still exist. n_chars is recomputed to stay consistent.
+    d = base_corpus("skew")
+    duckdb.sql(f"""
+      COPY (SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0 THEN text
+                   ELSE array_to_string(string_split(text, ' ')[1:25], ' ')
+              END AS text,
+              CASE WHEN doc_id % 10 = 0 THEN lang ELSE 'en' END AS lang,
+              source,
+              len(CASE WHEN doc_id % 10 = 0 THEN text
+                       ELSE array_to_string(string_split(text, ' ')[1:25], ' ')
+                  END) AS n_chars
+            FROM '{SF}/documents.parquet')
+      TO '{d}/documents.parquet' (FORMAT parquet)""")
+    # duckdb preserves the source ts unit (ns/us) via * REPLACE, unlike a
+    # hand-built arrow table
+    duckdb.sql(f"""
+      COPY (SELECT * REPLACE (
+              CASE WHEN event_id % 10 = 0 THEN user_id ELSE 42 END AS user_id)
+            FROM '{SF}/events.parquet')
+      TO '{d}/events.parquet' (FORMAT parquet)""")
+    return d
+
+
 def build_unicode():
     return docs_variant("unicode", """
       (9301, '这是 一段 中文 文本 用于 测试 引擎 的 行为 这是 重复 的 文本', 'zh', 'syn', 36),
@@ -152,6 +188,7 @@ BUILDERS = {
     "zerovec": build_zerovec,
     "unicode": build_unicode,
     "longdoc": build_longdoc,
+    "skew": build_skew,
 }
 
 
