@@ -55,6 +55,29 @@ object ScaleProbe {
     * query is steepest NOW, per review r11). */
   val OctaveCount: Int = 2
 
+  /** Marker written by [[synthesize]] and validated by [[ensureCorpus]]:
+    * existence-only reuse silently accepted a dir from an older layout or
+    * a different factor, quietly corrupting the fitted exponents (ADVICE
+    * r11). The marker records the factor + source; reuse requires a match. */
+  private def markerFile(outDir: String) = new java.io.File(outDir, "_FACTOR")
+
+  /** Reuse `outDir` only if its marker says it was built from `srcDir`
+    * with exactly `factor`; otherwise (re)synthesize. */
+  def ensureCorpus(s: SparkSession, srcDir: String, outDir: String,
+                   factor: Int): Unit = {
+    val want = s"factor=$factor src=$srcDir"
+    val m = markerFile(outDir)
+    val have = if (m.exists())
+      Some(java.nio.file.Files.readString(m.toPath).trim) else None
+    if (!have.contains(want)) {
+      if (new java.io.File(outDir).exists())
+        println(s"[scale] $outDir marker ${have.getOrElse("ABSENT")} != " +
+          s"'$want' — resynthesizing")
+      else println(s"[scale] synthesizing ${factor}x corpus at $outDir")
+      synthesize(s, srcDir, outDir, factor)
+    }
+  }
+
   /** Build a `factor`× dir: documents/embeddings/events get `factor`
     * re-keyed, perturbed copies; every other table is carried over
     * unchanged (the probe queries don't scale with them). */
@@ -104,6 +127,11 @@ object ScaleProbe {
         s.read.parquet(src.toString).write.mode("overwrite")
           .parquet(s"$outDir/$t.parquet")
     }
+    // marker LAST: a crash mid-synthesis must not leave a dir that
+    // ensureCorpus would accept
+    java.nio.file.Files.writeString(markerFile(outDir).toPath,
+      s"factor=$factor src=$srcDir\n")
+    ()
   }
 
   /** Least-squares slope of log(t) on log(n) — the growth exponent
@@ -119,37 +147,68 @@ object ScaleProbe {
     num / den
   }
 
+  private def pass(s: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(s, dir).queryExecution.toRdd.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    dt
+  }
+
+  // two passes; the SECOND is the number (first absorbs cold listing +
+  // codegen + page-cache first touch of the scaled directory)
+  private def measure(s: SparkSession, name: String, dir: String)
+      : (Double, Double) = {
+    val first = pass(s, name, dir)
+    val second = pass(s, name, dir)
+    (first, second)
+  }
+
+  /** Cap-saturation octave (VERDICT r11 #2): one more decade for the
+    * queries whose 1×/10×/30× fits leaned on the first decade — measure
+    * 30× and ~100× second-pass times and report the 30×→100× LEG exponent
+    * alone (log(t100/t30)/log(100/30)), the number that says whether the
+    * df-cap has started absorbing growth or the last leg is still ~linear.
+    * `runMain graft.ScaleProbe x100 [query,...]` (default: the two 0.89-
+    * fit queries from the r11 table). */
+  def runX100(s: SparkSession, srcDir: String, base: String,
+              queries: Seq[String]): Unit = {
+    val d30 = base + "_x30"
+    val d100 = base + "_x100"
+    ensureCorpus(s, srcDir, d30, 30)
+    ensureCorpus(s, srcDir, d100, 100)
+    s.range(1000).selectExpr("sum(id)").collect()
+    println("| query | 30x s | 100x s | 30x->100x leg exponent |")
+    println("|---|---|---|---|")
+    queries.foreach { q =>
+      val (_, t30) = measure(s, q, d30)
+      val (_, t100) = measure(s, q, d100)
+      val leg = math.log(t100 / t30) / math.log(100.0 / 30.0)
+      println(f"""{"query":"$q","x30_s":$t30%.2f,"x100_s":$t100%.2f,"leg_exponent":$leg%.3f}""")
+      println(f"| $q | $t30%.2f | $t100%.2f | $leg%.3f |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val base10 = args.headOption.getOrElse("/tmp/graft_sf1x10")
-    val base30 = base10 + "30"
     val srcDir = "/root/testdata/sf0.1"
     val s = Graft.session("graft-scale-probe", 32)
-    if (!new java.io.File(s"$base10/documents.parquet").exists()) {
-      println(s"[scale] synthesizing 10x corpus at $base10")
-      synthesize(s, srcDir, base10, factor = 10)
+    if (args.headOption.contains("x100")) {
+      val qs = if (args.length > 1) args(1).split(",").toSeq
+        else Seq("x_jaccard_ngram", "x_repeated_spans")
+      runX100(s, srcDir, "/tmp/graft_sf1", qs)
+      s.stop()
+      return
     }
-    if (!new java.io.File(s"$base30/documents.parquet").exists()) {
-      println(s"[scale] synthesizing 30x corpus at $base30")
-      synthesize(s, srcDir, base30, factor = 30)
-    }
+    val base10 = args.headOption.getOrElse("/tmp/graft_sf1x10")
+    val base30 = "/tmp/graft_sf1_x30"
+    ensureCorpus(s, srcDir, base10, 10)
+    ensureCorpus(s, srcDir, base30, 30)
     // same warmup + inter-query hygiene as Bench
     s.range(1000).selectExpr("sum(id)").collect()
     Tables.events(s, srcDir).count()
-    def pass(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(s, dir).queryExecution.toRdd.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
-      dt
-    }
-    // two passes; the SECOND is the number (first absorbs cold listing +
-    // codegen + page-cache first touch of the scaled directory)
-    def measure(name: String, dir: String): (Double, Double) = {
-      val first = pass(name, dir)
-      val second = pass(name, dir)
-      (first, second)
-    }
+    def measure(name: String, dir: String): (Double, Double) =
+      ScaleProbe.measure(s, name, dir)
     val rows = ProbeQueries.map { q =>
       val (a1, a2) = measure(q, srcDir)
       val (b1, b2) = measure(q, base10)
