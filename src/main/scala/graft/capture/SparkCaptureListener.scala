@@ -501,7 +501,13 @@ object SparkCaptureListener {
               // flips false even for a pruned-to-zero-files listing
               // (numFiles.value would conflate that with never-forced —
               // review r11); still-zero means the scan never executed and
-              // forcing either lazy val HERE would do the file listing
+              // forcing either lazy val HERE would do the file listing.
+              // SPARK-4.x COUPLING (ADVICE r11): the pruned-to-zero case
+              // relies on SQLMetric.add promoting a -1-initialized metric
+              // to 0 (verified in the pinned 4.1.2 jar); on Spark <= 3.5
+              // add() does not promote, so there a zero-file listing would
+              // read as never-forced and drop out of partitionsRead —
+              // re-verify this sentinel before any backport
               scan.metrics.get("filesSize").exists(!_.isZero) =>
           val label = scan.tableIdentifier
             .map(t => (t.database.toSeq :+ t.table).mkString("@"))

@@ -237,22 +237,24 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    if (!spark.experimental.extraOptimizations
-        .exists(_ eq PushFilterThroughAsOfJoin)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
-    }
-    if (!spark.experimental.extraOptimizations
-        .exists(_ eq PruneAsOfJoinColumns)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
-    }
+    // Dual-registry guard for the rules, mirroring the strategy guard
+    // above (ADVICE r11): `optimizer.batches` reflects BOTH registries —
+    // extension-injected rules land in the operator-optimization batches
+    // and experimental extras in "User Provided Optimizers" — so a session
+    // built with GraftExtensions doesn't get each (idempotent, but
+    // per-pass) rewrite appended and run a second time. The explicit
+    // extraOptimizations check stays as a belt against an Optimizer whose
+    // batches are assembled differently.
+    def registered(r: Rule[LogicalPlan]): Boolean =
+      spark.experimental.extraOptimizations.exists(_ eq r) ||
+        ss.optimizer.batches.exists(_.rules.exists(_ eq r))
     // the flag-gated acceleration rewrites ride along on the imperative
     // path too, so a session installed via asofJoin() (not GraftExtensions)
     // can still flip spark.graft.approxDistinct/approxPercentile.enabled
-    Seq(RewriteCountDistinctToSketch, RewritePercentileToApprox,
+    Seq(PushFilterThroughAsOfJoin, PruneAsOfJoinColumns,
+        RewriteCountDistinctToSketch, RewritePercentileToApprox,
         RewriteExplodeCountToHistogram).foreach { r =>
-      if (!spark.experimental.extraOptimizations.exists(_ eq r)) {
+      if (!registered(r)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
       }

@@ -62,6 +62,14 @@ object RewriteCountDistinctToSketch extends Rule[LogicalPlan] {
   * an integer column would change the result type of an already-resolved
   * plan), unit frequency, no FILTER clause, non-distinct. Everything else
   * keeps exact semantics.
+  *
+  * `median(x)` needs no arm of its own: `Median` is RuntimeReplaceable,
+  * and the optimizer's Finish-Analysis batch rewrites it to
+  * `Percentile(x, 0.5)` before EITHER registry this rule can live in runs
+  * (extension-injected rules sit in the operator-optimization batches,
+  * experimental extras in "User Provided Optimizers" — both later). A
+  * DOUBLE median is therefore rewritten and an integer median kept exact
+  * by the same guards, pinned by ExtensionsSqlSpec's median arms.
   */
 object RewritePercentileToApprox extends Rule[LogicalPlan] {
   val FlagKey = "spark.graft.approxPercentile.enabled"

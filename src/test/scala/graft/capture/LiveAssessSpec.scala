@@ -111,4 +111,56 @@ class LiveAssessSpec extends AnyFunSuite {
       } finally { log.unpersist(); () }
     } finally SparkCaptureListener.uninstall(spark, l)
   }
+
+  test("scorecard over a log written by two concurrent drainers (stretch r11 #8)") {
+    // Two full capture pipelines drain the SAME workload into ONE parquet
+    // log tree (the multi-tenant shape; each drainer is a "host"). The
+    // assessment contract: readLatestEvents' (QueryId, EventType) dedupe
+    // collapses the per-writer copies, so per-user attribution — query
+    // counts, templates, readiness score — is identical to a single-
+    // writer capture; interleaved multi-writer capture must never double
+    // a user's workload.
+    val tag = s"ma_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis() - 1000)
+    val dir = Files.createTempDirectory("graft_live_multi").toString
+    val dA = new CaptureDrainer(spark, dir, intervalMs = 200L)
+    val dB = new CaptureDrainer(spark, dir, intervalMs = 200L)
+    val n = 4
+    def mine = graft.sink.EventSink.readAsEvents(spark, dir)
+      .filter(col("StartTime") >= lit(t0) &&
+        col("QueryText").contains(tag))
+    // the awaitUntil polls embed the tag literal in their own plan text
+    // and would be captured as part of the workload (the cap_live_fail
+    // lesson); run them under the production self-tag so both listeners
+    // suppress them and the raw-row arithmetic below stays exact
+    def selfTagged[T](body: => T): T = {
+      val sc = spark.sparkContext
+      sc.addJobTag(SparkCaptureListener.SelfTag)
+      try body finally sc.removeJobTag(SparkCaptureListener.SelfTag)
+    }
+    try {
+      (1 to n).foreach(i =>
+        spark.range(30 + i).selectExpr(s"sum(id) AS ${tag}_q$i").collect())
+      awaitUntil()(selfTagged(scala.util.Try(
+        mine.filter(col("EventType") === "QUERY_COMPLETED").count() >= 2L * n
+      ).getOrElse(false)))
+    } finally { dA.close(); dB.close() }
+    // the raw tree really is multi-writer: two copies of each lifecycle
+    // event (one per drainer), collapsed exactly-once by the read path
+    val raw = mine
+    assert(raw.count() == 4L * n, // n queries x 2 events x 2 writers
+      s"raw multi-writer log rows: ${raw.count()}")
+    val captured = graft.sink.EventSink.readLatestEvents(spark, dir)
+      .filter(col("StartTime") >= lit(t0) && col("QueryText").contains(tag))
+    assert(captured.count() == 2L * n, "dedupe left one row per event")
+    val log = graft.assess.Migration.liveQueryLog(captured)
+    assert(log.count() == n.toLong, "one log row per execution")
+    val sc = graft.assess.Migration.liveReadinessScorecard(log).collect()
+    assert(sc.length == 1, "one submitting user in this JVM")
+    val row = sc.head
+    assert(row.getAs[Long]("n_queries") == n.toLong,
+      s"multi-writer capture doubled the user's workload: $row")
+    assert(row.getAs[Double]("fail_ratio") == 0.0)
+    assert(row.getAs[String]("user_id") != null)
+  }
 }

@@ -39,6 +39,29 @@ class ExtensionsSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureRegistered skips rules a GraftExtensions session already has") {
+    // ADVICE r11: on an extensions-built session the rules live in the
+    // optimizer's own batches; appending them to extraOptimizations again
+    // ran each (idempotent) rewrite twice per optimization pass. The
+    // imperative path must detect both registries — and stay idempotent
+    // itself on a plain session.
+    withExtensionSession { s =>
+      AsOfJoin.ensureRegistered(s)
+      assert(s.experimental.extraOptimizations.isEmpty,
+        s"extensions session got duplicate appends: " +
+          s"${s.experimental.extraOptimizations.map(_.ruleName)}")
+    }
+    val plain = graft.TestSpark.spark
+    val before = plain.experimental.extraOptimizations
+    AsOfJoin.ensureRegistered(plain)
+    val after = plain.experimental.extraOptimizations
+    assert(after.count(_ eq PushFilterThroughAsOfJoin) == 1)
+    assert(after.count(_ eq RewritePercentileToApprox) == 1)
+    AsOfJoin.ensureRegistered(plain) // second call: no growth
+    assert(plain.experimental.extraOptimizations.size == after.size)
+    assert(before.forall(r => after.exists(_ eq r)), "existing rules kept")
+  }
+
   test("extension session resolves cosine_sim through spark.sql") {
     withExtensionSession { s =>
       val r = s.sql(
@@ -106,13 +129,20 @@ class ExtensionsSqlSpec extends AnyFunSuite {
           // has no reverse arm, must stay exact (= ASC p10, checked below)
           expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value DESC)")
             .as("p90_desc"),
-          expr("percentile(value, 0.1)").as("p10"))
+          expr("percentile(value, 0.1)").as("p10"),
+          // Median is RuntimeReplaceable: the optimizer's Finish-Analysis
+          // batch turns it into Percentile(x, 0.5) BEFORE either rule
+          // registry runs, so the rewrite covers median() with no Median
+          // arm (VERDICT r11 watch item 4(a) measured stale — directive #7)
+          expr("median(value)").as("med"), // DOUBLE → eligible via replace
+          expr("median(user_id)").as("med_int")) // int-typed: stays exact
       // flag off (default): exact plan, exact answers
       val exactPlan = q.queryExecution.optimizedPlan.toString
       assert(!exactPlan.contains("percentile_approx") &&
         !exactPlan.contains("approx_percentile"), exactPlan)
       val exact = q.collect().map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
       s.conf.set(RewritePercentileToApprox.FlagKey, "true")
       try {
         val plan = q.queryExecution.optimizedPlan.toString
@@ -122,13 +152,23 @@ class ExtensionsSqlSpec extends AnyFunSuite {
         // the integer-typed and reverse percentiles keep exact Percentile
         assert("percentile\\((user_id|cast)".r.findFirstIn(plan).isDefined,
           s"integer-typed percentile must stay exact:\n$plan")
+        // the DOUBLE median was replaced + rewritten: p90/p10/med are three
+        // approx sites, and no unreplaced median() survives in the plan
+        assert(!plan.contains("median("),
+          s"median must be replaced before the rewrite:\n$plan")
+        assert("percentile_approx\\(value".r.findAllIn(plan).size >= 3,
+          s"median(value) should be a third percentile_approx site:\n$plan")
         q.collect().foreach { r =>
-          val (p90, p90Int, p90Desc, _) = exact(r.getString(0))
+          val (p90, p90Int, p90Desc, _, med, medInt) = exact(r.getString(0))
           assert(r.getDouble(2) == p90Int, "exact integer arm changed")
           assert(r.getDouble(3) == p90Desc, "reverse arm changed")
+          assert(r.getDouble(6) == medInt, "exact integer median changed")
           // GK sketch at default accuracy: tight on 12k rows
           assert(math.abs(r.getDouble(1) - p90) <= math.max(0.05 * p90, 1.0),
             s"p90 estimate ${r.getDouble(1)} vs exact $p90")
+          assert(math.abs(r.getDouble(5) - med) <=
+            math.max(0.05 * math.abs(med), 1.0),
+            s"median estimate ${r.getDouble(5)} vs exact $med")
         }
       } finally s.conf.set(RewritePercentileToApprox.FlagKey, "false")
     }
