@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * into the scaling ratio (x_edit_pairs' 10× ratio read 1.14 with
   * single-pass timing — mostly overhead, not scaling).
   *
-  * Usage: `runMain graft.ScaleProbe [outDirBase]` — writes the corpora
-  * (once; reused if present) at `<base>` and `<base>30`, prints one JSON
-  * line per query and summary tables.
+  * Usage: `runMain graft.ScaleProbe [probe] [base]` or
+  * `runMain graft.ScaleProbe x100 [queries] [base]` — writes the corpora
+  * (once; factor-marker-validated reuse) at `<base>_x10` / `<base>_x30` /
+  * `<base>_x100`, prints one JSON line per query and summary tables.
   */
 object ScaleProbe {
 
@@ -83,6 +84,10 @@ object ScaleProbe {
     * unchanged (the probe queries don't scale with them). */
   def synthesize(s: SparkSession, srcDir: String, outDir: String,
                  factor: Int = 10): Unit = {
+    // drop any stale marker FIRST (ADVICE r12): a crash mid-resynthesis at
+    // a NEW factor must not leave mixed-factor tables under a still-valid
+    // OLD marker that a later ensureCorpus for the old factor would accept
+    java.nio.file.Files.deleteIfExists(markerFile(outDir).toPath)
     val copies = s.range(factor).select(col("id").cast("int").as("copy"))
     val f = lit(factor.toLong)
     def nfold(name: String)(rekey: DataFrame => DataFrame): Unit = {
@@ -190,18 +195,28 @@ object ScaleProbe {
     }
   }
 
+  /** Subcommand-style args (ADVICE r12 — one base governs every scaled
+    * dir, so a custom base can't produce a split layout):
+    * `runMain graft.ScaleProbe [probe] [base]` — the 1×/10×/30× sweep over
+    * `<base>_x10` / `<base>_x30`;
+    * `runMain graft.ScaleProbe x100 [q1,q2,...] [base]` — the 30×→100×
+    * octave over `<base>_x30` / `<base>_x100`.
+    * Default base `/tmp/graft_sf1` (factor markers make reuse safe). */
   def main(args: Array[String]): Unit = {
     val srcDir = "/root/testdata/sf0.1"
     val s = Graft.session("graft-scale-probe", 32)
     if (args.headOption.contains("x100")) {
-      val qs = if (args.length > 1) args(1).split(",").toSeq
+      val qs = if (args.length > 1 && args(1).nonEmpty) args(1).split(",").toSeq
         else Seq("x_jaccard_ngram", "x_repeated_spans")
-      runX100(s, srcDir, "/tmp/graft_sf1", qs)
+      val base = if (args.length > 2) args(2) else "/tmp/graft_sf1"
+      runX100(s, srcDir, base, qs)
       s.stop()
       return
     }
-    val base10 = args.headOption.getOrElse("/tmp/graft_sf1x10")
-    val base30 = "/tmp/graft_sf1_x30"
+    val base = (if (args.headOption.contains("probe")) args.drop(1)
+                else args).headOption.getOrElse("/tmp/graft_sf1")
+    val base10 = base + "_x10"
+    val base30 = base + "_x30"
     ensureCorpus(s, srcDir, base10, 10)
     ensureCorpus(s, srcDir, base30, 30)
     // same warmup + inter-query hygiene as Bench

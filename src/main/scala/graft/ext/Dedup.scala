@@ -947,11 +947,22 @@ object Dedup {
     * orders past the max in-block df observed at sf0.1 = 63); grams past
     * it would be excluded from truth — at that frequency they appear in
     * essentially every doc of the block and carry no pair information,
-    * and the oracle mirrors the ceiling exactly. */
+    * and the oracle mirrors the ceiling exactly. A HIT ceiling would
+    * silently undercount truth Jaccard and break the min_df≤cap
+    * equivalence (ADVICE r12), so the ceiling is ASSERTED against the
+    * corpus's actual max in-block df — a bigger/skewed corpus fails loud
+    * ("raise the ceiling"), never quietly mis-measures recall. */
   private[ext] def jaccardTruthPairs(s: SparkSession, dir: String,
                                      bucketWidth: Int = 20,
-                                     truthDfCeil: Int = 10000): DataFrame =
-    bigramPostings(bigramDocs(s, dir, bucketWidth))
+                                     truthDfCeil: Int = 10000): DataFrame = {
+    val postings = bigramPostings(bigramDocs(s, dir, bucketWidth))
+    val maxDfRow = postings.agg(max(size(col("entries")))).head()
+    val maxDf = if (maxDfRow.isNullAt(0)) 0 else maxDfRow.getInt(0)
+    require(maxDf <= truthDfCeil,
+      s"jaccard truth: max in-block df $maxDf exceeds truthDfCeil=" +
+        s"$truthDfCeil — truth pairs would be silently excluded; raise " +
+        "the ceiling (and budget its df^2 expansion) or sample the corpus")
+    postings
       .filter(size(col("entries")).between(2, truthDfCeil))
       .select(size(col("entries")).cast("bigint").as("df"),
         sort_array(col("entries")).as("entries"))
@@ -963,6 +974,7 @@ object Dedup {
         round(col("ni").cast("double") /
           (col("n_a") + col("n_b") - col("ni")), 4).as("jac"),
         col("min_df"))
+  }
 
   /** Recall of [[xJaccardNgram]]'s df-cap — the knob VERDICT r11 called
     * "asserted, never measured" — against exact uncapped truth, reported

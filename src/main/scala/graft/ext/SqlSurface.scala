@@ -72,8 +72,11 @@ object SqlSurface {
     * asserts the MG guarantee per hot key (present, and
     * `exact − N/(k+1) ≤ est ≤ exact`), which is merge-order-independent —
     * the `x_ndv_sketch` idiom, since surviving low-count counters may vary
-    * with partition order. Hot keys carry ≈ N/8 > N/17 at every sf, so
-    * presence is guaranteed, never lucky. */
+    * with partition order. On the standard corpus hot keys carry
+    * ≈ N/8 > N/17, so every verdict bit fires; on a SKEWED corpus (one
+    * user owning 90% of events) the other hot keys fall below N/17 where
+    * MG makes no promise — those rows report NULL verdicts via the
+    * `n_exact * 17 > n_total` gate instead of a merge-order coin flip. */
   /** The skewed key stream shared by [[xHeavyHitters]] and the streaming
     * round trip ([[graft.capture.CaptureDemo]] `cap_stream_topk`): half the
     * events on 4 hot keys, the rest near-unique. */
@@ -88,17 +91,28 @@ object SqlSurface {
 
   /** Full exact (key, n_exact) counts joined against a (key, est) sketch
     * frame: per hot key, presence and the MG guarantee
-    * `n_exact − N/(k+1) ≤ est ≤ n_exact` (N = all keys' total). */
+    * `n_exact − N/(k+1) ≤ est ≤ n_exact` (N = all keys' total).
+    *
+    * The verdict bits are GATED on the guarantee: MG only promises
+    * survival for keys with count > N/(k+1) ([[graft.functions.
+    * FreqSketchMG]]'s contract — below that, survivorship depends on
+    * partition/merge order, so `found`/`est_ok` would be
+    * nondeterministic). Sub-threshold hot keys report NULL: still listed
+    * with their exact count, but the sketch makes no claim about them.
+    * Integer form `n_exact * (k+1) > n_all` avoids float-division
+    * divergence between engines. */
   private[graft] def hotKeyVerdict(exact: DataFrame, est: DataFrame,
                                    k: Int): DataFrame = {
     val total = exact.agg(sum("n_exact").as("n_all"))
     val hot = exact.filter(col("key").startsWith("hot"))
+    val guaranteed = col("n_exact") * (k + 1) > col("n_all")
     hot.join(est, Seq("key"), "left")
       .crossJoin(broadcast(total))
       .select(col("key"), col("n_exact"),
-        col("est").isNotNull.as("found"),
-        (col("est").isNotNull && col("est") <= col("n_exact") &&
-          col("est") >= col("n_exact") - (col("n_all") / (k + 1)).cast("long"))
+        when(guaranteed, col("est").isNotNull).as("found"),
+        when(guaranteed,
+          col("est").isNotNull && col("est") <= col("n_exact") &&
+            col("est") >= col("n_exact") - (col("n_all") / (k + 1)).cast("long"))
           .as("est_ok"))
       .orderBy("key")
   }
@@ -107,17 +121,19 @@ object SqlSurface {
     graft.functions.FreqSketchMG.register(s)
     hotColdKeys(s, dir).createOrReplaceTempView("graft_hh_keys")
     s.sql("""
-      WITH sk AS (SELECT freq_sketch(key, 16) AS m,
-                         count(*) AS n_total FROM graft_hh_keys),
-      est AS (SELECT explode(m) AS (key, est), n_total FROM sk),
+      WITH sk AS (SELECT freq_sketch(key, 16) AS m FROM graft_hh_keys),
+      tot AS (SELECT count(*) AS n_total FROM graft_hh_keys),
+      est AS (SELECT explode(m) AS (key, est) FROM sk),
       hot AS (SELECT key, count(*) AS n_exact FROM graft_hh_keys
               WHERE key LIKE 'hot%' GROUP BY key)
       SELECT hot.key, hot.n_exact,
-             est.est IS NOT NULL AS found,
-             (est.est IS NOT NULL AND est.est <= hot.n_exact AND
-              est.est >= hot.n_exact - CAST(est.n_total / 17 AS BIGINT))
-               AS est_ok
-      FROM hot LEFT JOIN est ON hot.key = est.key
+             CASE WHEN hot.n_exact * 17 > tot.n_total
+                  THEN est.est IS NOT NULL END AS found,
+             CASE WHEN hot.n_exact * 17 > tot.n_total
+                  THEN (est.est IS NOT NULL AND est.est <= hot.n_exact AND
+                        est.est >= hot.n_exact
+                          - CAST(tot.n_total / 17 AS BIGINT)) END AS est_ok
+      FROM hot CROSS JOIN tot LEFT JOIN est ON hot.key = est.key
       ORDER BY hot.key""")
   }
 
@@ -126,7 +142,8 @@ object SqlSurface {
     * kind's stream carries the same 4 hot keys at ≈ N_kind/8, so the MG
     * guarantee holds within every group independently. Verdict rows are
     * (kind × hot key)-bounded with the per-group error budget
-    * `N_kind/(k+1)`. */
+    * `N_kind/(k+1)`; bits below the per-group threshold report NULL (same
+    * guarantee gate as [[xHeavyHitters]], per group). */
   def xHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
     graft.functions.FreqSketchMG.register(s)
     Tables.events(s, dir)
@@ -139,19 +156,23 @@ object SqlSurface {
           .as("key"))
       .createOrReplaceTempView("graft_hhg_keys")
     s.sql("""
-      WITH sk AS (SELECT event_type, freq_sketch(key, 16) AS m,
-                         count(*) AS n_kind
+      WITH sk AS (SELECT event_type, freq_sketch(key, 16) AS m
                   FROM graft_hhg_keys GROUP BY event_type),
-      est AS (SELECT event_type, explode(m) AS (key, est), n_kind FROM sk),
+      tot AS (SELECT event_type, count(*) AS n_kind
+              FROM graft_hhg_keys GROUP BY event_type),
+      est AS (SELECT event_type, explode(m) AS (key, est) FROM sk),
       hot AS (SELECT event_type, key, count(*) AS n_exact
               FROM graft_hhg_keys WHERE key LIKE 'hot%'
               GROUP BY event_type, key)
       SELECT hot.event_type, hot.key, hot.n_exact,
-             est.est IS NOT NULL AS found,
-             (est.est IS NOT NULL AND est.est <= hot.n_exact AND
-              est.est >= hot.n_exact - CAST(est.n_kind / 17 AS BIGINT))
-               AS est_ok
-      FROM hot LEFT JOIN est
+             CASE WHEN hot.n_exact * 17 > tot.n_kind
+                  THEN est.est IS NOT NULL END AS found,
+             CASE WHEN hot.n_exact * 17 > tot.n_kind
+                  THEN (est.est IS NOT NULL AND est.est <= hot.n_exact AND
+                        est.est >= hot.n_exact
+                          - CAST(tot.n_kind / 17 AS BIGINT)) END AS est_ok
+      FROM hot JOIN tot ON hot.event_type = tot.event_type
+      LEFT JOIN est
         ON hot.event_type = est.event_type AND hot.key = est.key
       ORDER BY hot.event_type, hot.key""")
   }
@@ -176,27 +197,38 @@ object SqlSurface {
         |FROM p WHERE sim >= 0.1 ORDER BY vec_a, vec_b""".stripMargin,
     // Identical sketch to the Column-API form — shares its oracle.
     "x_sql_kmv" -> Dedup.oracles("x_kmv_sketch"),
-    // The oracle recomputes the exact hot-key counts; `found`/`est_ok` are
-    // literal true because the MG guarantee is unconditional.
-    // Per-group form: exact hot counts per kind; the per-group guarantee
-    // is unconditional, so found/est_ok are literal true.
+    // The oracle recomputes the exact hot-key counts; above the MG
+    // threshold (n_exact * 17 > N) `found`/`est_ok` are literal true
+    // because there the guarantee is unconditional; below it the sketch
+    // makes no claim and both engines must emit NULL.
+    // Per-group form: exact hot counts per kind, per-group threshold.
     "x_heavy_hitters_grouped" ->
       """WITH keyed AS (SELECT event_type, CASE WHEN event_id % 2 = 0
         |  THEN 'hot_' || CAST(user_id % 4 AS VARCHAR)
         |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |  AND value IS NOT NULL AND user_id IS NOT NULL)
-        |SELECT event_type, key, count(*) AS n_exact,
-        |true AS found, true AS est_ok
-        |FROM keyed WHERE key LIKE 'hot%' GROUP BY event_type, key
-        |ORDER BY event_type, key""".stripMargin,
+        |  AND value IS NOT NULL AND user_id IS NOT NULL),
+        |tot AS (SELECT event_type, count(*) AS n_kind FROM keyed
+        |        GROUP BY event_type),
+        |hot AS (SELECT event_type, key, count(*) AS n_exact FROM keyed
+        |        WHERE key LIKE 'hot%' GROUP BY event_type, key)
+        |SELECT hot.event_type, hot.key, hot.n_exact,
+        |CASE WHEN hot.n_exact * 17 > tot.n_kind THEN true END AS found,
+        |CASE WHEN hot.n_exact * 17 > tot.n_kind THEN true END AS est_ok
+        |FROM hot JOIN tot ON hot.event_type = tot.event_type
+        |ORDER BY hot.event_type, hot.key""".stripMargin,
     "x_heavy_hitters" ->
       """WITH keyed AS (SELECT CASE WHEN event_id % 2 = 0
         |  THEN 'hot_' || CAST(user_id % 4 AS VARCHAR)
         |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |  AND value IS NOT NULL AND user_id IS NOT NULL)
-        |SELECT key, count(*) AS n_exact, true AS found, true AS est_ok
-        |FROM keyed WHERE key LIKE 'hot%' GROUP BY key ORDER BY key""".stripMargin
+        |  AND value IS NOT NULL AND user_id IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_total FROM keyed),
+        |hot AS (SELECT key, count(*) AS n_exact FROM keyed
+        |        WHERE key LIKE 'hot%' GROUP BY key)
+        |SELECT key, n_exact,
+        |CASE WHEN n_exact * 17 > n_total THEN true END AS found,
+        |CASE WHEN n_exact * 17 > n_total THEN true END AS est_ok
+        |FROM hot CROSS JOIN tot ORDER BY key""".stripMargin
   )
 }
