@@ -527,6 +527,81 @@ object CaptureDemo {
       .orderBy("aspect")
   }
 
+  /** Multi-writer capture as a hard-gate row (VERDICT r12 #6 — the
+    * deployment shape was spec-only): TWO full live pipelines (hook →
+    * bounded buffer → daemon drain → reference-format Avro container
+    * writer), with distinct writer ids, run concurrently against ONE log
+    * tree — the multi-tenant shape where several hosts share a log
+    * directory, kept collision-free by the writer id embedded in every
+    * file name (reference `DatePartitionedRecordsWriterFactory.java:208-
+    * 214`, `IdGenerator.java:27-29`). Three tagged probes run under both;
+    * the verdict frame is constant by construction, so the DuckDB oracle
+    * pins: (a) file-name attribution is total and disjoint, (b) each
+    * writer independently captured all 3 probe lifecycles (6 events), and
+    * (c) the DISTRIBUTED read of the shared tree carries exactly one copy
+    * per writer (12 rows) that the (QueryId, EventType) dedupe collapses
+    * to the single-writer truth (6) — exactly-once end-to-end. */
+  def capLiveMulti(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"graft_multi_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livemulti_")
+    val base = new java.io.File(s"$tmp/log"); base.mkdirs()
+    val schema = graft.sink.AvroEventSink.avroSchema
+    val names = graft.model.QueryEvent.schema.fieldNames
+    def mkWriter(id: String) = new graft.sink.DatePartitionedAvroWriter(
+      base, schema, java.time.Clock.systemUTC(), id,
+      java.time.Duration.ofMinutes(30))
+    val wA = mkWriter("wrA"); val wB = mkWriter("wrB")
+    def sinkTo(w: graft.sink.DatePartitionedAvroWriter): DataFrame => Unit =
+      df => df.collect().foreach(r =>
+        w.write(graft.sink.AvroEventSink.toRecord(r, names, schema)))
+    def avroFiles: Seq[java.io.File] =
+      Option(base.listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.endsWith(".avro"))
+    // driver-side poll of the live tree (Try per file: a torn mid-append
+    // read just retries on the next poll — post-close reads are settled)
+    def tagged(fs: Seq[java.io.File]): Seq[(String, String)] = fs
+      .flatMap(f => scala.util.Try(
+        graft.sink.AvroEventSink.readRecords(f)).getOrElse(Seq.empty))
+      .filter(r => Option(r.get("QueryText")).exists(_.toString.contains(tag)))
+      .map(r => (Option(r.get("QueryId")).map(_.toString).getOrElse(""),
+        Option(r.get("EventType")).map(_.toString).getOrElse("")))
+    val dA = new CaptureDrainer(s, base.toString, intervalMs = 200L,
+      sink = Some(sinkTo(wA)))
+    val dB = new CaptureDrainer(s, base.toString, intervalMs = 200L,
+      sink = Some(sinkTo(wB)))
+    try {
+      (1 to 3).foreach(i =>
+        s.range(100L * i).selectExpr(s"sum(id) AS ${tag}_$i").collect())
+      def side(id: String) = tagged(avroFiles.filter(_.getName.contains(id)))
+      val deadline = System.currentTimeMillis() + 30000
+      while ((side("_wrA").size < 6 || side("_wrB").size < 6) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      require(side("_wrA").size >= 6 && side("_wrB").size >= 6,
+        s"multi-writer capture incomplete at $base: " +
+          s"A=${side("_wrA").size} B=${side("_wrB").size}")
+    } finally { dA.close(); dB.close(); wA.close(); wB.close() }
+    val files = avroFiles
+    val a = files.filter(_.getName.contains("_wrA"))
+    val b = files.filter(_.getName.contains("_wrB"))
+    val disjoint = a.nonEmpty && b.nonEmpty && a.size + b.size == files.size &&
+      files.map(_.getName).distinct.size == files.size
+    // exactly-once union through the DISTRIBUTED read path over BOTH
+    // writers' files at once
+    val frame = graft.sink.AvroEventSink.readAsFrame(s, base.toString)
+      .filter(col("QueryText").contains(tag))
+    val pre = frame.count()
+    val post = frame.select("QueryId", "EventType").distinct().count()
+    s.range(1).select(explode(map(
+      lit("files_disjoint"), lit(if (disjoint) "1" else "0"),
+      lit("union_deduped"), lit(post.toString),
+      lit("union_pre_dedupe"), lit(pre.toString),
+      lit("writer_a_events"), lit(tagged(a).distinct.size.toString),
+      lit("writer_b_events"), lit(tagged(b).distinct.size.toString)))
+      .as(Seq("aspect", "value")))
+      .orderBy("aspect")
+  }
+
   /** Streaming heavy hitters: the custom Misra–Gries
     * [[graft.functions.FreqSketchMG]] aggregate running INSIDE a streaming
     * aggregation — the skewed hot/cold key stream is staged as four
@@ -640,6 +715,7 @@ object CaptureDemo {
       "cap_live_lifecycle" -> capLiveLifecycle,
       "cap_live_entities" -> capLiveEntities,
       "cap_live_fail" -> capLiveFail,
+      "cap_live_multi" -> capLiveMulti,
       "cap_avro_roundtrip" -> capAvroRoundtrip)
 
   val oracles: Map[String, String] = Map(
@@ -721,6 +797,17 @@ object CaptureDemo {
         |  ('parts_written', 'day=2024-01-01;day=2024-01-02'),
         |  ('queue', 'pool_set'),
         |  ('session_id', 'present')) AS t(aspect, value)
+        |ORDER BY aspect""".stripMargin,
+    // Constant by construction: two concurrent writer pipelines over one
+    // log tree — disjoint file attribution, 6 events captured per writer,
+    // a 12-row distributed union that dedupes to the 6-event truth.
+    "cap_live_multi" ->
+      """SELECT aspect, value FROM (VALUES
+        |  ('files_disjoint', '1'),
+        |  ('union_deduped', '6'),
+        |  ('union_pre_dedupe', '12'),
+        |  ('writer_a_events', '6'),
+        |  ('writer_b_events', '6')) AS t(aspect, value)
         |ORDER BY aspect""".stripMargin,
     // Constant by construction: the failing probe's lifecycle, captured
     // live through the drainer and read from the sink — one paired
