@@ -29,7 +29,12 @@ object Graft {
       .builder()
       .master(s"local[$nCpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", nCpus.toString)
+      // On a cluster, shuffle partitions are sized to the DATA (~128-256 MB
+      // each), not to a fixed core count; SPARK_GRAFT_SHUFFLE lets the
+      // scale probes model that (the r13 100x octave showed a fixed 32
+      // saturating: each partition carried 100x the bytes and spilled).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", nCpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

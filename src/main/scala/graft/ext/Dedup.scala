@@ -955,14 +955,21 @@ object Dedup {
   private[ext] def jaccardTruthPairs(s: SparkSession, dir: String,
                                      bucketWidth: Int = 20,
                                      truthDfCeil: Int = 10000): DataFrame = {
-    val postings = bigramPostings(bigramDocs(s, dir, bucketWidth))
-    val maxDfRow = postings.agg(max(size(col("entries")))).head()
-    val maxDf = if (maxDfRow.isNullAt(0)) 0 else maxDfRow.getInt(0)
+    // checkpoint the shingled docs: the ceiling ASSERT and the truth
+    // pipeline both read them, and the assert's df probe is a count-only
+    // aggregate (map-side-combinable longs — never the collect_list
+    // posting arrays, whose extra build cost the r12 watch item forbids)
+    val docs = bigramDocs(s, dir, bucketWidth).localCheckpoint()
+    val maxDfRow = docs
+      .select(col("lang"), col("bucket"), explode(col("bg")).as("g"))
+      .groupBy("lang", "bucket", "g").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head()
+    val maxDf = if (maxDfRow.isNullAt(0)) 0L else maxDfRow.getLong(0)
     require(maxDf <= truthDfCeil,
       s"jaccard truth: max in-block df $maxDf exceeds truthDfCeil=" +
         s"$truthDfCeil — truth pairs would be silently excluded; raise " +
         "the ceiling (and budget its df^2 expansion) or sample the corpus")
-    postings
+    bigramPostings(docs)
       .filter(size(col("entries")).between(2, truthDfCeil))
       .select(size(col("entries")).cast("bigint").as("df"),
         sort_array(col("entries")).as("entries"))
