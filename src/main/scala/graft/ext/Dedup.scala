@@ -483,12 +483,33 @@ object Dedup {
                     threshold: Double = 0.3, bucketWidth: Int = 20,
                     dfCap: Int = 50): DataFrame = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
-    val docs = bigramDocs(s, dir, bucketWidth)
+    // materialize the two shared frames SERIALIZED (measured r13, second
+    // passes: sf0.1 8.0 -> ~4.6 s, 30x 131 -> ~52 s, 100x 391 -> ~165 s
+    // with the 30x->100x leg exponent staying sublinear at ~0.95):
+    //  - `docs` (shingled corpus): consumed by the posting build AND the
+    //    exact-scoring `sets` frame — uncached, the scoring arm re-scans
+    //    and re-shingles the whole corpus (shingle CPU, not the shuffle,
+    //    measured as the dominant local cost);
+    //  - `grouped` (the (lang, bucket, gram) index): consumed by the
+    //    candidate and capped-count branches — caching it keeps the
+    //    corpus-sized gram SHUFFLE at exactly one, the invariant that
+    //    dominates on a real cluster where exchanges cross the network
+    //    (pre-r13 this was ReusedExchange; a cache is robust to AQE
+    //    re-planning where plan-identity reuse is not).
+    // MEMORY_AND_DISK_SER, not localCheckpoint: deserialized gram arrays
+    // are 3-5x larger and squeezed execution memory at the 100x probe
+    // (localCheckpoint variant measured leg exponent 1.47; serialized
+    // persist 0.95). At 100 TB both caches are disk-backed spill; a
+    // deployment short on executor disk should drop the `docs` persist
+    // first — recomputing the shingle scan is cheap, re-shuffling the
+    // gram index is not.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val docs = bigramDocs(s, dir, bucketWidth).persist(ser)
     // one aggregation classifies every (lang, bucket, gram) group: lists
     // with 2..dfCap docs become posting lists (candidate generators);
     // lists past the cap only contribute to the per-doc capped-gram count
     // the pruning bound needs
-    val grouped = bigramPostings(docs)
+    val grouped = bigramPostings(docs).persist(ser)
     // EXACT candidate pruning (pure optimization — the result set and the
     // oracle are untouched): the pair expansion keeps one row per SHARED
     // SURVIVING gram, so the group-count `ni_s` is the pair's exact count
@@ -955,11 +976,13 @@ object Dedup {
   private[ext] def jaccardTruthPairs(s: SparkSession, dir: String,
                                      bucketWidth: Int = 20,
                                      truthDfCeil: Int = 10000): DataFrame = {
-    // checkpoint the shingled docs: the ceiling ASSERT and the truth
+    // materialize the shingled docs serialized (same reuse + footprint
+    // trade as [[xJaccardNgram]]): the ceiling ASSERT and the truth
     // pipeline both read them, and the assert's df probe is a count-only
     // aggregate (map-side-combinable longs — never the collect_list
     // posting arrays, whose extra build cost the r12 watch item forbids)
-    val docs = bigramDocs(s, dir, bucketWidth).localCheckpoint()
+    val docs = bigramDocs(s, dir, bucketWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val maxDfRow = docs
       .select(col("lang"), col("bucket"), explode(col("bg")).as("g"))
       .groupBy("lang", "bucket", "g").agg(count(lit(1)).as("df"))

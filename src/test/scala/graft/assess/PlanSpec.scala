@@ -300,20 +300,27 @@ class PlanSpec extends AnyFunSuite {
       s"pair expansion must sort the capped posting lists:\n${opt.take(2000)}")
     assert(!opt.contains("sort_array(collect_list("),
       s"sort must not run inside the shared aggregate:\n${opt.take(2000)}")
-    // the candidate and capped-count branches both consume the grouped
-    // gram index — the logical plan duplicates that subtree, but the
-    // PHYSICAL index exchange must be computed once and reused (the 25M-
-    // row-per-sf0.1 gram shuffle is the dominant cost; shuffling it twice
-    // would double it)
+    // r13 shape: the shingled docs AND the grouped gram index are both
+    // persisted SERIALIZED — the candidate and capped-count branches read
+    // the index CACHE (one gram shuffle, computed once, the invariant
+    // that matters when exchanges cross a real cluster's network) and the
+    // exact-scoring sets frames read the docs cache (one shingle pass —
+    // measured r13 as the dominant local cost: 8.0 -> ~4.6 s sf0.1,
+    // 131 -> ~15 s at 30x). The cache replaces the r11 ReusedExchange
+    // pin: plan-identity reuse broke the moment one consumer's pruning
+    // diverged, while a cache is robust to AQE re-planning.
+    assert(opt.contains("InMemoryRelation"),
+      s"shared frames must be cached:\n${opt.take(2000)}")
     val plan = planOf(df)
-    // pin the SPECIFIC exchange: the (lang, bucket, gram) index shuffle
-    // must appear exactly once as a real Exchange — a bare
-    // contains("ReusedExchange") would pass vacuously off the ca/cb
-    // capped-count reuse even if the index were shuffled twice
-    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).length == 1,
-      s"gram-index exchange must be computed exactly once:\n${plan.take(3000)}")
-    assert(plan.contains("ReusedExchange"),
-      s"gram-index exchange must be shared by both branches:\n${plan.take(2000)}")
+    assert(plan.split("InMemoryTableScan", -1).length - 1 >= 4,
+      s"both index branches and both sets sides must read the caches:\n${
+        plan.take(3000)}")
+    // serialized storage, not deserialized: gram arrays are 3-5x larger
+    // deserialized and squeezed execution memory at the 100x probe
+    // (localCheckpoint variant measured leg exponent 1.47 vs 0.95)
+    assert(plan.contains("StorageLevel(disk, memory, 1 replicas)") &&
+      !plan.contains("StorageLevel(disk, memory, deserialized"),
+      s"caches must be MEMORY_AND_DISK_SER:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
