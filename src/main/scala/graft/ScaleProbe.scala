@@ -224,7 +224,12 @@ object ScaleProbe {
     Tables.events(s, srcDir).count()
     def measure(name: String, dir: String): (Double, Double) =
       ScaleProbe.measure(s, name, dir)
-    val rows = ProbeQueries.map { q =>
+    // same dev-loop subset contract as Bench/Verify
+    val probeSet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(names => ProbeQueries.filter(names))
+      .getOrElse(ProbeQueries)
+    val rows = probeSet.map { q =>
       val (a1, a2) = measure(q, srcDir)
       val (b1, b2) = measure(q, base10)
       println(f"""{"query":"$q","sf01_s":$a2%.2f,"x10_s":$b2%.2f,"ratio":${b2 / a2}%.2f,"sf01_first_s":$a1%.2f,"x10_first_s":$b1%.2f}""")
