@@ -924,14 +924,20 @@ object Dedup {
     * DuckDB oracle mirrors with the same cap. */
   private[ext] def lshTruthPairs(s: SparkSession, dir: String,
                                  dfCap: Int): DataFrame = {
+    // serialized persists, not localCheckpoint: these two frames are
+    // CORPUS-sized (every (doc, shingle) row), and the 100x octave showed
+    // deserialized caches of corpus-sized string data squeezing execution
+    // memory 3-5x harder than their serialized form (x_jaccard_ngram's
+    // localCheckpoint variant: leg exponent 1.47 vs 0.95 serialized)
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val exploded = docsWithShingles(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-      .localCheckpoint() // df aggregate + the capped-index join re-read it
+      .persist(ser) // df aggregate + the capped-index join re-read it
     val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("shingle")
     val docShingles = exploded.join(rare, "shingle")
       .select("doc_id", "shingle")
-      .localCheckpoint() // both truth-join sides + the size aggregate
+      .persist(ser) // both truth-join sides + the size aggregate
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a").join(docShingles.as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -620,7 +620,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("every oracle-checked query stays under 200 shuffles budget sanity") {
-    // cheap guard against accidental quadratic plans sneaking in
+    // cheap guard against accidental quadratic plans sneaking in.
+    // Cache-free plans: a cached relation left by an earlier suite prints
+    // its child plan (joins included) once PER REFERENCE, inflating the
+    // string count for queries that share frames (r13: the jaccard/LSH
+    // persists made this order-dependent in the full run).
+    spark.catalog.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan.toString
       val joins = "Join".r.findAllIn(plan).length
