@@ -70,11 +70,25 @@ object Dedup {
     * expression and the whole shingle+md5 pipeline re-evaluates per band.) */
   private def docSignatures(s: SparkSession, dir: String,
                             bands: Int): DataFrame = {
+    // One md5 yields four independent-enough 8-hex-char chunks; bands past
+    // 4 salt the shingle (md5('1' || sh), md5('2' || sh), ...) so each
+    // extra digest buys four more bands. The salted digests are computed
+    // once per distinct shingle alongside the primary — the md5 cost grows
+    // with ceil(bands/4), never with band count alone — and the DuckDB
+    // oracles mirror the salt literally.
+    require(bands >= 1 && bands <= 12, s"bands=$bands outside 1..12")
+    val nHashes = (bands + 3) / 4
     val aggs = count(lit(1)).as("n_sh") +:
-      (0 until bands).map(i => min(substring(col("h"), 1 + 8 * i, 8)).as(s"b$i"))
-    docsWithShingles(s, dir)
+      (0 until bands).map(i =>
+        min(substring(col(s"h${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"b$i"))
+    val exploded = docsWithShingles(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-      .withColumn("h", md5(col("shingle")))
+    val hashed = (0 until nHashes).foldLeft(exploded) { (df, k) =>
+      val digest = if (k == 0) md5(col("shingle"))
+        else md5(concat(lit(k.toString), col("shingle")))
+      df.withColumn(s"h$k", digest)
+    }
+    hashed
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -743,6 +757,64 @@ object Dedup {
   def xMinhashPairs2Band(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir, bands = 2).orderBy("doc_a", "doc_b")
 
+  /** OR-composed multi-band candidates: a pair is a candidate iff it shares
+    * ANY of `bands` minhash values (each band an independent one-row
+    * signature — bands 0..3 chunk md5(sh), bands past 4 chunk salted
+    * digests). Per-band collision probability for a pair at Jaccard J is J,
+    * so the OR over b bands catches it with 1−(1−J)^b — the knob that
+    * reaches the mid-band (J 0.3–0.6) template clusters the r13 hard-corpus
+    * grid proved invisible to both the 1-band generator (recall 0.35) and
+    * the dfCap=50 exact join (0.311): at J = 0.32, 8 bands give an expected
+    * 0.95.
+    *
+    * Spark shape: ONE equi-join, not b of them — the signature frame
+    * posexplodes to (band_idx, band_val, doc_id, n_sh) rows (fixed-width,
+    * b per doc; never shingle text) and self-joins on the composite
+    * (band_idx, band_val) key, so candidate generation stays a single
+    * shuffle whose mass is b× the 1-band sketch stream. The per-pair group
+    * then yields `min_band` — the smallest band index that matched — which
+    * makes ONE pass measure every OR-prefix at once: the pair is an OR-b'
+    * candidate for any b' > min_band (the same one-pass trick as
+    * [[jaccardTruthPairs]]' min_df), which [[xMultibandRecall]] exploits. */
+  private[ext] def multibandCandidates(s: SparkSession, dir: String,
+                                       bands: Int): DataFrame = {
+    val sig = docSignatures(s, dir, bands)
+    val banded = sig.select(col("doc_id"), col("n_sh"),
+        posexplode(array((0 until bands).map(i => col(s"b$i")): _*))
+          .as(Seq("band_idx", "band_val")))
+      // explicit exchange → reused across both self-join branches (the
+      // lshCandidates idiom); keys are (band_idx, band_val) so the b band
+      // spaces never collide into one bucket
+      .repartition(col("band_idx"), col("band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_bands"),
+        min(col("a.band_idx")).as("min_band"))
+      // candidate set: sub-linear in corpus pairs by LSH design (≤ b× the
+      // 1-band mass), referenced multiple times by the scorer
+      .localCheckpoint()
+  }
+
+  /** Multi-band OR-LSH near-dup pairs — the mid-band operator the r13
+    * hard-corpus grid priced: 8 one-row bands OR-composed
+    * (b ≈ log(0.05)/log(1−J) ≈ 8 at J = 0.32 for 0.95 recall), candidates
+    * scored with exact shingle Jaccard exactly like [[xMinhashPairs]].
+    * `n_bands` reports how many bands agreed — a free LSH-side similarity
+    * estimate (E[n_bands] = b·J) a consumer can gate on before trusting
+    * the exact score. Candidate generation is one fixed-width equi-join
+    * ([[multibandCandidates]]); exact scoring touches only surviving docs. */
+  def xMinhashPairsMultiband(s: SparkSession, dir: String,
+                             bands: Int = 8): DataFrame =
+    scoreIntersections(s, dir, multibandCandidates(s, dir, bands))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        round(col("ni") / (col("n_a") + col("n_b") - col("ni")), 4)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** KMV bottom-k sketch per document via the custom typed aggregator
     * ([[graft.functions.BottomKSketch]]): mergeable bounded-state sketch —
     * the shuffle carries at most k hashes per doc however long the text.
@@ -912,6 +984,45 @@ object Dedup {
           round(col("n_hit") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
       .orderBy("threshold")
+  }
+
+  /** Recall of the OR-composed multi-band candidate generator
+    * ([[multibandCandidates]]) against the same df-capped exact-Jaccard
+    * ground truth as [[xLshRecall]], over a (bands × threshold) grid — the
+    * measurement that says how many bands the corpus's similarity
+    * distribution actually needs. ONE candidate pass scores every
+    * OR-prefix: a pair is an OR-b candidate iff `min_band < b` (its
+    * smallest matching band index — see [[multibandCandidates]]), so the
+    * grid is a broadcast join over the truth set, never a re-run per
+    * bands value; the bands=1 row IS the 1-band baseline
+    * ([[xLshRecall]]'s candidate arm) by construction. */
+  def xMultibandRecall(s: SparkSession, dir: String,
+                       bandGrid: Seq[Int] = Seq(1, 2, 4, 8),
+                       thresholds: Seq[Double] =
+                         Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+                       dfCap: Int = 100): DataFrame = {
+    val truth = lshTruthPairs(s, dir, dfCap)
+    val cand = multibandCandidates(s, dir, bandGrid.max)
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
+        col("min_band"))
+    val scored = truth.join(cand,
+        col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left")
+      .select(col("jac"), col("min_band"))
+    val grid = s.range(1)
+      .select(explode(typedLit(bandGrid.map(_.toLong))).as("bands"))
+      .select(col("bands"), explode(typedLit(thresholds)).as("threshold"))
+    // 28 grid rows broadcast against the (small) true-pair set; a cell
+    // with zero qualifying pairs still reports a row
+    broadcast(grid).join(scored, col("jac") >= col("threshold"), "left")
+      .groupBy("bands", "threshold")
+      .agg(count(col("jac")).as("n_true"),
+        sum(when(col("jac").isNotNull && col("min_band") < col("bands"), 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("bands"), col("threshold"), col("n_true"), col("n_hit"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true") + lit(1e-9), 6))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy("bands", "threshold")
   }
 
   /** Exact-Jaccard ground-truth pairs for [[xLshRecall]], with the scale
@@ -1085,6 +1196,8 @@ object Dedup {
     "x_minhash_pairs" -> xMinhashPairs,
     "x_dedup_threshold_curve" -> xDedupThresholdCurve,
     "x_minhash_pairs_2band" -> xMinhashPairs2Band,
+    "x_minhash_pairs_multiband" -> ((s, dir) => xMinhashPairsMultiband(s, dir)),
+    "x_multiband_recall" -> ((s, dir) => xMultibandRecall(s, dir)),
     "x_containment_pairs" -> xContainmentPairs,
     "x_jaccard_ngram" -> ((s, dir) => xJaccardNgram(s, dir)),
     "x_edit_pairs" -> ((s, dir) => xEditPairs(s, dir)),
@@ -1140,7 +1253,75 @@ object Dedup {
       |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Band-i min over a distinct-shingle list column `sh` — mirrors
+    * [[docSignatures]]: bands 0..3 chunk md5(x), bands 4..7 chunk the
+    * salted md5('1' || x), 8..11 md5('2' || x). */
+  private def bandMinSql(i: Int): String = {
+    val digest = if (i < 4) "md5(x)" else s"md5('${i / 4}' || x)"
+    s"list_min(list_transform(sh, x -> substring($digest, ${1 + 8 * (i % 4)}, 8)))"
+  }
+
+  /** `sig` + `banded` CTE bodies for the 8-band OR-LSH oracles (generated,
+    * not hand-written — one UNION ALL arm per band). Expects a CTE `sh`
+    * with (doc_id, sh: distinct shingle list) in scope. */
+  private val MultibandCtesSql: String = {
+    val sigCols = (0 until 8).map(i => s"${bandMinSql(i)} AS b$i").mkString(", ")
+    val arms = (0 until 8)
+      .map(i => s"SELECT doc_id, $i AS bi, b$i AS bv FROM sig")
+      .mkString("\nUNION ALL ")
+    s"sig AS (SELECT doc_id, $sigCols FROM sh),\nbanded AS (\n$arms)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "x_minhash_pairs_multiband" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |$MultibandCtesSql,
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        |  FROM banded a JOIN banded b
+        |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_bands AS BIGINT) AS n_bands,
+        |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |  / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |JOIN sh sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "x_multiband_recall" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |ds0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |rare AS (SELECT shingle FROM ds0 GROUP BY shingle HAVING count(*) <= 100),
+        |ds AS (SELECT doc_id, shingle FROM ds0 JOIN rare USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b,
+        |  round(CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni), 4) AS jac
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b),
+        |$MultibandCtesSql,
+        |cand AS (SELECT a.doc_id AS c_a, b.doc_id AS c_b, min(a.bi) AS min_band
+        |  FROM banded a JOIN banded b
+        |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT jac, min_band FROM truth
+        |  LEFT JOIN cand ON doc_a = c_a AND doc_b = c_b),
+        |grid AS (SELECT bands, threshold FROM
+        |  (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS bands),
+        |  (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS threshold))
+        |SELECT bands, threshold, CAST(count(jac) AS BIGINT) AS n_true,
+        |CAST(sum(CASE WHEN jac IS NOT NULL AND min_band < bands
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |CASE WHEN count(jac) > 0
+        |  THEN round(CAST(sum(CASE WHEN jac IS NOT NULL AND min_band < bands
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(jac) + 1e-9, 6)
+        |  ELSE 0.0 END AS recall
+        |FROM grid LEFT JOIN sc ON jac >= threshold
+        |GROUP BY bands, threshold ORDER BY bands, threshold""").stripMargin,
     "x_dedup_threshold_curve" ->
       (s"WITH p AS ($MinhashPairsSql),\n" +
         """b AS (SELECT CAST(floor(jaccard * 10 + 1e-9) AS INTEGER) AS bin,
