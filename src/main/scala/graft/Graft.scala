@@ -37,6 +37,18 @@ object Graft {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", nCpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Spark's own remedy for the saturation above, promoted to the
+      // DEFAULT (VERDICT r13 #6): every exchange STARTS at 256 partitions
+      // and AQE coalesces down from map-output stats, so a 100x corpus
+      // gets data-sized partitions without the manual knob while small
+      // runs coalesce back to parallelism (r14 measured: sf0.1 bench
+      // within noise; the x_jaccard_ngram 30x->100x leg reads ~0.9
+      // without SPARK_GRAFT_SHUFFLE — COVERAGE.md). An explicit
+      // SPARK_GRAFT_SHUFFLE above 256 still wins: initialPartitionNum
+      // never splits below spark.sql.shuffle.partitions.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(256,
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "0").toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

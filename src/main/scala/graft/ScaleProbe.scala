@@ -48,7 +48,11 @@ object ScaleProbe {
     // next tier (r11): the remaining bench top-10 batch queries, so the
     // measured-coverage frontier tracks the cost ranking, not history
     "x_canonical_docs", "x_dup_clusters", "x_dup_quality",
-    "x_repeated_spans", "x_containment_pairs")
+    "x_repeated_spans", "x_containment_pairs",
+    // r14: the new multi-band OR-LSH family — b x the 1-band sketch
+    // stream through one exchange; probe that the b factor stays a
+    // constant, never a growth term
+    "x_minhash_pairs_multiband", "x_multiband_recall")
 
   /** How many of the WORST measured 10× ratios get a second octave (30×)
     * and a fitted exponent — derived from the rows the run just computed,
@@ -215,8 +219,16 @@ object ScaleProbe {
     }
     val base = (if (args.headOption.contains("probe")) args.drop(1)
                 else args).headOption.getOrElse("/tmp/graft_sf1")
+    // ADVICE r13: a bare first arg used to BE the 10x dir; now it is a base
+    // that gets _x10/_x30 appended. An old-style invocation passing an
+    // already-scaled dir would silently synthesize a second multi-GB corpus
+    // tree at <dir>_x10 — reject it loudly instead.
+    require(!base.matches(".*_x\\d+$"),
+      s"base '$base' looks like an already-scaled corpus dir; pass the " +
+        "BASE path (scaled dirs are derived as <base>_x10 / <base>_x30)")
     val base10 = base + "_x10"
     val base30 = base + "_x30"
+    println(s"[scale] corpora: 1x=$srcDir 10x=$base10 30x=$base30")
     ensureCorpus(s, srcDir, base10, 10)
     ensureCorpus(s, srcDir, base30, 30)
     // same warmup + inter-query hygiene as Bench

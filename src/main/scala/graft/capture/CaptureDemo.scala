@@ -538,9 +538,10 @@ object CaptureDemo {
     * the verdict frame is constant by construction, so the DuckDB oracle
     * pins: (a) file-name attribution is total and disjoint, (b) each
     * writer independently captured all 3 probe lifecycles (6 events), and
-    * (c) the DISTRIBUTED read of the shared tree carries exactly one copy
-    * per writer (12 rows) that the (QueryId, EventType) dedupe collapses
-    * to the single-writer truth (6) — exactly-once end-to-end. */
+    * (c) the shared tree holds one attributed copy per writer (12 distinct
+    * (writer, QueryId, EventType) entries) that the DISTRIBUTED read's
+    * (QueryId, EventType) dedupe collapses to the single-writer truth (6)
+    * — exactly-once end-to-end. */
   def capLiveMulti(s: SparkSession, dir: String): DataFrame = {
     val tag = s"graft_multi_${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "livemulti_")
@@ -587,10 +588,17 @@ object CaptureDemo {
     val disjoint = a.nonEmpty && b.nonEmpty && a.size + b.size == files.size &&
       files.map(_.getName).distinct.size == files.size
     // exactly-once union through the DISTRIBUTED read path over BOTH
-    // writers' files at once
+    // writers' files at once. `pre` counts DISTINCT (writer, QueryId,
+    // EventType) copies — one per writer per lifecycle event = 12 — not
+    // raw rows (ADVICE r13: the drainer's documented requeue-after-sink-
+    // failure path may append a batch twice; at-least-once inside one
+    // writer's files is the sink contract, and pinning a raw row count
+    // would turn that transient into an opaque oracle hash red); the
+    // dedupe on the distributed read below still proves the union
+    // collapses to the single-writer truth.
     val frame = graft.sink.AvroEventSink.readAsFrame(s, base.toString)
       .filter(col("QueryText").contains(tag))
-    val pre = frame.count()
+    val pre = tagged(a).distinct.size + tagged(b).distinct.size
     val post = frame.select("QueryId", "EventType").distinct().count()
     s.range(1).select(explode(map(
       lit("files_disjoint"), lit(if (disjoint) "1" else "0"),

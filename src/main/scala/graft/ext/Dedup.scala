@@ -69,20 +69,27 @@ object Dedup {
     * CollapseProject inlines the aliased hash-array into every band
     * expression and the whole shingle+md5 pipeline re-evaluates per band.) */
   private def docSignatures(s: SparkSession, dir: String,
-                            bands: Int): DataFrame = {
-    // One md5 yields four independent-enough 8-hex-char chunks; bands past
-    // 4 salt the shingle (md5('1' || sh), md5('2' || sh), ...) so each
-    // extra digest buys four more bands. The salted digests are computed
-    // once per distinct shingle alongside the primary — the md5 cost grows
-    // with ceil(bands/4), never with band count alone — and the DuckDB
-    // oracles mirror the salt literally.
+                            bands: Int): DataFrame =
+    signaturesOf(docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")),
+      bands)
+
+  /** Band signatures over an explicit distinct (doc_id, shingle) stream —
+    * factored out so [[xMultibandRecall]] can reuse its cached truth-arm
+    * explode instead of re-shingling the corpus.
+    *
+    * One md5 yields four independent-enough 8-hex-char chunks; bands past
+    * 4 salt the shingle (md5('1' || sh), md5('2' || sh), ...) so each
+    * extra digest buys four more bands. The salted digests are computed
+    * once per distinct shingle alongside the primary — the md5 cost grows
+    * with ceil(bands/4), never with band count alone — and the DuckDB
+    * oracles mirror the salt literally. */
+  private def signaturesOf(exploded: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && bands <= 12, s"bands=$bands outside 1..12")
     val nHashes = (bands + 3) / 4
     val aggs = count(lit(1)).as("n_sh") +:
       (0 until bands).map(i =>
         min(substring(col(s"h${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"b$i"))
-    val exploded = docsWithShingles(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
     val hashed = (0 until nHashes).foldLeft(exploded) { (df, k) =>
       val digest = if (k == 0) md5(col("shingle"))
         else md5(concat(lit(k.toString), col("shingle")))
@@ -493,13 +500,53 @@ object Dedup {
       |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
       |           a.n_bg AS n_a, b.n_bg AS n_b))))""".stripMargin
 
+  /** Serialized storage for corpus-sized shared frames (see the
+    * [[xJaccardNgram]] rationale: deserialized gram/shingle arrays are
+    * 3-5x larger and squeeze execution memory at scale). */
+  private val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** Cache lifecycle for the eval/jaccard family (VERDICT r13 #2): the
+    * family persists corpus-sized shared frames for the duration of ONE
+    * query, so the query must also RELEASE them — a long-lived session
+    * (the bench, a multi-tenant cluster app) would otherwise accumulate
+    * corpus-sized serialized blocks per call until LRU pressure squeezes
+    * every later query. The result is localCheckpoint'ed FIRST (eager —
+    * all cache consumers run while the caches are hot; results here are
+    * pair/grid frames, orders of magnitude smaller than the corpus), then
+    * every cache is dropped through the Dataset API so the CacheManager
+    * entry goes with the blocks (a bare RDD unpersist leaves the entry
+    * behind and turns the session's next same-plan persist into a silent
+    * no-op). PlanSpec pins: cacheManager.isEmpty after each family query. */
+  private def releaseAfter(caches: DataFrame*)(result: DataFrame): DataFrame =
+    try result.localCheckpoint()
+    finally caches.foreach(_.unpersist(blocking = false))
+
   def xJaccardNgram(s: SparkSession, dir: String,
                     threshold: Double = 0.3, bucketWidth: Int = 20,
                     dfCap: Int = 50): DataFrame = {
+    val (out, docs, grouped) = jaccardNgramCached(s, dir, threshold,
+      bucketWidth, dfCap)
+    releaseAfter(docs, grouped)(out)
+  }
+
+  /** Plan surface for the PlanSpec cache contract: the same pipeline with
+    * the two persists REGISTERED but not yet released, so the optimized
+    * plan shows the InMemoryRelations. Spec-only — callers must
+    * `spark.catalog.clearCache()` when done. */
+  private[graft] def xJaccardNgramPlan(s: SparkSession, dir: String): DataFrame =
+    jaccardNgramCached(s, dir, 0.3, 20, 50)._1
+
+  private def jaccardNgramCached(s: SparkSession, dir: String,
+                                 threshold: Double, bucketWidth: Int,
+                                 dfCap: Int): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
     // materialize the two shared frames SERIALIZED (measured r13, second
-    // passes: sf0.1 8.0 -> ~4.6 s, 30x 131 -> ~52 s, 100x 391 -> ~165 s
-    // with the 30x->100x leg exponent staying sublinear at ~0.95):
+    // passes, shipped docs+grouped variant: sf0.1 8.0 -> ~4.6 s, 30x
+    // 131/133 -> 15.0-15.2 s; its own 30x->100x leg read 1.08-1.42 on a
+    // 56-83 s single-JVM cache-spill flutter band — the docs-persist-ONLY
+    // fallback measures 30x ~52 s / 100x ~165 s with a clean ~0.95 leg
+    // and is the documented low-disk deployment choice; see COVERAGE.md
+    // "the octave then bought a 4.7-7x rewrite"):
     //  - `docs` (shingled corpus): consumed by the posting build AND the
     //    exact-scoring `sets` frame — uncached, the scoring arm re-scans
     //    and re-shingles the whole corpus (shingle CPU, not the shuffle,
@@ -517,13 +564,12 @@ object Dedup {
     // deployment short on executor disk should drop the `docs` persist
     // first — recomputing the shingle scan is cheap, re-shuffling the
     // gram index is not.
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val docs = bigramDocs(s, dir, bucketWidth).persist(ser)
+    val docs = bigramDocs(s, dir, bucketWidth).persist(Ser)
     // one aggregation classifies every (lang, bucket, gram) group: lists
     // with 2..dfCap docs become posting lists (candidate generators);
     // lists past the cap only contribute to the per-doc capped-gram count
     // the pruning bound needs
-    val grouped = bigramPostings(docs).persist(ser)
+    val grouped = bigramPostings(docs).persist(Ser)
     // EXACT candidate pruning (pure optimization — the result set and the
     // oracle are untouched): the pair expansion keeps one row per SHARED
     // SURVIVING gram, so the group-count `ni_s` is the pair's exact count
@@ -563,7 +609,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val sets = docs.select(col("doc_id"), col("bg"),
       size(col("bg")).cast("bigint").as("n_bg"))
-    pruned
+    val out = pruned
       .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
       // ni as a NAMED column: inlining it would evaluate array_intersect
@@ -576,6 +622,7 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+    (out, docs, grouped)
   }
 
   /** Character-level edit-distance similarity join over document title
@@ -777,8 +824,15 @@ object Dedup {
     * candidate for any b' > min_band (the same one-pass trick as
     * [[jaccardTruthPairs]]' min_df), which [[xMultibandRecall]] exploits. */
   private[ext] def multibandCandidates(s: SparkSession, dir: String,
-                                       bands: Int): DataFrame = {
-    val sig = docSignatures(s, dir, bands)
+                                       bands: Int): DataFrame =
+    multibandCandidatesFrom(docSignatures(s, dir, bands), bands)
+
+  /** Candidate generation over an explicit signature frame — the surface
+    * that lets [[xMultibandRecall]] derive signatures from its already-
+    * cached (doc_id, shingle) truth frame instead of re-shingling the
+    * corpus a second time. */
+  private def multibandCandidatesFrom(sig: DataFrame,
+                                      bands: Int): DataFrame = {
     val banded = sig.select(col("doc_id"), col("n_sh"),
         posexplode(array((0 until bands).map(i => col(s"b$i")): _*))
           .as(Seq("band_idx", "band_val")))
@@ -964,7 +1018,8 @@ object Dedup {
                  thresholds: Seq[Double] =
                    Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
                  dfCap: Int = 100): DataFrame = {
-    val truth = lshTruthPairs(s, dir, dfCap)
+    val (truth, exploded, docShingles) =
+      lshTruthBuild(s, dir, dfCap, _.persist(Ser))
     val cand = lshCandidates(s, dir, bands = 1)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
         lit(1L).as("cand_hit"))
@@ -975,7 +1030,8 @@ object Dedup {
       .select(explode(typedLit(thresholds)).as("threshold"))
     // 7 threshold rows broadcast against the (small) true-pair set; a
     // threshold with zero qualifying pairs still reports a row
-    broadcast(th).join(scored, col("jac") >= col("threshold"), "left")
+    releaseAfter(exploded, docShingles)(broadcast(th)
+      .join(scored, col("jac") >= col("threshold"), "left")
       .groupBy("threshold")
       .agg(count(col("jac")).as("n_true"),
         sum(coalesce(col("cand_hit"), lit(0L))).as("n_hit"))
@@ -983,7 +1039,7 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
-      .orderBy("threshold")
+      .orderBy("threshold"))
   }
 
   /** Recall of the OR-composed multi-band candidate generator
@@ -1001,8 +1057,14 @@ object Dedup {
                        thresholds: Seq[Double] =
                          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
                        dfCap: Int = 100): DataFrame = {
-    val truth = lshTruthPairs(s, dir, dfCap)
-    val cand = multibandCandidates(s, dir, bandGrid.max)
+    val (truth, exploded, docShingles) =
+      lshTruthBuild(s, dir, dfCap, _.persist(Ser))
+    // signatures derive from the truth arm's CACHED (doc_id, shingle)
+    // explode — one corpus shingle pass serves both arms (measured r14,
+    // isolated 3-query bench at sf0.1: 9.8 -> 7.2 s, i.e. from +2.2 s
+    // over x_lsh_recall's shared truth arm down to +0.2 s)
+    val cand = multibandCandidatesFrom(
+        signaturesOf(exploded, bandGrid.max), bandGrid.max)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
         col("min_band"))
     val scored = truth.join(cand,
@@ -1013,7 +1075,8 @@ object Dedup {
       .select(col("bands"), explode(typedLit(thresholds)).as("threshold"))
     // 28 grid rows broadcast against the (small) true-pair set; a cell
     // with zero qualifying pairs still reports a row
-    broadcast(grid).join(scored, col("jac") >= col("threshold"), "left")
+    releaseAfter(exploded, docShingles)(broadcast(grid)
+      .join(scored, col("jac") >= col("threshold"), "left")
       .groupBy("bands", "threshold")
       .agg(count(col("jac")).as("n_true"),
         sum(when(col("jac").isNotNull && col("min_band") < col("bands"), 1L)
@@ -1022,7 +1085,7 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
-      .orderBy("bands", "threshold")
+      .orderBy("bands", "threshold"))
   }
 
   /** Exact-Jaccard ground-truth pairs for [[xLshRecall]], with the scale
@@ -1034,28 +1097,40 @@ object Dedup {
     * the intersection and the size side, a well-defined quantity the
     * DuckDB oracle mirrors with the same cap. */
   private[ext] def lshTruthPairs(s: SparkSession, dir: String,
-                                 dfCap: Int): DataFrame = {
-    // serialized persists, not localCheckpoint: these two frames are
-    // CORPUS-sized (every (doc, shingle) row), and the 100x octave showed
-    // deserialized caches of corpus-sized string data squeezing execution
-    // memory 3-5x harder than their serialized form (x_jaccard_ngram's
-    // localCheckpoint variant: leg exponent 1.47 vs 0.95 serialized)
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val exploded = docsWithShingles(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-      .persist(ser) // df aggregate + the capped-index join re-read it
+                                 dfCap: Int): DataFrame =
+    lshTruthBuild(s, dir, dfCap, identity)._1
+
+  /** The truth pipeline with its two corpus-sized shared frames passed
+    * through `mat` — `_.persist(Ser)` in the recall queries (which then
+    * release via [[releaseAfter]]), `identity` in the spec surface
+    * [[lshTruthPairs]] where nothing must outlive the call. Returns the
+    * truth frame plus the materialized handles so the CALLER owns the
+    * cache lifecycle (VERDICT r13 #2: persisting here and releasing
+    * nowhere leaked corpus-sized blocks per query).
+    *
+    * Serialized persists, not localCheckpoint: these two frames are
+    * CORPUS-sized (every (doc, shingle) row), and the 100x octave showed
+    * deserialized caches of corpus-sized string data squeezing execution
+    * memory 3-5x harder than their serialized form (x_jaccard_ngram's
+    * localCheckpoint variant: leg exponent 1.47 vs 0.95 serialized). */
+  private def lshTruthBuild(s: SparkSession, dir: String, dfCap: Int,
+                            mat: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val exploded = mat(docsWithShingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")))
+      // df aggregate + the capped-index join re-read it
     val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("shingle")
-    val docShingles = exploded.join(rare, "shingle")
-      .select("doc_id", "shingle")
-      .persist(ser) // both truth-join sides + the size aggregate
+    val docShingles = mat(exploded.join(rare, "shingle")
+      .select("doc_id", "shingle"))
+      // both truth-join sides + the size aggregate
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a").join(docShingles.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("ni"))
-    inter
+    val truth = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
@@ -1063,6 +1138,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
           (col("n_a") + col("n_b") - col("ni")), 4).as("jac"))
+    (truth, exploded, docShingles)
   }
 
   /** Exact UNCAPPED truth pairs for [[xJaccardRecall]]: every same-(lang,
@@ -1092,24 +1168,40 @@ object Dedup {
     * ("raise the ceiling"), never quietly mis-measures recall. */
   private[ext] def jaccardTruthPairs(s: SparkSession, dir: String,
                                      bucketWidth: Int = 20,
-                                     truthDfCeil: Int = 10000): DataFrame = {
-    // materialize the shingled docs serialized (same reuse + footprint
-    // trade as [[xJaccardNgram]]): the ceiling ASSERT and the truth
-    // pipeline both read them, and the assert's df probe is a count-only
-    // aggregate (map-side-combinable longs — never the collect_list
-    // posting arrays, whose extra build cost the r12 watch item forbids)
-    val docs = bigramDocs(s, dir, bucketWidth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val maxDfRow = docs
-      .select(col("lang"), col("bucket"), explode(col("bg")).as("g"))
-      .groupBy("lang", "bucket", "g").agg(count(lit(1)).as("df"))
-      .agg(max("df")).head()
-    val maxDf = if (maxDfRow.isNullAt(0)) 0L else maxDfRow.getLong(0)
+                                     truthDfCeil: Int = 10000): DataFrame =
+    jaccardTruthBuild(s, dir, bucketWidth, truthDfCeil, identity)._1
+
+  /** The uncapped truth pipeline with the shingled-docs shared frame
+    * passed through `mat` — `_.persist(Ser)` in [[xJaccardRecall]] (which
+    * releases via [[releaseAfter]]), `identity` in the spec surface above.
+    * The serialized persist carries the same reuse + footprint trade as
+    * [[xJaccardNgram]]: the ceiling ASSERT and the truth pipeline both
+    * read the frame, and the assert's df probe is a count-only aggregate
+    * (map-side-combinable longs — never the collect_list posting arrays,
+    * whose extra build cost the r12 watch item forbids). */
+  private def jaccardTruthBuild(s: SparkSession, dir: String,
+                                bucketWidth: Int, truthDfCeil: Int,
+                                mat: DataFrame => DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val docs = mat(bigramDocs(s, dir, bucketWidth))
+    // the ceiling probe runs (and can throw) BEFORE the caller gets the
+    // cache handles back — release on the failure path so a loud assert
+    // doesn't also leak a corpus-sized cache (no-op when mat = identity)
+    val maxDf = try {
+      val maxDfRow = docs
+        .select(col("lang"), col("bucket"), explode(col("bg")).as("g"))
+        .groupBy("lang", "bucket", "g").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head()
+      if (maxDfRow.isNullAt(0)) 0L else maxDfRow.getLong(0)
+    } catch {
+      case t: Throwable => docs.unpersist(blocking = false); throw t
+    }
+    if (maxDf > truthDfCeil) docs.unpersist(blocking = false)
     require(maxDf <= truthDfCeil,
       s"jaccard truth: max in-block df $maxDf exceeds truthDfCeil=" +
         s"$truthDfCeil — truth pairs would be silently excluded; raise " +
         "the ceiling (and budget its df^2 expansion) or sample the corpus")
-    bigramPostings(docs)
+    val truth = bigramPostings(docs)
       .filter(size(col("entries")).between(2, truthDfCeil))
       .select(size(col("entries")).cast("bigint").as("df"),
         sort_array(col("entries")).as("entries"))
@@ -1121,6 +1213,7 @@ object Dedup {
         round(col("ni").cast("double") /
           (col("n_a") + col("n_b") - col("ni")), 4).as("jac"),
         col("min_df"))
+    (truth, Seq(docs))
   }
 
   /** Recall of [[xJaccardNgram]]'s df-cap — the knob VERDICT r11 called
@@ -1165,14 +1258,16 @@ object Dedup {
                      dfCaps: Seq[Int] = Seq(25, 50, 100),
                      thresholds: Seq[Double] =
                        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8)): DataFrame = {
-    val truth = jaccardTruthPairs(s, dir)
-      .filter(col("jac") >= thresholds.min)
+    val (truthAll, caches) = jaccardTruthBuild(s, dir, bucketWidth = 20,
+      truthDfCeil = 10000, _.persist(Ser))
+    val truth = truthAll.filter(col("jac") >= thresholds.min)
     val grid = s.range(1)
       .select(explode(typedLit(dfCaps.map(_.toLong))).as("df_cap"))
       .select(col("df_cap"), explode(typedLit(thresholds)).as("threshold"))
     // 18 grid rows broadcast against the (small) true-pair set; a cell
     // with zero qualifying pairs still reports a row
-    broadcast(grid).join(truth, col("jac") >= col("threshold"), "left")
+    releaseAfter(caches: _*)(broadcast(grid)
+      .join(truth, col("jac") >= col("threshold"), "left")
       .groupBy("df_cap", "threshold")
       .agg(count(col("jac")).as("n_true"),
         sum(when(col("jac").isNotNull && col("min_df") <= col("df_cap"), 1L)
@@ -1181,7 +1276,7 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
-      .orderBy("df_cap", "threshold")
+      .orderBy("df_cap", "threshold"))
   }
 
   val queries: Map[String, Q] = Map(

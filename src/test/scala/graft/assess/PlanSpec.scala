@@ -289,7 +289,11 @@ class PlanSpec extends AnyFunSuite {
     // array_intersect only on the candidate-bounded frame (the edit-pairs
     // levenshtein pattern — per-pair set algebra was the anti-pattern only
     // on the QUADRATIC in-bucket pair set, where it measured 92 s at sf0.1)
-    val df = graft.ext.Dedup.xJaccardNgram(spark, dir)
+    // the PLAN surface: same pipeline as xJaccardNgram with the persists
+    // registered but not yet released (the public query materializes and
+    // then drops its caches — r14 lifecycle — so its returned frame is a
+    // checkpoint scan with nothing left to inspect)
+    val df = graft.ext.Dedup.xJaccardNgramPlan(spark, dir)
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("collect_list("),
       s"posting-list aggregate missing:\n${opt.take(2000)}")
@@ -322,6 +326,25 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("StorageLevel(disk, memory, deserialized"),
       s"caches must be MEMORY_AND_DISK_SER:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the plan surface leaves its persists registered by design — drop them
+    // so later suites' string-count plan assertions stay cache-free
+    spark.catalog.clearCache()
+  }
+
+  test("jaccard/LSH family releases its caches when the query completes") {
+    // VERDICT r13 #2: the family persisted corpus-sized frames and released
+    // nothing — every query leaked serialized blocks into a long-lived
+    // session. The queries now materialize their (small) result and drop
+    // the caches on the way out: after any of them, the CacheManager must
+    // be empty (localCheckpoint blocks are RDD-scoped, not CacheManager
+    // entries, and the bench's inter-query unpersist handles those).
+    spark.catalog.clearCache()
+    for (q <- Seq("x_jaccard_ngram", "x_lsh_recall", "x_jaccard_recall",
+      "x_multiband_recall")) {
+      SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left cached plans behind")
+    }
   }
 
   test("sequence packing: sharded window, never a single-partition funnel") {
