@@ -540,13 +540,18 @@ object Dedup {
                                  threshold: Double, bucketWidth: Int,
                                  dfCap: Int): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
-    // materialize the two shared frames SERIALIZED (measured r13, second
-    // passes, shipped docs+grouped variant: sf0.1 8.0 -> ~4.6 s, 30x
-    // 131/133 -> 15.0-15.2 s; its own 30x->100x leg read 1.08-1.42 on a
-    // 56-83 s single-JVM cache-spill flutter band — the docs-persist-ONLY
-    // fallback measures 30x ~52 s / 100x ~165 s with a clean ~0.95 leg
-    // and is the documented low-disk deployment choice; see COVERAGE.md
-    // "the octave then bought a 4.7-7x rewrite"):
+    // materialize the two shared frames SERIALIZED. Honest COLD numbers
+    // (r14, fresh caches per call under the release-on-completion
+    // lifecycle; the r13 table's 15 s @30x / 56-83 s @100x were measured
+    // in the leaked-cache-entry regime the lifecycle fix removed): sf0.1
+    // ~4.3 s, 30x 33-38 s, 100x 117-170 s — still dominating the
+    // docs-persist-ONLY fallback (52/165, leg 0.954, the documented
+    // low-executor-disk choice) and the cache-free r12 shape (131/391)
+    // at every scale. The 30x->100x leg reads 0.97-1.25 across four
+    // runs (0.969 with 512 data-sized partitions): single-JVM spill
+    // flutter as both caches outgrow one 9.4 GiB block manager, a
+    // pressure profile a many-executor cluster does not reproduce; see
+    // COVERAGE.md "r14 scale + drift measurements".
     //  - `docs` (shingled corpus): consumed by the posting build AND the
     //    exact-scoring `sets` frame — uncached, the scoring arm re-scans
     //    and re-shingles the whole corpus (shingle CPU, not the shuffle,
@@ -1017,9 +1022,10 @@ object Dedup {
   def xLshRecall(s: SparkSession, dir: String,
                  thresholds: Seq[Double] =
                    Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
-                 dfCap: Int = 100): DataFrame = {
+                 dfCap: Int = 100,
+                 sampleFrac: Double = 1.0): DataFrame = {
     val (truth, exploded, docShingles) =
-      lshTruthBuild(s, dir, dfCap, _.persist(Ser))
+      lshTruthBuild(s, dir, dfCap, _.persist(Ser), sampleFrac)
     val cand = lshCandidates(s, dir, bands = 1)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
         lit(1L).as("cand_hit"))
@@ -1056,9 +1062,10 @@ object Dedup {
                        bandGrid: Seq[Int] = Seq(1, 2, 4, 8),
                        thresholds: Seq[Double] =
                          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
-                       dfCap: Int = 100): DataFrame = {
+                       dfCap: Int = 100,
+                       sampleFrac: Double = 1.0): DataFrame = {
     val (truth, exploded, docShingles) =
-      lshTruthBuild(s, dir, dfCap, _.persist(Ser))
+      lshTruthBuild(s, dir, dfCap, _.persist(Ser), sampleFrac)
     // signatures derive from the truth arm's CACHED (doc_id, shingle)
     // explode — one corpus shingle pass serves both arms (measured r14,
     // isolated 3-query bench at sf0.1: 9.8 -> 7.2 s, i.e. from +2.2 s
@@ -1113,14 +1120,40 @@ object Dedup {
     * deserialized caches of corpus-sized string data squeezing execution
     * memory 3-5x harder than their serialized form (x_jaccard_ngram's
     * localCheckpoint variant: leg exponent 1.47 vs 0.95 serialized). */
+  /** Deterministic md5 draw on a key column: keeps a row iff the first 8
+    * hex chars of md5(key), read as a 32-bit integer, fall below
+    * `frac` of the hash space — the eval-envelope sampling arm (VERDICT
+    * r13 #7). md5, not rand(): the draw must be reproducible across runs,
+    * engines and partitionings, and the DuckDB compare never sees it
+    * (the driver always runs the frac = 1 defaults). */
+  private def hashSampled(df: DataFrame, key: Column,
+                          frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"sample fraction $frac outside (0,1]")
+    if (frac >= 1.0) df
+    else df.filter(
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        < lit(frac * 4294967296.0))
+  }
+
   private def lshTruthBuild(s: SparkSession, dir: String, dfCap: Int,
-                            mat: DataFrame => DataFrame)
+                            mat: DataFrame => DataFrame,
+                            sampleFrac: Double = 1.0)
       : (DataFrame, DataFrame, DataFrame) = {
-    val exploded = mat(docsWithShingles(s, dir)
+    // Sampling arm (the scaladoc'd envelope, now CODE): restrict the truth
+    // corpus to an md5-drawn doc sample BEFORE shingling — recall is a
+    // ratio, statistically valid on the pair subset whose endpoints both
+    // survive the draw (~frac² of pairs), and the truth arm's
+    // Σ min(df,cap)²/2 cost shrinks with the sample. The df cap scales to
+    // the sample (ceil(cap·frac)) so "ubiquitous" keeps its per-capita
+    // meaning; the candidate arm needs no change — a sampled pair is a
+    // candidate iff its bands collide, which sampling never alters.
+    val effCap = math.max(1, math.ceil(dfCap * sampleFrac).toInt)
+    val exploded = mat(hashSampled(docsWithShingles(s, dir), col("doc_id"),
+      sampleFrac)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")))
       // df aggregate + the capped-index join re-read it
     val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("shingle")
+      .filter(col("df") <= effCap).select("shingle")
     val docShingles = mat(exploded.join(rare, "shingle")
       .select("doc_id", "shingle"))
       // both truth-join sides + the size aggregate
@@ -1181,9 +1214,16 @@ object Dedup {
     * whose extra build cost the r12 watch item forbids). */
   private def jaccardTruthBuild(s: SparkSession, dir: String,
                                 bucketWidth: Int, truthDfCeil: Int,
-                                mat: DataFrame => DataFrame)
+                                mat: DataFrame => DataFrame,
+                                blockSampleFrac: Double = 1.0)
       : (DataFrame, Seq[DataFrame]) = {
-    val docs = mat(bigramDocs(s, dir, bucketWidth))
+    // Sampling arm: the jaccard envelope samples whole (lang, bucket)
+    // BLOCKS, not documents — within a surviving block every df, min_df
+    // and pair is EXACT (doc-sampling would shrink in-block dfs and bias
+    // the min_df <= cap equivalence optimistic), and blocks are the unit
+    // the df²/2 truth cost accrues by. md5 draw on the block key.
+    val docs = mat(hashSampled(bigramDocs(s, dir, bucketWidth),
+      concat_ws("|", col("lang"), col("bucket")), blockSampleFrac))
     // the ceiling probe runs (and can throw) BEFORE the caller gets the
     // cache handles back — release on the failure path so a loud assert
     // doesn't also leak a corpus-sized cache (no-op when mat = identity)
@@ -1253,13 +1293,19 @@ object Dedup {
     * }}}
     *
     * Measured anchors at sf0.1 (5k docs, local[32]): x_jaccard_recall
-    * ~9 s, x_lsh_recall ~6 s — both linear in their cost models above. */
+    * ~9 s, x_lsh_recall ~6 s — both linear in their cost models above.
+    * The sampling arms are PARAMETERS, not just prose (r13 stretch #7):
+    * `blockSampleFrac` here draws whole (lang, bucket) blocks by md5 so
+    * every in-block df stays exact; `sampleFrac` on [[xLshRecall]] /
+    * [[xMultibandRecall]] draws documents (the cap scales to the sample).
+    * ExtSpec pins that sampled recall tracks full recall at sf0.1. */
   def xJaccardRecall(s: SparkSession, dir: String,
                      dfCaps: Seq[Int] = Seq(25, 50, 100),
                      thresholds: Seq[Double] =
-                       Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8)): DataFrame = {
+                       Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+                     blockSampleFrac: Double = 1.0): DataFrame = {
     val (truthAll, caches) = jaccardTruthBuild(s, dir, bucketWidth = 20,
-      truthDfCeil = 10000, _.persist(Ser))
+      truthDfCeil = 10000, _.persist(Ser), blockSampleFrac)
     val truth = truthAll.filter(col("jac") >= thresholds.min)
     val grid = s.range(1)
       .select(explode(typedLit(dfCaps.map(_.toLong))).as("df_cap"))

@@ -309,8 +309,9 @@ class PlanSpec extends AnyFunSuite {
     // the index CACHE (one gram shuffle, computed once, the invariant
     // that matters when exchanges cross a real cluster's network) and the
     // exact-scoring sets frames read the docs cache (one shingle pass —
-    // measured r13 as the dominant local cost: 8.0 -> ~4.6 s sf0.1,
-    // 131 -> ~15 s at 30x). The cache replaces the r11 ReusedExchange
+    // measured as the dominant local cost; honest cold r14 numbers:
+    // sf0.1 ~4.3 s, 30x 33-38 s vs the cache-free shape's 131 s, see
+    // Dedup.xJaccardNgram). The cache replaces the r11 ReusedExchange
     // pin: plan-identity reuse broke the moment one consumer's pruning
     // diverged, while a cache is robust to AQE re-planning.
     assert(opt.contains("InMemoryRelation"),

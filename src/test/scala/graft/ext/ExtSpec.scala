@@ -228,6 +228,43 @@ class ExtSpec extends AnyFunSuite {
       s"OR-8 found only ${or8.size}/${all.size} cluster pairs")
   }
 
+  test("recall sampling arms: frac=1 is the default; sampled tracks full") {
+    // the eval-envelope sampling, pinned at sf0.1 where the pair counts
+    // are large enough for the ratio to be stable (256 true pairs)
+    val sf01 = "/root/testdata/sf0.1"
+    val full = Dedup.xLshRecall(spark, sf01).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // frac = 1.0 takes the unsampled path: results must be identical
+    val one = Dedup.xLshRecall(spark, sf01, sampleFrac = 1.0).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(one == full)
+    val half = Dedup.xLshRecall(spark, sf01, sampleFrac = 0.5).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    half.foreach { case (t, (nTrue, rec)) =>
+      // ~frac² of pairs survive (both endpoints drawn); the md5 draw is
+      // deterministic, so these bounds are exact and reproducible
+      assert(nTrue < full(t)._1 && nTrue > 0, s"t=$t sampled n_true $nTrue")
+      assert(math.abs(rec - full(t)._2) <= 0.15,
+        s"t=$t sampled recall $rec drifted from full ${full(t)._2}")
+    }
+    // jaccard arm: block sampling keeps every in-block df exact, so the
+    // cap-50 row (full recall 1.0 — every pair's min_df <= 50) must stay
+    // exactly 1.0 on any block subset; sampled truth is a strict subset
+    val fullJ = Dedup.xJaccardRecall(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    val halfJ = Dedup.xJaccardRecall(spark, sf01, blockSampleFrac = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    halfJ.foreach { case (k, (nTrue, rec)) =>
+      assert(nTrue <= fullJ(k)._1, s"$k sampled truth exceeds full")
+      if (k._1 >= 50 && nTrue > 0)
+        assert(rec == 1.0, s"$k block-sampled recall $rec != exact 1.0")
+    }
+    assert(halfJ.exists(_._2._1 > 0), "block sample drew no blocks")
+  }
+
   test("jaccard: identity is 1, disjoint is 0") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")))
