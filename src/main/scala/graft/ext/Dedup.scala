@@ -1404,8 +1404,9 @@ object Dedup {
 
   /** `sig` + `banded` CTE bodies for the 8-band OR-LSH oracles (generated,
     * not hand-written — one UNION ALL arm per band). Expects a CTE `sh`
-    * with (doc_id, sh: distinct shingle list) in scope. */
-  private val MultibandCtesSql: String = {
+    * with (doc_id, sh: distinct shingle list) in scope. Shared with the
+    * streaming twin's oracle ([[StreamCuration.xStreamNeardup]]). */
+  private[ext] val MultibandCtesSql: String = {
     val sigCols = (0 until 8).map(i => s"${bandMinSql(i)} AS b$i").mkString(", ")
     val arms = (0 until 8)
       .map(i => s"SELECT doc_id, $i AS bi, b$i AS bv FROM sig")

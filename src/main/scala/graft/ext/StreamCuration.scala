@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -88,11 +88,156 @@ object StreamCuration {
       .orderBy("lang")
   }
 
+  /** One observation of a band value: band index, band minhash, doc id.
+    * (Public visibility: Catalyst's generated object projections access
+    * the constructor from outside this object's Java scope.) */
+  case class BandObs(bi: Int, bv: String, doc_id: Long)
+
+  /** Per-(doc, band) staleness flag emitted by the streaming state fn. */
+  case class BandFlag(doc_id: Long, bi: Int, stale: Int)
+
+  /** Streaming NEAR-duplicate admission — the multi-band OR-LSH operator
+    * ([[Dedup.xMinhashPairsMultiband]]) running in Structured Streaming
+    * with `flatMapGroupsWithState`: documents arrive in micro-batches, each
+    * carries its 8 one-row minhash bands, and per (band_idx, band_value)
+    * group the state store remembers the smallest doc id that has claimed
+    * the band. A document is flagged `near_dup` iff ANY of its bands was
+    * already claimed by an earlier document — the in-stream gate a crawl
+    * ingest applies BEFORE paying to store or embed a template near-copy
+    * (exact dedup, [[xStreamCurate]], only stops byte-identical text).
+    *
+    * Determinism contract (what makes this oracle-checkable): the corpus
+    * is staged as doc_id-ordered batch files replayed one per micro-batch,
+    * and within a batch each band group processes its rows in doc_id
+    * order, so "earlier" means exactly `doc_id` order and the verdict
+    * frame equals the batch rule "shares a band with any smaller doc_id"
+    * — which the DuckDB oracle states as a plain self-join. Arrival-order
+    * admission (first crawled wins) is the same code with the staging
+    * dropped.
+    *
+    * Scale shape: state is ONE long per distinct (band_idx, band_value) —
+    * the sketch stream, never text; per micro-batch the shuffle carries
+    * (8 bands × 8 hex chars + id) per doc. At 100 TB the state store is
+    * the standing cost (bounded by distinct band values ≈ 8/doc worst
+    * case); a production deployment pairs it with state TTL or periodic
+    * snapshot-compaction into the batch signature index
+    * ([[Dedup.xDedupIncremental]]'s corpus side). */
+  def xStreamNeardup(s: SparkSession, dir: String,
+                     bands: Int = 8, nBatches: Int = 4): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "neardup_")
+    val src = new java.io.File(s"$tmp/in"); src.mkdirs()
+    val out = s"$tmp/flags"
+    val ckpt = s"$tmp/ckpt"
+    val docs = graft.Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    // Stage nBatches doc_id-ordered files (quantile split; any monotone
+    // split yields the same verdicts). Distinct mtimes pin replay order.
+    val cuts = if (nBatches <= 1) Array.empty[Double]
+      else docs.stat.approxQuantile("doc_id",
+        (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
+    val ranges = (Double.MinValue +: cuts) :+ Double.MaxValue
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    (0 until nBatches).foreach { i =>
+      val part = s"$tmp/stage_$i"
+      docs.filter(col("doc_id") > ranges(i) && col("doc_id") <= ranges(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val file = new java.io.File(part).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"stream neardup: no part file under $part"))
+      val dst = new java.io.File(src, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(file.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 2000L)
+    }
+    // Per-doc band values as pure row-local expressions (the batch path's
+    // explode+agg formulation needs an aggregation, and Structured
+    // Streaming forbids an agg upstream of flatMapGroupsWithState; the
+    // known cost is that CollapseProject re-inlines the shingle+md5
+    // pipeline into every band expression — acceptable here because a
+    // micro-batch is ingest-sized, and the bulk-corpus path stays
+    // [[Dedup.xMinhashPairsMultiband]]'s explode+agg shape).
+    val shCol = array_distinct(Dedup.shingles(split(col("text"), " ")))
+    def bandCol(i: Int): Column = {
+      val digest = if (i < 4) (x: Column) => md5(x)
+        else (x: Column) => md5(concat(lit((i / 4).toString), x))
+      array_min(transform(shCol, x => substring(digest(x), 1 + 8 * (i % 4), 8)))
+    }
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val obs = raw.select(col("doc_id"),
+        posexplode(array((0 until bands).map(bandCol): _*))
+          .as(Seq("bi", "bv")))
+      .as[BandObs]
+    // Keyed state: smallest doc id that ever claimed this band value.
+    // Rows of a group arrive unordered WITHIN a batch — sort locally (a
+    // band bucket is small by LSH design); batches themselves arrive in
+    // doc_id order by the staging above.
+    val flagged = obs.groupByKey(r => (r.bi, r.bv))
+      .flatMapGroupsWithState[Long, BandFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val outRows = rows.toIndexedSeq.sortBy(_.doc_id).map { r =>
+            val stale = if (mn < r.doc_id) 1 else 0
+            mn = math.min(mn, r.doc_id)
+            BandFlag(r.doc_id, r.bi, stale)
+          }
+          state.update(mn)
+          outRows.iterator
+      }
+    val q = flagged.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nDocs = docs.count()
+    val back = s.read.schema(
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("bi", "int").add("stale", "int"))
+      .parquet(out)
+    // Loud completeness guard: every doc must have emitted every band —
+    // a lost micro-batch or silent 0-row stream fails here, not as a
+    // subtly-wrong verdict frame.
+    require(back.count() == nDocs * bands,
+      s"stream neardup: sink has ${back.count()} band flags, " +
+        s"expected $nDocs docs x $bands bands (source $src)")
+    back.groupBy("doc_id")
+      .agg(sum("stale").as("n_stale_bands"))
+      .select(col("doc_id"),
+        col("n_stale_bands").cast("bigint").as("n_stale_bands"),
+        when(col("n_stale_bands") > 0, "near_dup")
+          .otherwise("admit").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "x_stream_curate" -> ((s, dir) => xStreamCurate(s, dir))
+    "x_stream_curate" -> ((s, dir) => xStreamCurate(s, dir)),
+    "x_stream_neardup" -> ((s, dir) => xStreamNeardup(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
+    // The streaming verdict frame is doc_id-order-deterministic by the
+    // staging contract, so the oracle is the BATCH rule: a doc is
+    // near_dup iff it shares any of its 8 band values with a smaller
+    // doc_id; n_stale_bands counts the distinct stale band indices.
+    "x_stream_neardup" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |${Dedup.MultibandCtesSql},
+        |stale AS (SELECT a.doc_id, count(DISTINCT a.bi) AS n_stale
+        |  FROM banded a JOIN banded b
+        |  ON a.bi = b.bi AND a.bv = b.bv AND b.doc_id < a.doc_id
+        |  GROUP BY a.doc_id)
+        |SELECT t.doc_id, CAST(COALESCE(n_stale, 0) AS BIGINT) AS n_stale_bands,
+        |CASE WHEN COALESCE(n_stale, 0) > 0 THEN 'near_dup' ELSE 'admit' END AS verdict
+        |FROM t LEFT JOIN stale USING (doc_id) ORDER BY doc_id""").stripMargin,
     // One row per (lang, distinct content) above the quality floor; token
     // count is a function of the text so min() is exact, not a choice.
     "x_stream_curate" ->
