@@ -96,6 +96,54 @@ object StreamCuration {
   /** Per-(doc, band) staleness flag emitted by the streaming state fn. */
   case class BandFlag(doc_id: Long, bi: Int, stale: Int)
 
+  /** The multiband signature of one document, computed natively: 3-token
+    * shingles exactly as [[Dedup.shingles]] builds them (concat_ws null-
+    * skip at the tail included), one md5 per shingle per salt group, band
+    * i = min over shingles of digest chunk `i % 4` — byte-identical to
+    * the SQL/DuckDB md5-chunk arithmetic (lowercase hex; lexicographic
+    * min on fixed-width hex = numeric min). Duplicate shingles need no
+    * dedup: a min is multiset-invariant. */
+  private[ext] def bandObs(docId: Long, text: String,
+                           bands: Int): Seq[BandObs] = {
+    val toks = text.split(" ", -1)
+    val n = toks.length
+    val nHashes = (bands + 3) / 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(str: String): String = {
+      md.reset()
+      val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b =>
+        sb.append(Character.forDigit((b & 0xf0) >> 4, 16))
+        sb.append(Character.forDigit(b & 0x0f, 16))
+      }
+      sb.toString
+    }
+    val mins = new Array[String](bands)
+    var i = 0
+    val last = math.max(n - 2, 1)
+    while (i < last) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      if (i + 1 < n) sb.append(' ').append(toks(i + 1))
+      if (i + 2 < n) sb.append(' ').append(toks(i + 2))
+      val sh = sb.toString
+      var k = 0
+      while (k < nHashes) {
+        val h = md5hex(if (k == 0) sh else k.toString + sh)
+        var b = k * 4
+        val hi = math.min(bands, k * 4 + 4)
+        while (b < hi) {
+          val c = h.substring(8 * (b % 4), 8 * (b % 4) + 8)
+          if (mins(b) == null || c < mins(b)) mins(b) = c
+          b += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    (0 until bands).map(b => BandObs(b, mins(b), docId))
+  }
+
   /** Streaming NEAR-duplicate admission — the multi-band OR-LSH operator
     * ([[Dedup.xMinhashPairsMultiband]]) running in Structured Streaming
     * with `flatMapGroupsWithState`: documents arrive in micro-batches, each
@@ -151,26 +199,22 @@ object StreamCuration {
       java.nio.file.Files.move(file.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 2000L)
     }
-    // Per-doc band values as pure row-local expressions (the batch path's
-    // explode+agg formulation needs an aggregation, and Structured
-    // Streaming forbids an agg upstream of flatMapGroupsWithState; the
-    // known cost is that CollapseProject re-inlines the shingle+md5
-    // pipeline into every band expression — acceptable here because a
-    // micro-batch is ingest-sized, and the bulk-corpus path stays
-    // [[Dedup.xMinhashPairsMultiband]]'s explode+agg shape).
-    val shCol = array_distinct(Dedup.shingles(split(col("text"), " ")))
-    def bandCol(i: Int): Column = {
-      val digest = if (i < 4) (x: Column) => md5(x)
-        else (x: Column) => md5(concat(lit((i / 4).toString), x))
-      array_min(transform(shCol, x => substring(digest(x), 1 + 8 * (i % 4), 8)))
-    }
+    // Per-doc band values in plain Scala inside a typed flatMap. The
+    // column-expression formulation (8 × array_min(transform(sh, md5…)))
+    // was MEASURED at 26-28 s for 5k docs regardless of parallelism:
+    // higher-order array functions evaluate interpreted, CollapseProject
+    // re-inlines the shingle pipeline into every band, and the batch
+    // path's explode+agg cure needs an aggregation, which Structured
+    // Streaming forbids upstream of flatMapGroupsWithState. The native
+    // loop computes each salted digest once per shingle (md5 of UTF-8,
+    // hex chunks — byte-identical to the oracle's md5 arithmetic) and
+    // took the query from 34.5 to 4.2 s at sf0.1 (isolated bench).
     val raw = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src.toString)
-    val obs = raw.select(col("doc_id"),
-        posexplode(array((0 until bands).map(bandCol): _*))
-          .as(Seq("bi", "bv")))
-      .as[BandObs]
+    val nBands = bands
+    val obs = raw.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => bandObs(id, text, nBands) }
     // Keyed state: smallest doc id that ever claimed this band value.
     // Rows of a group arrive unordered WITHIN a batch — sort locally (a
     // band bucket is small by LSH design); batches themselves arrive in
@@ -188,13 +232,24 @@ object StreamCuration {
           state.update(mn)
           outRows.iterator
       }
-    val q = flagged.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Scoped partition reduction for the stateful stage (the capture
+    // round-trips' idiom): streaming state stores are one instance PER
+    // shuffle partition PER micro-batch, and their open/commit overhead —
+    // not the data — dominates an eval-sized run (measured r14 at sf0.1:
+    // 32 partitions ≈ 35 s, 8 partitions ≈ 12 s, verdicts identical). A
+    // real deployment sizes this to its ingest volume.
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = flagged.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, old)
     val nDocs = docs.count()
     val back = s.read.schema(
       new org.apache.spark.sql.types.StructType()
