@@ -600,10 +600,23 @@ object CaptureDemo {
       .filter(col("QueryText").contains(tag))
     val pre = tagged(a).distinct.size + tagged(b).distinct.size
     val post = frame.select("QueryId", "EventType").distinct().count()
+    // Loss-side pin through the DISTRIBUTED read (ADVICE r14 #1): `pre`
+    // above is computed driver-side per writer, so a readAsFrame that
+    // silently dropped one writer's whole tree would leave `post` at 6 (the
+    // other writer supplies every pair). Reading each writer's files
+    // THROUGH readAsFrame (filename glob = the writer-id attribution the
+    // oracle already pins as total/disjoint) and distinct-counting per side
+    // tolerates requeue duplicates but fails loud on whole-writer loss.
+    def readSide(id: String): Long = graft.sink.AvroEventSink
+      .readAsFrame(s, base.toString, glob = s"dwhassessment_*${id}*.avro")
+      .filter(col("QueryText").contains(tag))
+      .select("QueryId", "EventType").distinct().count()
+    val readAttributed = readSide("_wrA") + readSide("_wrB")
     s.range(1).select(explode(map(
       lit("files_disjoint"), lit(if (disjoint) "1" else "0"),
       lit("union_deduped"), lit(post.toString),
       lit("union_pre_dedupe"), lit(pre.toString),
+      lit("union_read_attributed"), lit(readAttributed.toString),
       lit("writer_a_events"), lit(tagged(a).distinct.size.toString),
       lit("writer_b_events"), lit(tagged(b).distinct.size.toString)))
       .as(Seq("aspect", "value")))
@@ -814,6 +827,7 @@ object CaptureDemo {
         |  ('files_disjoint', '1'),
         |  ('union_deduped', '6'),
         |  ('union_pre_dedupe', '12'),
+        |  ('union_read_attributed', '12'),
         |  ('writer_a_events', '6'),
         |  ('writer_b_events', '6')) AS t(aspect, value)
         |ORDER BY aspect""".stripMargin,

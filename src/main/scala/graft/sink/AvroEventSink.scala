@@ -211,8 +211,13 @@ object AvroEventSink {
     * → null, absent array → `[]`) to logs written by older hook versions.
     * No driver-side `java.io.File` anywhere: the path can be any Hadoop
     * filesystem, and the decode scales with the cluster. */
+  /** `glob` narrows the read to a filename subset (default: every
+    * completed container file) — e.g. one writer id's files, the surface
+    * [[graft.capture.CaptureDemo.capLiveMulti]] uses to pin that the
+    * DISTRIBUTED read path loses no writer's tree. */
   def readAsFrame(spark: org.apache.spark.sql.SparkSession,
-                  path: String): DataFrame = {
+                  path: String,
+                  glob: String = "dwhassessment_*.avro"): DataFrame = {
     val readerSchemaJson = avroSchema.toString
     val names = QueryEvent.schema.fieldNames
     // Decode dispatch keyed on the SPARK-side field type, not the runtime
@@ -232,7 +237,7 @@ object AvroEventSink {
       }
     }
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "dwhassessment_*.avro")
+      .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(path)
       .select("content")

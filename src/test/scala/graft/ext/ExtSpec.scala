@@ -208,7 +208,8 @@ class ExtSpec extends AnyFunSuite {
       val tail = (h until n).map(i => s"d${d}t$i").mkString(" ")
       (d.toLong, s"$head $tail")
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mb_fix").toString
+    val tmp = java.nio.file.Files
+      .createTempDirectory(TestSpark.scratch, "mb_fix").toString
     docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
     val all = (0 until 8).flatMap(a => (a + 1 until 8).map(b => (a.toLong, b.toLong))).toSet
     val or8 = Dedup.xMinhashPairsMultiband(spark, tmp, bands = 8).collect()
@@ -231,7 +232,7 @@ class ExtSpec extends AnyFunSuite {
   test("recall sampling arms: frac=1 is the default; sampled tracks full") {
     // the eval-envelope sampling, pinned at sf0.1 where the pair counts
     // are large enough for the ratio to be stable (256 true pairs)
-    val sf01 = "/root/testdata/sf0.1"
+    val sf01 = TestSpark.Sf01
     val full = Dedup.xLshRecall(spark, sf01).collect()
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(3))).toMap
     // frac = 1.0 takes the unsampled path: results must be identical
