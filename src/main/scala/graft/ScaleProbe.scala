@@ -213,6 +213,13 @@ object ScaleProbe {
       val qs = if (args.length > 1 && args(1).nonEmpty) args(1).split(",").toSeq
         else Seq("x_jaccard_ngram", "x_repeated_spans")
       val base = if (args.length > 2) args(2) else "/tmp/graft_sf1"
+      // same guard + resolved-path print as the probe path (VERDICT r14
+      // #4): an already-scaled dir passed as base would silently
+      // synthesize a second multi-GB corpus tree at <dir>_x30/_x100
+      require(!base.matches(".*_x\\d+$"),
+        s"base '$base' looks like an already-scaled corpus dir; pass the " +
+          "BASE path (scaled dirs are derived as <base>_x30 / <base>_x100)")
+      println(s"[scale] x100 corpora: 30x=${base}_x30 100x=${base}_x100")
       runX100(s, srcDir, base, qs)
       s.stop()
       return

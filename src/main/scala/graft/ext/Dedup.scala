@@ -525,20 +525,49 @@ object Dedup {
                     threshold: Double = 0.3, bucketWidth: Int = 20,
                     dfCap: Int = 50): DataFrame = {
     val (out, docs, grouped) = jaccardNgramCached(s, dir, threshold,
-      bucketWidth, dfCap)
+      bucketWidth, dfCap, docsPersist = None)
     releaseAfter(docs, grouped)(out)
   }
 
   /** Plan surface for the PlanSpec cache contract: the same pipeline with
     * the two persists REGISTERED but not yet released, so the optimized
     * plan shows the InMemoryRelations. Spec-only — callers must
-    * `spark.catalog.clearCache()` when done. */
+    * `spark.catalog.clearCache()` when done. Forces the docs persist so
+    * the contract is independent of the storage-pressure gate. */
   private[graft] def xJaccardNgramPlan(s: SparkSession, dir: String): DataFrame =
-    jaccardNgramCached(s, dir, 0.3, 20, 50)._1
+    jaccardNgramCached(s, dir, 0.3, 20, 50, docsPersist = Some(true))._1
+
+  /** [[xJaccardNgram]] with the docs-persist arm forced — the spec surface
+    * that pins the storage-pressure fallback produces byte-identical
+    * output. */
+  private[ext] def xJaccardNgramForced(s: SparkSession, dir: String,
+                                       keepDocs: Boolean): DataFrame = {
+    val (out, docs, grouped) = jaccardNgramCached(s, dir, 0.3, 20, 50,
+      docsPersist = Some(keepDocs))
+    releaseAfter(docs, grouped)(out)
+  }
+
+  /** Fraction of block-manager storage capacity past which the measured
+    * footprint of the family's two caches counts as STORAGE PRESSURE and
+    * the docs persist is dropped (VERDICT r14 #1: the two corpus-sized
+    * persists made `x_jaccard_ngram`'s full-board time hostage to
+    * block-manager neighborhood — same-code readings spanned 3.9–26.8 s
+    * driver-side and 117–170 s at the 100× octave). The gate is REACTIVE,
+    * not predictive: parquet-size-based estimates are off by two orders
+    * (594 KB of snappy parquet becomes multi-GB bigram caches), so the
+    * caches are materialized first and the real bytes decide. Calibration
+    * from the r14 octave (16 GB probe heap → ~9.4 GiB storage): 30× fits
+    * comfortably (cached variant wins, 33–41 s vs the fallback's 52) and
+    * stays cached; at 100× the caches overgrow storage and spill
+    * (117–170 s, ±20% flutter) while the docs-free fallback is flat
+    * (165 s, leg 0.954) — so the gate fires between them, trading a
+    * possibly-faster median for the bounded worst case. */
+  private val StoragePressureFraction = 0.5
 
   private def jaccardNgramCached(s: SparkSession, dir: String,
                                  threshold: Double, bucketWidth: Int,
-                                 dfCap: Int): (DataFrame, DataFrame, DataFrame) = {
+                                 dfCap: Int, docsPersist: Option[Boolean])
+      : (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0, "zero-intersection pairs are pruned by the index")
     // materialize the two shared frames SERIALIZED. Honest COLD numbers
     // (r14, fresh caches per call under the release-on-completion
@@ -569,12 +598,35 @@ object Dedup {
     // deployment short on executor disk should drop the `docs` persist
     // first — recomputing the shingle scan is cheap, re-shuffling the
     // gram index is not.
-    val docs = bigramDocs(s, dir, bucketWidth).persist(Ser)
+    val docsBase = bigramDocs(s, dir, bucketWidth)
+    val docs = if (docsPersist.contains(false)) docsBase
+      else docsBase.persist(Ser)
     // one aggregation classifies every (lang, bucket, gram) group: lists
     // with 2..dfCap docs become posting lists (candidate generators);
     // lists past the cap only contribute to the per-doc capped-gram count
     // the pruning bound needs
     val grouped = bigramPostings(docs).persist(Ser)
+    if (docsPersist.isEmpty) {
+      // Storage-pressure gate (VERDICT r14 #1): materialize both caches
+      // through one count (the postings build would run first anyway; the
+      // main job below reuses the cached index, so the extra cost is one
+      // count over cached data), then let the MEASURED cache footprint
+      // decide whether the docs persist survives. Under pressure the
+      // scoring arm recomputes the shingle scan instead of competing with
+      // the gram index for storage — the scaladoc'd fallback (leg 0.954,
+      // far flatter worst case), now automatic instead of prose.
+      grouped.count()
+      val maxStorage = s.sparkContext.getExecutorMemoryStatus
+        .values.map(_._1).sum
+      val used = s.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      if (used > (StoragePressureFraction * maxStorage).toLong) {
+        println(f"[graft] x_jaccard_ngram: dropping docs persist under " +
+          f"storage pressure (${used / 1e9}%.2f GB cached vs " +
+          f"${maxStorage / 1e9}%.2f GB storage x $StoragePressureFraction)")
+        docs.unpersist(blocking = false)
+      }
+    }
     // EXACT candidate pruning (pure optimization — the result set and the
     // oracle are untouched): the pair expansion keeps one row per SHARED
     // SURVIVING gram, so the group-count `ni_s` is the pair's exact count

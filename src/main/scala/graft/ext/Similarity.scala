@@ -498,7 +498,140 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The shared IVF+PQ probe chain: per query, ADC-scored candidates from
+    * the query's IVF cell, top-`tier` kept by approximate distance, then
+    * exact cosine re-rank. Returns the re-ranked frame BEFORE the final
+    * top-5 cut so both the probe query and its recall eval derive from one
+    * definition. Columns: q_id, vec_id, adc (deterministic sub-ordered
+    * fold), sim (exact), rnk (exact-cosine rank within the tier). */
+  private def ivfpqReranked(s: SparkSession, dir: String,
+                            m: Int, d: Int, k: Int,
+                            tier: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val assigned = ivfAssignments(s, dir)
+      .select(col("vec_id"), col("v"), col("c_label"))
+      .localCheckpoint() // readers: codes, codebook, query set, re-rank
+    // PQ codebook + per-vector codes — the xPqCodes construction verbatim
+    // (codebook = subvectors of vec_id < k; argmin via struct-min)
+    val subs = assigned.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * d + 1, lit(d)))).as(Seq("sub", "sv")))
+    val cb = subs.filter(col("vec_id") < k)
+      .select(col("sub").as("csub"), col("vec_id").as("c_id"),
+        col("sv").as("cv"))
+    val diff = zip_with(col("sv"), col("cv"), (x, y) => x - y)
+    val codes = subs.join(broadcast(cb), col("sub") === col("csub"))
+      .select(col("vec_id"), col("sub"), col("c_id"), dot(diff, diff).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.c_id").as("code"))
+    val qs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_label").as("q_cell"))
+    // ADC distance table: one row per (query, subspace, centroid) — the
+    // tiny lookup table ADC scoring exists for (|q|·m·k rows, broadcast)
+    val qdiff = zip_with(
+      slice(col("qv"), col("csub") * d + 1, lit(d)), col("cv"),
+      (x, y) => x - y)
+    val dtab = qs.crossJoin(cb)
+      .select(col("q_id"), col("csub").as("sub"), col("c_id"),
+        dot(qdiff, qdiff).as("d2"))
+    // candidates = the query's IVF cell; ADC = sum over subspaces of the
+    // table entry for the candidate's code — summed in SUB ORDER via the
+    // sorted-struct fold (xPqCodes' recon_err idiom) so the double is
+    // deterministic and the DuckDB oracle reproduces it bitwise
+    val cellCodes = codes
+      .join(assigned.select(col("vec_id"), col("c_label")), "vec_id")
+      .join(broadcast(qs.select(col("q_id"), col("q_cell"))),
+        col("c_label") === col("q_cell") && col("vec_id") =!= col("q_id"))
+    val dt = dtab.select(col("q_id").as("t_qid"), col("sub").as("t_sub"),
+      col("c_id").as("t_cid"), col("d2"))
+    val adc = cellCodes
+      .join(broadcast(dt),
+        col("t_qid") === col("q_id") && col("t_sub") === col("sub") &&
+          col("t_cid") === col("code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("d2"))))
+        .as("arr"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(transform(col("arr"), t => t.getField("d2")),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    val tiered = adc.withColumn("tr", row_number().over(wAdc))
+      .filter(col("tr") <= tier)
+      .select(col("q_id").as("t_qid2"), col("vec_id").as("t_vid"), col("adc"))
+    // exact re-rank of the tier only: |q|·tier cosine evaluations total
+    val wSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    tiered
+      .join(assigned, col("t_vid") === col("vec_id"))
+      .join(broadcast(qs), col("t_qid2") === col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("adc"),
+        expr("cosine_sim(v, qv)").as("sim"))
+      .withColumn("rnk", row_number().over(wSim))
+  }
+
+  /** IVF+PQ ANN probe with ADC scoring (Jégou et al., TPAMI 2011 — the
+    * index a 100 TB embedding store actually runs): candidates come from
+    * the query's IVF cell ([[xAnnIvfTopk]]'s partition-pruning), each is
+    * scored APPROXIMATELY by Asymmetric Distance Computation — the sum over
+    * the m=8 PQ subspaces of the precomputed ‖q_sub − centroid(code)‖²
+    * table entry, i.e. per-candidate cost is m table lookups over the
+    * 3-bit codes, never a 64-d vector read — and only the top `tier`
+    * survivors are re-ranked with the exact cosine. At scale: codes are
+    * 8 bytes/vector (vs 512 for the raw doubles), the distance table is
+    * |q|·m·k tiny rows broadcast everywhere, the cell equi-join prunes the
+    * corpus, and full vectors are touched for `tier` candidates per query
+    * only. Deterministic md5-free arithmetic end-to-end → DuckDB-checkable
+    * (fold-ordered ADC sums, vec_id tie-breaks). */
+  def xAnnIvfpq(s: SparkSession, dir: String,
+                m: Int = 8, d: Int = 8, k: Int = 8,
+                tier: Int = 10): DataFrame =
+    ivfpqReranked(s, dir, m, d, k, tier)
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"), round(col("adc"), 6).as("adc_d2"))
+      .orderBy("q_id", "rnk")
+
+  /** Recall@5 of the ADC-scored IVF+PQ probe ([[xAnnIvfpq]]) against the
+    * exact brute-force top-5 — [[xAnnRecall]]'s eval with the probe arm
+    * swapped for the compressed-domain path, plus the tier size actually
+    * scored exactly (the cost side of the ADC tradeoff: `n_exact` vectors
+    * touched at full width per query instead of the whole cell). */
+  def xAnnIvfpqRecall(s: SparkSession, dir: String,
+                      tier: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val probe = ivfpqReranked(s, dir, m = 8, d = 8, k = 8, tier = tier)
+      .localCheckpoint() // two readers: hit join + per-query tier size
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr("cosine_sim(v, qv)").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val top5 = probe.filter(col("rnk") <= 5)
+      .select(col("q_id").as("p_qid"), col("vec_id").as("p_vid"))
+    val tierN = probe.groupBy(col("q_id").as("n_qid"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(top5,
+        col("q_id") === col("p_qid") && col("vec_id") === col("p_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(col("p_vid")).as("n_hits"))
+      .join(tierN, col("q_id") === col("n_qid"))
+      .select(col("q_id"), col("n_exact"), col("n_hits"),
+        round(col("n_hits") / 5.0 + lit(1e-9), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_ann_ivfpq" -> ((s, dir) => xAnnIvfpq(s, dir)),
+    "x_ann_ivfpq_recall" -> ((s, dir) => xAnnIvfpqRecall(s, dir)),
     "x_embed_quantize" -> xEmbedQuantize,
     "x_pq_codes" -> ((s, dir) => xPqCodes(s, dir)),
     "x_ann_cosine_topk" -> xAnnCosineTopk,
@@ -516,7 +649,80 @@ object Similarity {
     "x_embed_project" -> ((s, dir) => xEmbedProject(s, dir))
   )
 
+  /** Shared CTE chain for the IVF+PQ oracles: assignment (the
+    * x_ann_ivf_topk chain) + PQ codebook/codes (the x_pq_codes chain) +
+    * ADC table + sub-ordered ADC fold + tier + exact re-rank. Ends with
+    * `r` = (q_id, vec_id, adc, sim, rnk). */
+  private val IvfpqChainSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |ed AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+      |cm AS (SELECT label, dim, avg(x) AS mx FROM ed GROUP BY 1,2),
+      |c AS (SELECT label AS c_label, list(mx ORDER BY dim) AS cv FROM cm GROUP BY 1),
+      |pa AS (SELECT vec_id, v, c_label,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM e, c),
+      |a AS (SELECT vec_id, v, c_label FROM (SELECT vec_id, v, c_label,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM pa)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, c_label AS q_cell FROM a WHERE vec_id < 10),
+      |s8 AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+      |  FROM a, unnest(range(0, 8)) AS u(j)),
+      |cb AS (SELECT sub AS csub, vec_id AS c_id, sv AS cv FROM s8 WHERE vec_id < 8),
+      |pc AS (SELECT s8.vec_id, s8.sub, cb.c_id,
+      |  list_dot_product(list_transform(range(1, 9), i -> s8.sv[i] - cb.cv[i]),
+      |                   list_transform(range(1, 9), i -> s8.sv[i] - cb.cv[i])) AS d2
+      |  FROM s8 JOIN cb ON s8.sub = cb.csub),
+      |codes AS (SELECT vec_id, sub, c_id AS code FROM (
+      |  SELECT vec_id, sub, c_id,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_id) AS rn
+      |  FROM pc) WHERE rn = 1),
+      |dtab AS (SELECT q_id, csub AS sub, c_id,
+      |  list_dot_product(list_transform(range(1, 9), i -> qv[csub*8+i] - cv[i]),
+      |                   list_transform(range(1, 9), i -> qv[csub*8+i] - cv[i])) AS d2
+      |  FROM q, cb),
+      |cand AS (SELECT q.q_id AS q_id, a.vec_id AS vec_id, codes.sub, codes.code
+      |  FROM a JOIN q ON a.c_label = q.q_cell AND a.vec_id <> q.q_id
+      |  JOIN codes ON codes.vec_id = a.vec_id),
+      |adc AS (SELECT cand.q_id, cand.vec_id,
+      |  list_sum(list(dtab.d2 ORDER BY cand.sub)) AS adc
+      |  FROM cand JOIN dtab ON dtab.q_id = cand.q_id AND dtab.sub = cand.sub
+      |    AND dtab.c_id = cand.code
+      |  GROUP BY 1, 2),
+      |tier AS (SELECT q_id, vec_id, adc FROM (
+      |  SELECT q_id, vec_id, adc,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS tr
+      |  FROM adc) WHERE tr <= 10),
+      |rr AS (SELECT tier.q_id, tier.vec_id, tier.adc,
+      |  list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM tier JOIN a ON a.vec_id = tier.vec_id JOIN q ON q.q_id = tier.q_id),
+      |r AS (SELECT q_id, vec_id, adc, sim,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM rr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_ann_ivfpq" ->
+      (IvfpqChainSql + "\n" +
+        """SELECT q_id, rnk, vec_id, round(sim, 6) AS cosine,
+          |round(adc, 6) AS adc_d2
+          |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+    "x_ann_ivfpq_recall" ->
+      (IvfpqChainSql + ",\n" +
+        """p5 AS (SELECT q_id, vec_id FROM r WHERE rnk <= 5),
+          |nex AS (SELECT q_id, count(*) AS n_exact FROM rr GROUP BY 1),
+          |sce AS (SELECT q_id, e.vec_id,
+          |  list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+          |  FROM e, q WHERE e.vec_id <> q_id),
+          |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk FROM sce)
+          |  WHERE rnk <= 5)
+          |SELECT ex.q_id, CAST(min(nex.n_exact) AS BIGINT) AS n_exact,
+          |CAST(count(p5.vec_id) AS BIGINT) AS n_hits,
+          |round(count(p5.vec_id) / 5.0 + 1e-9, 6) AS recall_at_5
+          |FROM ex JOIN nex ON nex.q_id = ex.q_id
+          |LEFT JOIN p5 ON p5.q_id = ex.q_id AND p5.vec_id = ex.vec_id
+          |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin),
     "x_pq_codes" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL

@@ -266,6 +266,22 @@ class ExtSpec extends AnyFunSuite {
     assert(halfJ.exists(_._2._1 > 0), "block sample drew no blocks")
   }
 
+  test("jaccard ngram: docs-persist fallback is byte-identical, caches released") {
+    // the storage-pressure gate may drop the docs persist (the scoring arm
+    // then recomputes the shingle scan) — a pure execution choice that must
+    // never touch the result; both forced arms and the auto default agree
+    val auto = Dedup.xJaccardNgram(spark, dir).collect().map(_.toSeq).toSeq
+    val kept = Dedup.xJaccardNgramForced(spark, dir, keepDocs = true)
+      .collect().map(_.toSeq).toSeq
+    val dropped = Dedup.xJaccardNgramForced(spark, dir, keepDocs = false)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == kept, "auto vs forced-keep diverge")
+    assert(auto == dropped, "auto vs forced-drop diverge")
+    assert(auto.nonEmpty, "no jaccard pairs at test scale — vacuous")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "forced arms left cached plans behind")
+  }
+
   test("jaccard: identity is 1, disjoint is 0") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")))
@@ -1047,6 +1063,34 @@ class ExtSpec extends AnyFunSuite {
     // a codebook seed vector is its own nearest centroid in every subspace
     got.filter(_._1 < 8).foreach { case (id, _, err) =>
       assert(err == 0.0, s"seed vec $id reconstruction error $err != 0")
+    }
+  }
+
+  test("ivfpq probe: dense ranks, nonneg adc, in-cell results, sane recall") {
+    val rows = Similarity.xAnnIvfpq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty, "ivfpq returned nothing — vacuous")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense: ${rs.map(_._2).sorted.mkString(",")}")
+      assert(rs.length <= 5)
+    }
+    assert(rows.forall(_._5 >= 0.0), "negative ADC distance")
+    // every returned neighbor lives in the query's IVF cell — the
+    // partition-pruning contract ADC scoring rides on
+    val cell = Similarity.xIvfAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.get(2)).toMap
+    rows.foreach { case (q, _, v, _, _) =>
+      assert(cell(v) == cell(q), s"neighbor $v of query $q left cell")
+    }
+    val rec = Similarity.xAnnIvfpqRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, nExact, nHits, recall) =>
+      assert(nExact <= 10, s"query $q re-ranked $nExact > tier")
+      assert(nHits >= 0 && nHits <= 5, s"query $q hits $nHits")
+      assert(recall >= 0.0 && recall <= 1.0, s"query $q recall $recall")
     }
   }
 
