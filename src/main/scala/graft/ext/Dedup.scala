@@ -1115,7 +1115,8 @@ object Dedup {
                        thresholds: Seq[Double] =
                          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
                        dfCap: Int = 100,
-                       sampleFrac: Double = 1.0): DataFrame = {
+                       sampleFrac: Double = 1.0,
+                       recallBar: Double = 0.95): DataFrame = {
     val (truth, exploded, docShingles) =
       lshTruthBuild(s, dir, dfCap, _.persist(Ser), sampleFrac)
     // signatures derive from the truth arm's CACHED (doc_id, shingle)
@@ -1134,7 +1135,7 @@ object Dedup {
       .select(col("bands"), explode(typedLit(thresholds)).as("threshold"))
     // 28 grid rows broadcast against the (small) true-pair set; a cell
     // with zero qualifying pairs still reports a row
-    releaseAfter(exploded, docShingles)(broadcast(grid)
+    val cells = broadcast(grid)
       .join(scored, col("jac") >= col("threshold"), "left")
       .groupBy("bands", "threshold")
       .agg(count(col("jac")).as("n_true"),
@@ -1144,6 +1145,19 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
+    // the eval emits the DECISION, not just the table (VERDICT r14 #8):
+    // per threshold, `recommended` marks the SMALLEST banding whose
+    // measured recall clears the bar — the b a deployment should run at
+    // that similarity floor; no row is marked where nothing clears it.
+    // A 28-row window, not a corpus operation.
+    val wTh = org.apache.spark.sql.expressions.Window.partitionBy("threshold")
+    releaseAfter(exploded, docShingles)(cells
+      .withColumn("best_b",
+        min(when(col("recall") >= recallBar, col("bands"))).over(wTh))
+      .select(col("bands"), col("threshold"), col("n_true"), col("n_hit"),
+        col("recall"),
+        coalesce(col("bands") === col("best_b"), lit(false))
+          .as("recommended"))
       .orderBy("bands", "threshold"))
   }
 
@@ -1506,8 +1520,8 @@ object Dedup {
         |  LEFT JOIN cand ON doc_a = c_a AND doc_b = c_b),
         |grid AS (SELECT bands, threshold FROM
         |  (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS bands),
-        |  (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS threshold))
-        |SELECT bands, threshold, CAST(count(jac) AS BIGINT) AS n_true,
+        |  (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS threshold)),
+        |cells AS (SELECT bands, threshold, CAST(count(jac) AS BIGINT) AS n_true,
         |CAST(sum(CASE WHEN jac IS NOT NULL AND min_band < bands
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |CASE WHEN count(jac) > 0
@@ -1515,7 +1529,11 @@ object Dedup {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(jac) + 1e-9, 6)
         |  ELSE 0.0 END AS recall
         |FROM grid LEFT JOIN sc ON jac >= threshold
-        |GROUP BY bands, threshold ORDER BY bands, threshold""").stripMargin,
+        |GROUP BY bands, threshold)
+        |SELECT bands, threshold, n_true, n_hit, recall,
+        |COALESCE(bands = min(CASE WHEN recall >= 0.95 THEN bands END)
+        |  OVER (PARTITION BY threshold), FALSE) AS recommended
+        |FROM cells ORDER BY bands, threshold""").stripMargin,
     "x_dedup_threshold_curve" ->
       (s"WITH p AS ($MinhashPairsSql),\n" +
         """b AS (SELECT CAST(floor(jaccard * 10 + 1e-9) AS INTEGER) AS bin,

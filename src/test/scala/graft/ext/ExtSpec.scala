@@ -194,6 +194,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multiband recall: recommended = smallest banding clearing the bar") {
+    val rows = Dedup.xMultibandRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(4),
+        r.getBoolean(5)))
+    rows.groupBy(_._2).foreach { case (t, rs) =>
+      val clearing = rs.filter(_._3 >= 0.95).map(_._1)
+      val marked = rs.filter(_._4).map(_._1).toSeq
+      if (clearing.isEmpty)
+        assert(marked.isEmpty, s"t=$t recommends $marked, nothing clears")
+      else assert(marked == Seq(clearing.min),
+        s"t=$t recommends $marked, smallest clearing is ${clearing.min}")
+    }
+    assert(rows.exists(_._4),
+      "no recommendation at any threshold — vacuous at test scale")
+  }
+
   test("multiband on a seeded template cluster: OR-8 finds the mid band") {
     // A deterministic mid-band cluster (shared head, unique tails — the
     // recall_hard construction): 8 docs, pairwise shingle Jaccard ~0.3.
