@@ -533,7 +533,7 @@ object Similarity {
     val qdiff = zip_with(
       slice(col("qv"), col("csub") * d + 1, lit(d)), col("cv"),
       (x, y) => x - y)
-    val dtab = qs.crossJoin(cb)
+    val dtab = qs.crossJoin(broadcast(cb))
       .select(col("q_id"), col("csub").as("sub"), col("c_id"),
         dot(qdiff, qdiff).as("d2"))
     // candidates = the query's IVF cell; ADC = sum over subspaces of the

@@ -420,6 +420,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("ivfpq: codebook + distance table broadcast, ADC side never cartesian") {
+    val df = graft.ext.Similarity.xAnnIvfpq(spark, dir)
+    val plan = planOf(df)
+    // the codebook, query set and per-query distance table are the tiny
+    // sides — every corpus-touching join must be broadcast-hash, and the
+    // only permitted nested-loop is tiny-x-tiny (qs x cb building the
+    // |q|*m*k table); the corpus must never be on either side of one
+    assert(plan.contains("BroadcastExchange"),
+      s"distance table should broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 2, s"$bnl nested-loop joins — corpus leaked into one?\n" +
+      plan.take(2000))
+  }
+
   test("zipf fit: head selection is TakeOrdered, never a full sort") {
     val plan = planOf(graft.ext.Curation.xZipfFit(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
