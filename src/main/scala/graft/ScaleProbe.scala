@@ -52,7 +52,11 @@ object ScaleProbe {
     // r14: the new multi-band OR-LSH family — b x the 1-band sketch
     // stream through one exchange; probe that the b factor stays a
     // constant, never a growth term
-    "x_minhash_pairs_multiband", "x_multiband_recall")
+    "x_minhash_pairs_multiband", "x_multiband_recall",
+    // r15: the ADC-scored IVF+PQ probe — the distance table is |q|·m·k
+    // regardless of corpus, so growth should ride the one assignment +
+    // codes pass; probe both the operator and its recall eval
+    "x_ann_ivfpq", "x_ann_ivfpq_recall")
 
   /** How many of the WORST measured 10× ratios get a second octave (30×)
     * and a fitted exponent — derived from the rows the run just computed,
