@@ -225,44 +225,51 @@ object StreamCuration {
     * `ttlBatches` is denominated in. */
   private val BatchIntervalMs = 2000L
 
-  /** Stage the corpus as `nBatches` parquet files under `src`, one per
-    * micro-batch, each row carrying (seq, doc_id, text, ts). Distinct
-    * mtimes pin replay order (FileStreamSource orders by timestamp).
-    * Returns the staged epoch-ms base `t0`. */
-  private def stageBatches(docs: DataFrame,
-                           src: java.io.File, nBatches: Int,
-                           staging: Staging): Long = {
+  /** The corpus with its staging assignment: (seq, doc_id, text, batch).
+    * [[Staging.DocId]] assigns RANK-BASED equal chunks —
+    * `batch = ((rank − 1) · nBatches) div count` over doc_id order —
+    * instead of quantile cuts, because batch membership must be
+    * reproducible in PLAIN SQL for the TTL oracle (DuckDB replays the
+    * identical integer arithmetic; quantile cuts were engine-internal).
+    * The verdict rule of the non-TTL queries depends only on doc_id
+    * order, so they are indifferent to where the boundaries fall. The
+    * global windows are EVAL STAGING (the operator itself never sorts
+    * globally), same as the coalesce(1) writes in [[writeBatches]]. */
+  private def batchedFrame(docs: DataFrame, nBatches: Int,
+                           staging: Staging): DataFrame = staging match {
+    case Staging.DocId =>
+      val cnt = math.max(docs.count(), 1L)
+      docs
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        .select(col("doc_id").as("seq"), col("doc_id"), col("text"),
+          expr(s"CAST(((rk - 1) * $nBatches) DIV $cnt AS INT)").as("batch"))
+    case Staging.Arrival =>
+      // md5-derived batch assignment + md5-ordered arrival rank within
+      // the batch: deterministic, decorrelated from doc_id
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+      docs
+        .withColumn("batch", pmod(h, lit(nBatches)).cast("int"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("batch"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .select((col("batch").cast("long") * (1L << 32) + col("rk"))
+          .as("seq"), col("doc_id"), col("text"), col("batch"))
+  }
+
+  /** Stage `batches` of the pre-assigned frame as parquet files under
+    * `src`, one per micro-batch, each row carrying (seq, doc_id, text,
+    * ts). Distinct mtimes pin replay order (FileStreamSource orders by
+    * timestamp). Returns the staged epoch-ms base `t0`. */
+  private def writeBatches(batched: DataFrame, src: java.io.File,
+                           batches: Range): Long = {
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    val batched: Int => DataFrame = staging match {
-      case Staging.DocId =>
-        // quantile split on doc_id; seq IS doc_id, so "earlier" means
-        // exactly doc_id order — the DuckDB-checkable arm
-        val cuts = if (nBatches <= 1) Array.empty[Double]
-          else docs.stat.approxQuantile("doc_id",
-            (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
-        val ranges = (Double.MinValue +: cuts) :+ Double.MaxValue
-        i => docs
-          .filter(col("doc_id") > ranges(i) && col("doc_id") <= ranges(i + 1))
-          .select(col("doc_id").as("seq"), col("doc_id"), col("text"))
-      case Staging.Arrival =>
-        // md5-derived batch assignment + md5-ordered arrival rank within
-        // the batch: deterministic, decorrelated from doc_id. The global
-        // window is EVAL STAGING on one batch's rows (the operator itself
-        // never sorts globally), same as the coalesce(1) writes below.
-        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long")
-        i => docs
-          .filter(pmod(h, lit(nBatches)) === i)
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(
-              md5(col("doc_id").cast("string")), col("doc_id"))))
-          .select((lit(i.toLong * (1L << 32)) + col("rk")).as("seq"),
-            col("doc_id"), col("text"))
-    }
-    (0 until nBatches).foreach { i =>
-      val part = s"${src.getParent}/stage_$i"
+    batches.foreach { i =>
+      val part = s"${src.getParent}/stage_${src.getName}_$i"
       val ts = t0 + i * BatchIntervalMs
-      batched(i)
+      batched.filter(col("batch") === i)
+        .select(col("seq"), col("doc_id"), col("text"))
         .withColumn("ts", lit(ts))
         .coalesce(1).write.mode("overwrite").parquet(part)
       val file = new java.io.File(part).listFiles()
@@ -456,7 +463,7 @@ object StreamCuration {
     val src = new java.io.File(s"$tmp/in"); src.mkdirs()
     val ss = streamSession(s, 8)
     val docs = loadDocs(ss, dir)
-    stageBatches(docs, src, nBatches, staging)
+    writeBatches(batchedFrame(docs, nBatches, staging), src, 0 until nBatches)
     val (flags, _) = runNeardupStream(ss, src, tmp, bands, docs.count(),
       ttlBatches = None, initState = None)
     verdictFrame(flags)
@@ -488,7 +495,7 @@ object StreamCuration {
     val src = new java.io.File(s"$tmp/in"); src.mkdirs()
     val ss = streamSession(s, 8)
     val docs = loadDocs(ss, dir)
-    stageBatches(docs, src, nBatches, staging)
+    writeBatches(batchedFrame(docs, nBatches, staging), src, 0 until nBatches)
     val (flags, trace) = runNeardupStream(ss, src, tmp, bands, docs.count(),
       ttlBatches = Some(ttlBatches), initState = None)
     (verdictFrame(flags), trace)
@@ -519,17 +526,15 @@ object StreamCuration {
     val ss = streamSession(s, 8)
     import ss.implicits._
     val docs = loadDocs(ss, dir)
-    // one doc_id-quantile split for the WHOLE corpus, then the two runs
-    // stream disjoint prefixes of the same batch sequence
-    val cuts = docs.stat.approxQuantile("doc_id",
-      (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
-    val ranges = (Double.MinValue +: cuts) :+ Double.MaxValue
-    val firstHalf = docs
-      .filter(col("doc_id") <= ranges(splitAt))
-    val secondHalf = docs
-      .filter(col("doc_id") > ranges(splitAt))
-    stageBatches(firstHalf, src1, splitAt, Staging.DocId)
-    stageBatches(secondHalf, src2, nBatches - splitAt, Staging.DocId)
+    // ONE batch assignment for the whole corpus, then the two runs stream
+    // disjoint prefixes of the same batch sequence (localCheckpoint: the
+    // rank window + count feed two stagings, a snapshot and two guards)
+    val batched = batchedFrame(docs, nBatches, Staging.DocId)
+      .localCheckpoint()
+    val firstHalf = batched.filter(col("batch") < splitAt)
+    val secondHalf = batched.filter(col("batch") >= splitAt)
+    writeBatches(batched, src1, 0 until splitAt)
+    writeBatches(batched, src2, splitAt until nBatches)
     val (flags1, _) = runNeardupStream(ss, src1, tmp, bands,
       firstHalf.count(), ttlBatches = None, initState = None)
     // compaction: the state snapshot reconstructed from the corpus index
@@ -553,6 +558,7 @@ object StreamCuration {
   val queries: Map[String, Q] = Map(
     "x_stream_curate" -> ((s, dir) => xStreamCurate(s, dir)),
     "x_stream_neardup" -> ((s, dir) => xStreamNeardup(s, dir)),
+    "x_stream_neardup_ttl" -> ((s, dir) => xStreamNeardupTtl(s, dir)),
     "x_stream_neardup_compacted" ->
       ((s, dir) => xStreamNeardupCompacted(s, dir))
   )
@@ -575,8 +581,42 @@ object StreamCuration {
         |SELECT t.doc_id, CAST(COALESCE(n_stale, 0) AS BIGINT) AS n_stale_bands,
         |CASE WHEN COALESCE(n_stale, 0) > 0 THEN 'near_dup' ELSE 'admit' END AS verdict
         |FROM t LEFT JOIN stale USING (doc_id) ORDER BY doc_id""".stripMargin
+    // The TTL'd gate is ALSO plain-SQL-checkable because batch membership
+    // is the rank-based integer arithmetic DuckDB replays verbatim, and
+    // the refresh-on-touch TTL=1 semantics reduce to a gap-free-island
+    // rule: doc d is stale on band (bi, bv) iff some smaller doc e shares
+    // it AND every staged batch between batch(e) and batch(d) inclusive
+    // touched the band (any touch refreshes the claim; one untouched
+    // batch is a gap > ttl, the claim dies, and the next claimant is
+    // admitted fresh).
+    val ttlSql =
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 2)),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t),
+        |${Dedup.MultibandCtesSql},
+        |cnt AS (SELECT greatest(count(*), 1) AS n FROM t),
+        |bt AS (SELECT doc_id,
+        |  CAST(((row_number() OVER (ORDER BY doc_id) - 1) * 4) // n AS INT) AS batch
+        |  FROM t, cnt),
+        |bb AS (SELECT banded.doc_id, bi, bv, batch FROM banded JOIN bt USING (doc_id)),
+        |touch AS (SELECT DISTINCT bi, bv, batch FROM bb),
+        |allb AS (SELECT b FROM range(0, 4) t(b)),
+        |stale AS (SELECT d.doc_id, count(DISTINCT d.bi) AS n_stale
+        |  FROM bb d JOIN bb e
+        |  ON d.bi = e.bi AND d.bv = e.bv AND e.doc_id < d.doc_id
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM allb
+        |    WHERE allb.b BETWEEN e.batch AND d.batch
+        |    AND NOT EXISTS (SELECT 1 FROM touch t2
+        |      WHERE t2.bi = d.bi AND t2.bv = d.bv AND t2.batch = allb.b))
+        |  GROUP BY d.doc_id)
+        |SELECT t.doc_id, CAST(COALESCE(n_stale, 0) AS BIGINT) AS n_stale_bands,
+        |CASE WHEN COALESCE(n_stale, 0) > 0 THEN 'near_dup' ELSE 'admit' END AS verdict
+        |FROM t LEFT JOIN stale USING (doc_id) ORDER BY doc_id""".stripMargin
     Map(
       "x_stream_neardup" -> neardupSql,
+      "x_stream_neardup_ttl" -> ttlSql,
       // compaction must be invisible to the verdicts — the restart run
       // answers to the SAME batch rule as the single-stream run
       "x_stream_neardup_compacted" -> neardupSql,
