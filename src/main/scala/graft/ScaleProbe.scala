@@ -56,7 +56,11 @@ object ScaleProbe {
     // r15: the ADC-scored IVF+PQ probe — the distance table is |q|·m·k
     // regardless of corpus, so growth should ride the one assignment +
     // codes pass; probe both the operator and its recall eval
-    "x_ann_ivfpq", "x_ann_ivfpq_recall")
+    "x_ann_ivfpq", "x_ann_ivfpq_recall",
+    // r15: the streaming admission gate — state stores and the staged
+    // micro-batch replay should scale with the sketch stream (8 fixed-
+    // width bands/doc), never with text volume
+    "x_stream_neardup")
 
   /** How many of the WORST measured 10× ratios get a second octave (30×)
     * and a fitted exponent — derived from the rows the run just computed,
