@@ -39,5 +39,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache mid-run; when it fills, the JIT stops compiling and the
   // md5/shingle hot loops drop to interpreted speed — observed r6 as a
   // 2-3x inflation of the shingle-query cluster with a roving onset.
-  "-XX:ReservedCodeCacheSize=512m",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
 )

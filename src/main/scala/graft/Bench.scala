@@ -22,6 +22,90 @@ object Bench {
         .orderBy(col("count"))
         .queryExecution.toRdd.count()
     }
+    // r16 warmup extension (same contract as the block above — one-time
+    // session costs must not land in whichever query happens to run first;
+    // methodology note in OPTIMIZATION_r16.md "Measure first"). The board's
+    // dedup/curation families run interpreted higher-order array lambdas
+    // (CodegenFallback) whose FIRST heavy use triggers a C2 compile-storm:
+    // measured this round at sf0.1, the pair-expansion path read 37 s cold
+    // (60 s of aggregate JIT compiler time) vs 1.8 s warm, and the
+    // alphabetically-first family member absorbed it (x_jaccard_ngram
+    // 23-36 s board vs 3-4 s isolated-warm on the same host). Exercise the
+    // shared machinery on 64 synthetic docs: lambda interpreter (transform/
+    // aggregate/filter), generators (explode/posexplode), array set ops,
+    // struct collect_list + sort_array, window, serialized persist, JSON,
+    // levenshtein — all byte-count-trivial, all off the clock.
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(0, 64)
+        .selectExpr("id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 32), " +
+            "i -> substring(md5(cast(id * 32 + i AS string)), 1, 3))) AS text")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            try_element_at(col("toks"), i + 1),
+            try_element_at(col("toks"), i + 2))))).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val postings = sh.groupBy("shingle")
+        .agg(collect_list(struct(col("doc_id"),
+          lit(8L).cast("bigint").as("n_bg"))).as("entries"))
+        .filter(size(col("entries")).between(2, 64))
+        .select(sort_array(col("entries")).as("entries"))
+      val pairs = postings
+        .select(col("entries"), posexplode(col("entries")).as(Seq("i", "ea")))
+        .select(col("i"), col("ea"),
+          posexplode(col("entries")).as(Seq("j", "eb")))
+        .filter(col("j") > col("i"))
+        .groupBy(col("ea.doc_id").as("doc_a"), col("eb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      pairs.queryExecution.toRdd.count()
+      val arrays = docs.select(col("doc_id"), col("toks"),
+          slice(col("toks"), 1, 16).as("ta"), slice(col("toks"), 8, 16).as("tb"))
+        .select(col("doc_id"),
+          size(array_intersect(col("ta"), col("tb"))).as("ni"),
+          size(array_union(col("ta"), col("tb"))).as("nu"),
+          aggregate(col("toks"), lit(0),
+            (acc, t) => acc + when(length(t) > 1, 1).otherwise(0)).as("agg"),
+          size(filter(col("toks"), t => length(t) > 1)).as("flt"),
+          array_min(transform(col("toks"), t => substring(md5(t), 1, 8)))
+            .as("mh"),
+          levenshtein(concat_ws("", col("ta")), concat_ws("", col("tb")), 10)
+            .as("lev"),
+          get_json_object(to_json(struct(col("doc_id").as("v"))), "$.v")
+            .as("j"))
+      arrays
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("doc_id"), lit(4))).orderBy(col("doc_id"))))
+        .queryExecution.toRdd.count()
+      sh.unpersist(blocking = true)
+    }
+    // Streaming machinery warm (same contract): the 8 streaming rows each
+    // pay StreamExecution / FileStreamSource / state-store / commit-log
+    // first-use class-loading + JIT; a 16-row file stream through watermark
+    // dedup into a parquet sink loads all of it once, off the clock.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_warm_")
+      val src = s"$tmp/in"
+      spark.range(0, 16)
+        .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val q = spark.readStream.schema("id LONG, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

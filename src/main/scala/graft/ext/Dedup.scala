@@ -158,9 +158,19 @@ object Dedup {
     * counts) — ids and set sizes only, never shingle arrays, so the shuffle
     * payload is fixed-width at any corpus size. */
   private def lshCandidates(s: SparkSession, dir: String,
-                            bands: Int): DataFrame = {
+                            bands: Int): DataFrame =
+    lshCandidatesFrom(docSignatures(s, dir, bands), bands)
+
+  /** Candidate generation over an explicit signature frame — the surface
+    * that lets [[xLshRecall]] derive its candidate arm from the already-
+    * cached truth-arm (doc_id, shingle) explode instead of re-shingling
+    * the corpus a second time (the [[multibandCandidatesFrom]] idiom,
+    * applied r16; a doc's signature depends only on its own shingles, so
+    * the candidate verdict per pair is unchanged). */
+  private def lshCandidatesFrom(sigIn: DataFrame, bands: Int,
+                                barrier: Boolean = true): DataFrame = {
     val bandCols = (0 until bands).map(i => col(s"b$i"))
-    val sig = docSignatures(s, dir, bands)
+    val sig = sigIn
       // explicit exchange → reused across both self-join branches; measured
       // r4 at sf0.1: removing it costs +1.1 s (pairs) / +2.0 s (clusters)
       .repartition(bandCols: _*)
@@ -170,10 +180,12 @@ object Dedup {
     // Materialize the candidate set once: it is tiny (sub-linear in corpus
     // pairs by LSH design) but referenced three times by the scorer — without
     // this the signature aggregation + self-join would replay per reference.
-    sig.as("a").join(sig.as("b"), cond)
+    // (`barrier = false` only on the plan-audit surfaces, where the eager
+    // localCheckpoint would hide the tree behind an ExistingRDD scan.)
+    val out = sig.as("a").join(sig.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .localCheckpoint()
+    if (barrier) out.localCheckpoint() else out
   }
 
   private def lshPairs(s: SparkSession, dir: String, bands: Int): DataFrame =
@@ -493,12 +505,43 @@ object Dedup {
     .agg(collect_list(col("e")).as("entries"))
 
   /** In-bucket all-pairs expansion of a sorted posting-list array —
-    * ids[i] < ids[j] for i < j, so pair order (doc_a < doc_b) is free. */
-  private val PairExpansionSql: String =
+    * ids[i] < ids[j] for i < j, so pair order (doc_a < doc_b) is free.
+    * (Kept only as the r16 probe's BEFORE arm; the shipped path is
+    * [[expandSortedPairs]].) */
+  private[graft] val PairExpansionSql: String =
     """flatten(transform(entries, (a, i) ->
       |  transform(slice(entries, i + 2, size(entries)), b ->
       |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
       |           a.n_bg AS n_a, b.n_bg AS n_b))))""".stripMargin
+
+  /** In-bucket all-pairs expansion of a sorted posting-list `entries`
+    * array, as TWO codegen'd `posexplode` generators + a rank filter
+    * (guide §4 — eliminate non-codegen expressions in the hot path). The
+    * r11 formulation ([[PairExpansionSql]]) built the pair structs with
+    * nested `flatten(transform(..., slice(...)))` lambdas; higher-order
+    * array functions are CodegenFallback, so every posting list was
+    * expanded on the interpreted Expression path — measured r16 at sf0.1:
+    * 37 s cold with 60 s of aggregate C2 compile time (the interpreter's
+    * recursive eval is a JIT compile-storm on a fresh JVM) vs ~1.8 s warm;
+    * the generator pipeline is plain whole-stage codegen with none of
+    * that cliff, and is also what Spark vectorizes best at 100 TB. Rows
+    * produced are identical: `entries` is sorted ascending by (doc_id,
+    * n_bg) and posting lists hold one entry per doc, so `i < j` ⇔
+    * `doc_a < doc_b`, exactly the pairs the lambda emitted. `carry`
+    * columns ride along unchanged. */
+  private def expandSortedPairs(lists: DataFrame,
+                                carry: String*): DataFrame = {
+    val c = carry.map(col)
+    lists
+      .select(c ++ Seq(col("entries"),
+        posexplode(col("entries")).as(Seq("i", "ea"))): _*)
+      .select(c ++ Seq(col("i"), col("ea"),
+        posexplode(col("entries")).as(Seq("j", "eb"))): _*)
+      .filter(col("j") > col("i"))
+      .select(c ++ Seq(col("ea.doc_id").as("doc_a"),
+        col("eb.doc_id").as("doc_b"),
+        col("ea.n_bg").as("n_a"), col("eb.n_bg").as("n_b")): _*)
+  }
 
   /** Serialized storage for corpus-sized shared frames (see the
     * [[xJaccardNgram]] rationale: deserialized gram/shingle arrays are
@@ -638,12 +681,10 @@ object Dedup {
     // 555,595 raw candidates -> 74 survivors (the answer set itself; most
     // raw candidates share exactly one rare gram), and the query dropped
     // 10.8 -> 6.6 s / 40.5 -> 33.8 s at 10x with byte-identical output.
-    val cand = grouped
-      .filter(size(col("entries")).between(2, dfCap))
-      .select(sort_array(col("entries")).as("entries"))
-      .select(explode(expr(PairExpansionSql)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    val cand = expandSortedPairs(grouped
+        .filter(size(col("entries")).between(2, dfCap))
+        .select(sort_array(col("entries")).as("entries")))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("ni_s"))
     val capped = grouped
       .filter(size(col("entries")) > dfCap)
@@ -1075,10 +1116,34 @@ object Dedup {
                  thresholds: Seq[Double] =
                    Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
                  dfCap: Int = 100,
-                 sampleFrac: Double = 1.0): DataFrame = {
+                 sampleFrac: Double = 1.0): DataFrame =
+    lshRecallBuild(s, dir, thresholds, dfCap, sampleFrac, barriers = true)
+
+  /** Plan-audit surface (r16): the same logical pipeline with every
+    * materialization barrier removed (no persists, no localCheckpoints) so
+    * `explain` shows the whole operator tree instead of an ExistingRDD
+    * scan. Never benched or oracle-checked. */
+  private[graft] def xLshRecallPlan(s: SparkSession, dir: String): DataFrame =
+    lshRecallBuild(s, dir, Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8), 100, 1.0,
+      barriers = false)
+
+  private def lshRecallBuild(s: SparkSession, dir: String,
+                             thresholds: Seq[Double], dfCap: Int,
+                             sampleFrac: Double,
+                             barriers: Boolean): DataFrame = {
+    // Persist registers in both modes: the plan-audit surface must SHOW
+    // the cache reuse (candidate arm reading the truth explode's
+    // InMemoryRelation instead of a second corpus scan) — its caller
+    // clears the cache; only the checkpoints/releases are plan-opaque.
     val (truth, exploded, docShingles) =
       lshTruthBuild(s, dir, dfCap, _.persist(Ser), sampleFrac)
-    val cand = lshCandidates(s, dir, bands = 1)
+    // candidate signatures derive from the truth arm's CACHED (doc_id,
+    // shingle) explode — one corpus shingle pass serves both arms, the
+    // same reuse [[xMultibandRecall]] measured at −2 s in r14 (a doc's
+    // band minima depend only on its own shingles, so candidate verdicts
+    // are unchanged — sampled or not)
+    val cand = lshCandidatesFrom(signaturesOf(exploded, 1), bands = 1,
+        barrier = barriers)
       .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"),
         lit(1L).as("cand_hit"))
     val scored = truth.join(cand,
@@ -1088,7 +1153,7 @@ object Dedup {
       .select(explode(typedLit(thresholds)).as("threshold"))
     // 7 threshold rows broadcast against the (small) true-pair set; a
     // threshold with zero qualifying pairs still reports a row
-    releaseAfter(exploded, docShingles)(broadcast(th)
+    val res = broadcast(th)
       .join(scored, col("jac") >= col("threshold"), "left")
       .groupBy("threshold")
       .agg(count(col("jac")).as("n_true"),
@@ -1097,7 +1162,8 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
-      .orderBy("threshold"))
+      .orderBy("threshold")
+    if (barriers) releaseAfter(exploded, docShingles)(res) else res
   }
 
   /** Recall of the OR-composed multi-band candidate generator
@@ -1307,13 +1373,11 @@ object Dedup {
       s"jaccard truth: max in-block df $maxDf exceeds truthDfCeil=" +
         s"$truthDfCeil — truth pairs would be silently excluded; raise " +
         "the ceiling (and budget its df^2 expansion) or sample the corpus")
-    val truth = bigramPostings(docs)
-      .filter(size(col("entries")).between(2, truthDfCeil))
-      .select(size(col("entries")).cast("bigint").as("df"),
-        sort_array(col("entries")).as("entries"))
-      .select(col("df"), explode(expr(PairExpansionSql)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    val truth = expandSortedPairs(bigramPostings(docs)
+        .filter(size(col("entries")).between(2, truthDfCeil))
+        .select(size(col("entries")).cast("bigint").as("df"),
+          sort_array(col("entries")).as("entries")), "df")
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("ni"), min(col("df")).as("min_df"))
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
@@ -1369,16 +1433,31 @@ object Dedup {
                      dfCaps: Seq[Int] = Seq(25, 50, 100),
                      thresholds: Seq[Double] =
                        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
-                     blockSampleFrac: Double = 1.0): DataFrame = {
+                     blockSampleFrac: Double = 1.0): DataFrame =
+    jaccardRecallBuild(s, dir, dfCaps,
+      thresholds, blockSampleFrac, barriers = true)
+
+  /** Plan-audit surface (r16) — see [[xLshRecallPlan]]. */
+  private[graft] def xJaccardRecallPlan(s: SparkSession,
+                                        dir: String): DataFrame =
+    jaccardRecallBuild(s, dir, Seq(25, 50, 100),
+      Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8), 1.0, barriers = false)
+
+  private def jaccardRecallBuild(s: SparkSession, dir: String,
+                                 dfCaps: Seq[Int],
+                                 thresholds: Seq[Double],
+                                 blockSampleFrac: Double,
+                                 barriers: Boolean): DataFrame = {
     val (truthAll, caches) = jaccardTruthBuild(s, dir, bucketWidth = 20,
-      truthDfCeil = 10000, _.persist(Ser), blockSampleFrac)
+      truthDfCeil = 10000,
+      if (barriers) _.persist(Ser) else identity, blockSampleFrac)
     val truth = truthAll.filter(col("jac") >= thresholds.min)
     val grid = s.range(1)
       .select(explode(typedLit(dfCaps.map(_.toLong))).as("df_cap"))
       .select(col("df_cap"), explode(typedLit(thresholds)).as("threshold"))
     // 18 grid rows broadcast against the (small) true-pair set; a cell
     // with zero qualifying pairs still reports a row
-    releaseAfter(caches: _*)(broadcast(grid)
+    val res = broadcast(grid)
       .join(truth, col("jac") >= col("threshold"), "left")
       .groupBy("df_cap", "threshold")
       .agg(count(col("jac")).as("n_true"),
@@ -1388,7 +1467,8 @@ object Dedup {
         when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true") + lit(1e-9), 6))
           .otherwise(lit(0.0)).as("recall"))
-      .orderBy("df_cap", "threshold"))
+      .orderBy("df_cap", "threshold")
+    if (barriers) releaseAfter(caches: _*)(res) else res
   }
 
   val queries: Map[String, Q] = Map(
