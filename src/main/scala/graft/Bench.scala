@@ -62,6 +62,28 @@ object Bench {
         .groupBy(col("ea.doc_id").as("doc_a"), col("eb.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("ni"))
       pairs.queryExecution.toRdd.count()
+      // r17 warmup addition (same contract — untimed, synthetic): the
+      // upper-triangle generator shape the pair expansion now uses
+      // (posexplode + explode(slice(suffix))) and the typed-Dataset
+      // boundary (encoder codegen + Deserialize/Serialize) the native
+      // gram/signature flatMaps run through.
+      val pairs2 = postings
+        .select(col("entries"), posexplode(col("entries")).as(Seq("i", "ea")))
+        .select(col("ea"), explode(slice(col("entries"), col("i") + lit(2),
+          greatest(size(col("entries")) - col("i") - lit(1), lit(0))))
+          .as("eb"))
+        .groupBy(col("ea.doc_id").as("doc_a"), col("eb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      pairs2.queryExecution.toRdd.count()
+      locally {
+        import spark.implicits._
+        spark.range(0, 64).selectExpr("id", "md5(cast(id AS string)) AS t")
+          .as[(Long, String)]
+          .flatMap { case (id, t) => t.grouped(8).map((id, _)) }
+          .toDF("doc_id", "shingle")
+          .groupBy("shingle").count()
+          .queryExecution.toRdd.count()
+      }
       val arrays = docs.select(col("doc_id"), col("toks"),
           slice(col("toks"), 1, 16).as("ta"), slice(col("toks"), 8, 16).as("tb"))
         .select(col("doc_id"),

@@ -36,6 +36,93 @@ object Dedup {
       i => concat_ws(" ", element_at(toks, i),
         try_element_at(toks, i + 1), try_element_at(toks, i + 2)))
 
+  // ---- native (no-CodegenFallback) twins of the gram/shingle lambdas ----
+  //
+  // Higher-order array functions (`transform`/`sequence` lambdas) evaluate
+  // on the interpreted Expression path and are the engine's measured JIT
+  // liability: r16's probe put ~60 s of aggregate C2 compile time on their
+  // first heavy use, and the r17 probe still reads 22 s of compile during
+  // the postings build alone — at `local[32]` the compiler threads compete
+  // with 32 busy task slots, which is exactly the anti-scaling the driver
+  // board measured (VERDICT r16 #1/#4: "make the shingle path native, no
+  // CodegenFallback in the hot fragment"; guide §4). The typed-Dataset
+  // loops below produce BYTE-IDENTICAL rows (same concat_ws null-skip
+  // tail, same first-occurrence distinct order, same md5-hex chunk
+  // arithmetic the DuckDB oracles replay — the [[StreamCuration.bandMins]]
+  // precedent, whose streaming verdicts share the batch oracles).
+
+  /** Distinct n-token grams of a pre-split token array — gram i (1-based)
+    * is `concat_ws(' ', toks[i], …, toks[i+n-1])` with the null-skip tail,
+    * i in 1..max(len-(n-1), 1); first-occurrence order like
+    * `array_distinct`. */
+  private def distinctGrams(toks: Array[String], n: Int): Array[String] = {
+    val len = toks.length
+    val last = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < last) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n && i + k < len) { sb.append(' ').append(toks(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Per-band minhash minima over a distinct shingle set: band b of the
+    * signature is the min over shingles of 8-hex-char chunk `b % 4` of
+    * md5(salt ++ shingle), salt = "" for bands 0–3 then "1", "2", … per
+    * digest — the [[signaturesOf]] arithmetic (and DuckDB's), natively.
+    * Lexicographic min on fixed-width lowercase hex equals numeric min,
+    * and String.compareTo on ASCII equals UTF8String binary order. */
+  private def bandMinsOf(shingles: Array[String], bands: Int): Array[String] = {
+    val nHashes = (bands + 3) / 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(str: String): String = {
+      md.reset()
+      val d = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b =>
+        sb.append(Character.forDigit((b & 0xf0) >> 4, 16))
+        sb.append(Character.forDigit(b & 0x0f, 16))
+      }
+      sb.toString
+    }
+    val mins = new Array[String](bands)
+    var s = 0
+    while (s < shingles.length) {
+      val sh = shingles(s)
+      var k = 0
+      while (k < nHashes) {
+        val h = md5hex(if (k == 0) sh else k.toString + sh)
+        var b = k * 4
+        val hi = math.min(bands, k * 4 + 4)
+        while (b < hi) {
+          val c = h.substring(8 * (b % 4), 8 * (b % 4) + 8)
+          if (mins(b) == null || c < mins(b)) mins(b) = c
+          b += 1
+        }
+        k += 1
+      }
+      s += 1
+    }
+    mins
+  }
+
+  /** Native (doc_id, shingle) stream — the typed twin of
+    * `select(doc_id, explode(array_distinct(shingles(toks))))`. */
+  private def distinctShingleRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else distinctGrams(text.split(" ", -1), 3).iterator.map((id, _))
+      }
+      .toDF("doc_id", "shingle")
+  }
+
   /** One md5 per distinct shingle; all hash-family members derive from it. */
   def shingleHashes(shingleCol: Column): Column =
     transform(array_distinct(shingleCol), sh => md5(sh))
@@ -60,19 +147,35 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("sh", shingles(col("toks")))
 
-  /** Per-doc band signatures via explode + aggregate: md5 evaluated exactly
-    * once per distinct shingle, band minima as partial aggregates (map-side
-    * combine). The shuffle payload is FIXED WIDTH — (doc_id, count, 8 chars
-    * per band) — never the shingle set itself; at 100 TB the groupBy
-    * exchanges a few dozen bytes per document regardless of text length.
-    * (The array-expression formulation looks cheaper but is not:
-    * CollapseProject inlines the aliased hash-array into every band
-    * expression and the whole shingle+md5 pipeline re-evaluates per band.) */
-  private def docSignatures(s: SparkSession, dir: String,
-                            bands: Int): DataFrame =
-    signaturesOf(docsWithShingles(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")),
-      bands)
+  /** Per-doc band signatures, computed NATIVELY in one narrow map — no
+    * shuffle at all (r17; guide §2.4 "remove shuffles outright" + §4). The
+    * r11–r16 shape exploded distinct shingles and re-aggregated them by
+    * doc_id: the partial aggregation kept the exchange fixed-width, but it
+    * was still an exchange (one row per doc per map partition) and its
+    * shingle lambdas were CodegenFallback — the engine's measured JIT
+    * liability (OPTIMIZATION_r17.md). [[bandMinsOf]] computes the same
+    * md5-chunk minima per doc inside the scan task, so the signature frame
+    * is now scan → flatMap, zero Exchange, no interpreted expressions;
+    * rows are byte-identical (same shingle construction, same salt/chunk
+    * arithmetic, `n_sh` = distinct shingle count as before). */
+  private[ext] def docSignatures(s: SparkSession, dir: String,
+                            bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 12, s"bands=$bands outside 1..12")
+    import s.implicits._
+    val nb = bands
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val sh = distinctGrams(text.split(" ", -1), 3)
+          Iterator.single((id, sh.length.toLong, bandMinsOf(sh, nb)))
+        }
+      }
+      .toDF("doc_id", "n_sh", "mins")
+      .select(col("doc_id") +: col("n_sh") +:
+        (0 until bands).map(i => col("mins")(i).as(s"b$i")): _*)
+  }
 
   /** Band signatures over an explicit distinct (doc_id, shingle) stream —
     * factored out so [[xMultibandRecall]] can reuse its cached truth-arm
@@ -124,13 +227,9 @@ object Dedup {
     // without this it would run twice. Size is O(candidate docs), not corpus.
     // Measured r4 at sf0.1: dropping this costs +0.4 s on x_minhash_pairs
     // and +2.2 s on x_dup_clusters (which replays the whole pipeline).
-    val docShingles = Tables.load(s, dir, "documents")
-      .join(broadcast(involved), "doc_id") // prune BEFORE shingling
-      // split projected separately so it isn't cloned into every
-      // element_at of the shingle lambda (see SqlSurface.xSqlKmv)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("toks")))).as("shingle"))
+    val docShingles = distinctShingleRows(
+      Tables.load(s, dir, "documents")
+        .join(broadcast(involved), "doc_id")) // prune BEFORE shingling
       .localCheckpoint()
     val inter = pairs
       .join(docShingles.as("ra"), col("doc_a") === col("ra.doc_id"))
@@ -251,15 +350,20 @@ object Dedup {
   /** Per-doc MinHash signature (4 bands) — the sketch that downstream LSH
     * passes shuffle instead of text. */
   def xMinhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashes(col("sh"))
-    docsWithShingles(s, dir)
-      .withColumn("hs", hs)
-      .select(
-        col("doc_id"),
-        minhashOfHashes(col("hs"), 0).as("sig0"),
-        minhashOfHashes(col("hs"), 1).as("sig1"),
-        minhashOfHashes(col("hs"), 2).as("sig2"),
-        minhashOfHashes(col("hs"), 3).as("sig3"))
+    // r17: native [[bandMinsOf]] loop (guide §4) — one narrow map, no
+    // interpreted transform lambdas; bands 0–3 chunk the unsalted digest
+    // exactly like minhashOfHashes(shingleHashes(sh), 0..3).
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val m = bandMinsOf(distinctGrams(text.split(" ", -1), 3), 4)
+          Iterator.single((id, m(0), m(1), m(2), m(3)))
+        }
+      }
+      .toDF("doc_id", "sig0", "sig1", "sig2", "sig3")
       .orderBy("doc_id")
   }
 
@@ -478,16 +582,27 @@ object Dedup {
     * surviving rows. */
   private[ext] def bigramDocs(s: SparkSession, dir: String,
                               bucketWidth: Int): DataFrame = {
-    val bigrams = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
-      i => concat_ws(" ", element_at(col("toks"), i),
-        try_element_at(col("toks"), i + 1))))
+    // r17: native gram loop instead of the interpreted transform/sequence
+    // lambda (guide §4; the lambda was the family's JIT-storm source —
+    // 22 s of aggregate compile time during the postings build alone on
+    // the r17 probe). Rows byte-identical: same tokenization, same
+    // concat_ws null-skip tail, same first-occurrence distinct order,
+    // same floor(len/bucketWidth) bucket.
+    import s.implicits._
+    val bw = bucketWidth
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2) // bigram-less docs can't pair anyway
-      .select(col("doc_id"), col("lang"),
-        floor(size(col("toks")) / bucketWidth).cast("bigint").as("bucket"),
-        bigrams.as("bg"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < 2) Iterator.empty // bigram-less docs can't pair
+          else Iterator.single(
+            (id, lang, (toks.length / bw).toLong, distinctGrams(toks, 2)))
+        }
+      }
+      .toDF("doc_id", "lang", "bucket", "bg")
   }
 
   /** One aggregation builds every (lang, bucket, gram) posting list over
@@ -514,33 +629,83 @@ object Dedup {
       |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
       |           a.n_bg AS n_a, b.n_bg AS n_b))))""".stripMargin
 
+  /** Posting lists longer than this expand as chunk PAIRS behind their own
+    * (tiny) exchange instead of one d²/2-row generator call — the
+    * VERDICT r16 #3 skew bound. 1024² / 2 ≈ 5·10⁵ rows per generator
+    * invocation is the per-task granule; the driver SFs never reach it
+    * (max in-block df at sf0.1 = 63), so the chunked arm is exercised by
+    * the unit fixture, not the board. */
+  private[ext] val PairChunkLen = 1024
+
   /** In-bucket all-pairs expansion of a sorted posting-list `entries`
-    * array, as TWO codegen'd `posexplode` generators + a rank filter
-    * (guide §4 — eliminate non-codegen expressions in the hot path). The
-    * r11 formulation ([[PairExpansionSql]]) built the pair structs with
-    * nested `flatten(transform(..., slice(...)))` lambdas; higher-order
-    * array functions are CodegenFallback, so every posting list was
-    * expanded on the interpreted Expression path — measured r16 at sf0.1:
-    * 37 s cold with 60 s of aggregate C2 compile time (the interpreter's
-    * recursive eval is a JIT compile-storm on a fresh JVM) vs ~1.8 s warm;
-    * the generator pipeline is plain whole-stage codegen with none of
-    * that cliff, and is also what Spark vectorizes best at 100 TB. Rows
-    * produced are identical: `entries` is sorted ascending by (doc_id,
-    * n_bg) and posting lists hold one entry per doc, so `i < j` ⇔
-    * `doc_a < doc_b`, exactly the pairs the lambda emitted. `carry`
-    * columns ride along unchanged. */
-  private def expandSortedPairs(lists: DataFrame,
-                                carry: String*): DataFrame = {
+    * array as ONE codegen generator pass per element: `posexplode` yields
+    * (i, ea), then `explode(slice(entries, i+2, n−i−1))` emits exactly the
+    * j > i suffix — n(n−1)/2 generated rows, no rank filter (r17). The two
+    * predecessors both failed a measurement: the r11
+    * `flatten(transform(..., slice(...)))` lambda ([[PairExpansionSql]])
+    * was CodegenFallback — 37 s cold / 60 s aggregate C2 time at sf0.1
+    * (r16 probe) — and the r16 double-`posexplode` + `j > i` filter
+    * generated n² rows to keep half, which the driver board measured at
+    * 51.1 s @32 cores vs 10.4 s @8 on x_jaccard_ngram (VERDICT r16 #1:
+    * 0.095 speedup, core-scaling 0.20; ADVICE r16 blames the n² row
+    * stream and per-row array duplication whenever the Generate pair runs
+    * outside a codegen stage). This form is codegen end to end (`Slice`
+    * is not CodegenFallback), emits only the upper triangle, and carries
+    * no rank columns downstream. Rows produced are identical: `entries`
+    * is sorted ascending by (doc_id, n_bg) with one entry per doc, so
+    * `i < j` ⇔ `doc_a < doc_b`. `carry` columns ride along unchanged.
+    *
+    * `maxLen` is the caller's static bound on `size(entries)` (its df cap
+    * or ceiling). When it exceeds [[PairChunkLen]], lists past the chunk
+    * length take a second branch that splits the list into contiguous
+    * chunks, expands (ka ≤ kb) chunk pairs, and REPARTITIONS the chunk-
+    * pair rows before the generators, so no single task owns a d²/2
+    * expansion (guide §2.5 salting; VERDICT r16 #3 — the truth arm admits
+    * lists up to truthDfCeil = 10000, i.e. 5·10⁷ pairs from ONE row of
+    * the direct form). Chunks are contiguous slices of a sorted list, so
+    * cross-chunk pairs keep doc_a < doc_b for free; the exchange carries
+    * only the rare oversized lists' chunk pairs. */
+  private[ext] def expandSortedPairs(lists: DataFrame, maxLen: Int,
+                                     carry: String*): DataFrame = {
     val c = carry.map(col)
-    lists
-      .select(c ++ Seq(col("entries"),
-        posexplode(col("entries")).as(Seq("i", "ea"))): _*)
-      .select(c ++ Seq(col("i"), col("ea"),
-        posexplode(col("entries")).as(Seq("j", "eb"))): _*)
-      .filter(col("j") > col("i"))
+    def upperTriangle(in: DataFrame, arr: String): DataFrame = in
+      .select(c ++ Seq(col(arr).as("__t"),
+        posexplode(col(arr)).as(Seq("i", "ea"))): _*)
+      .select(c ++ Seq(col("ea"),
+        explode(slice(col("__t"), col("i") + lit(2),
+          greatest(size(col("__t")) - col("i") - lit(1), lit(0))))
+          .as("eb")): _*)
+    def pairs(in: DataFrame): DataFrame = in
       .select(c ++ Seq(col("ea.doc_id").as("doc_a"),
         col("eb.doc_id").as("doc_b"),
         col("ea.n_bg").as("n_a"), col("eb.n_bg").as("n_b")): _*)
+    if (maxLen <= PairChunkLen) pairs(upperTriangle(lists, "entries"))
+    else {
+      val n = size(col("entries"))
+      val kMax = floor((n - lit(1)) / lit(PairChunkLen)).cast("int")
+      val direct = pairs(upperTriangle(
+        lists.filter(n <= PairChunkLen), "entries"))
+      val chunkPairs = lists.filter(n > PairChunkLen)
+        .select(c ++ Seq(col("entries"),
+          explode(sequence(lit(0), kMax)).as("ka")): _*)
+        .select(c ++ Seq(col("entries"), col("ka"),
+          explode(sequence(col("ka"), kMax)).as("kb")): _*)
+        .select(c ++ Seq(col("ka") === col("kb"),
+          slice(col("entries"), col("ka") * PairChunkLen + 1,
+            lit(PairChunkLen)),
+          slice(col("entries"), col("kb") * PairChunkLen + 1,
+            lit(PairChunkLen)))
+          .zip(Seq("diag", "ca", "cb")).map { case (e, n2) => e.as(n2) }: _*)
+        // spread the d²-mass across tasks — the whole point of chunking;
+        // only oversized lists' chunk pairs cross this exchange
+        .repartition(col("ca"), col("kb"))
+      val cross = pairs(chunkPairs.filter(!col("diag"))
+        .select(c ++ Seq(col("cb"), explode(col("ca")).as("ea")): _*)
+        .select(c ++ Seq(col("ea"), explode(col("cb")).as("eb")): _*))
+      direct.unionByName(pairs(upperTriangle(
+          chunkPairs.filter(col("diag")), "ca")))
+        .unionByName(cross)
+    }
   }
 
   /** Recall bar the multiband recommendation column clears — single-
@@ -695,7 +860,7 @@ object Dedup {
     // 10.8 -> 6.6 s / 40.5 -> 33.8 s at 10x with byte-identical output.
     val cand = expandSortedPairs(grouped
         .filter(size(col("entries")).between(2, dfCap))
-        .select(sort_array(col("entries")).as("entries")))
+        .select(sort_array(col("entries")).as("entries")), dfCap)
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("ni_s"))
     val capped = grouped
@@ -1292,9 +1457,8 @@ object Dedup {
     // meaning; the candidate arm needs no change — a sampled pair is a
     // candidate iff its bands collide, which sampling never alters.
     val effCap = math.max(1, math.ceil(dfCap * sampleFrac).toInt)
-    val exploded = mat(hashSampled(docsWithShingles(s, dir), col("doc_id"),
-      sampleFrac)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")))
+    val exploded = mat(distinctShingleRows(hashSampled(
+      Tables.load(s, dir, "documents"), col("doc_id"), sampleFrac)))
       // df aggregate + the capped-index join re-read it
     val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= effCap).select("shingle")
@@ -1388,7 +1552,7 @@ object Dedup {
     val truth = expandSortedPairs(bigramPostings(docs)
         .filter(size(col("entries")).between(2, truthDfCeil))
         .select(size(col("entries")).cast("bigint").as("df"),
-          sort_array(col("entries")).as("entries")), "df")
+          sort_array(col("entries")).as("entries")), truthDfCeil, "df")
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("ni"), min(col("df")).as("min_df"))
       .select(col("doc_a"), col("doc_b"),

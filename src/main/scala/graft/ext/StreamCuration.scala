@@ -25,6 +25,24 @@ object StreamCuration {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // TEMP r17 diagnostics (env-gated, removed before round close)
+  private val Trace = sys.env.contains("SPARK_GRAFT_TRACE")
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def jitMs: Long = java.lang.management.ManagementFactory
+    .getCompilationMXBean.getTotalCompilationTime
+  private def t[T](name: String)(f: => T): T =
+    if (!Trace) f else {
+      val (g0, j0, t0) = (gcMs, jitMs, System.nanoTime())
+      val r = f
+      System.err.println(f"[trace] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f" (gc ${(gcMs - g0) / 1e3}%.1f s, jit ${(jitMs - j0) / 1e3}%.1f s)")
+      r
+    }
+
   private lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_doc_stream_")
     def rm(f: java.io.File): Unit = {
@@ -68,9 +86,20 @@ object StreamCuration {
     val ckpt = s"$tmp/ckpt"
     val src = s"$dir/documents.parquet"
     val batchSchema = s.read.parquet(src).schema
+    // r17: the stateful dedup runs under [[streamSession]] like every other
+    // streaming query — the stream previously inherited the BATCH session's
+    // shuffle.partitions (= core count locally), so `local[32]` opened 32
+    // dropDuplicates state stores per micro-batch where `local[8]` opened 8;
+    // the driver's r16 scaling block measured exactly that as 9.4 s @32 vs
+    // 3.0 s @8 for this query (PERF_r16 scaling 0.32). The state-store count
+    // is the deployment's ingest-volume knob (r14 measurement: 32 stores
+    // ≈ 35 s vs 8 ≈ 12 s at sf0.1), not something the batch core count
+    // should set implicitly; results are partition-count-invariant (keyed
+    // dedup), which the unchanged oracle pins.
+    val ss = streamSession(s, 8)
     // The file source streams the parent DIRECTORY with a glob pinned to
     // the one table file (same idiom as the capture round trips).
-    val raw = s.readStream.schema(batchSchema)
+    val raw = ss.readStream.schema(batchSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     def curate(df: DataFrame): DataFrame = df
@@ -90,18 +119,25 @@ object StreamCuration {
     // `ing_ts` is processing time — the batch-epoch timestamp, constant
     // within a micro-batch, so eviction is keyed to ingest age exactly
     // like a production crawl feed would key it.
-    val q = boundedDedup(
-        curate(raw).withColumn("ing_ts", current_timestamp()),
-        "1 hour", "lang", "fp")
-      .select("doc_id", "lang", "fp", "n_tok")
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .partitionBy("lang")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = t("curate stream") {
+      val q0 = boundedDedup(
+          curate(raw).withColumn("ing_ts", current_timestamp()),
+          "1 hour", "lang", "fp")
+        .select("doc_id", "lang", "fp", "n_tok")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("lang")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    if (Trace) q.recentProgress.foreach { p =>
+      System.err.println(s"[trace]   batch ${p.batchId}: " +
+        s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+    }
     // The dedup window is 1 hour of PROCESSING time while the oracle is
     // global dedup: a run whose micro-batches straddle the window (paused
     // or pathologically slow eval) would re-admit duplicates and go
@@ -120,8 +156,8 @@ object StreamCuration {
     // matches the table layout) must not pass as an empty-but-green result.
     // The expected count comes from the batch view of the same source
     // through the same curation filters.
-    val expected = curate(s.read.parquet(src))
-      .select("lang", "fp").distinct().count()
+    val expected = t("curate expected count")(curate(s.read.parquet(src))
+      .select("lang", "fp").distinct().count())
     if (expected == 0L) {
       // Legitimately-empty source (every doc below the floor): the sink may
       // hold no data files at all, so return the typed empty aggregate
@@ -135,8 +171,9 @@ object StreamCuration {
         .add("doc_id", "long").add("fp", "string")
         .add("n_tok", "long").add("lang", "string"))
       .parquet(out)
-    require(back.count() == expected,
-      s"stream curate round trip: sink has ${back.count()} rows, " +
+    val backCount = t("curate sink count")(back.count())
+    require(backCount == expected,
+      s"stream curate round trip: sink has $backCount rows, " +
         s"batch view expects $expected (source $src)")
     back
       .groupBy("lang")
@@ -440,13 +477,20 @@ object StreamCuration {
         grouped.flatMapGroupsWithState[BandState, BandFlag](
           OutputMode.Append(), timeout)(fn)
     }
-    val q = flagged.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = t(s"stream ${src.getName}") {
+      val q0 = flagged.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    if (Trace) q.recentProgress.foreach { p =>
+      System.err.println(s"[trace]   batch ${p.batchId}: " +
+        s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+    }
     val stateRows = q.recentProgress.toSeq
       .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
     val back = s.read.schema(
@@ -456,8 +500,9 @@ object StreamCuration {
     // Loud completeness guard: every doc must have emitted every band —
     // a lost micro-batch or silent 0-row stream fails here, not as a
     // subtly-wrong verdict frame.
-    require(back.count() == nDocs * bands,
-      s"stream neardup: sink has ${back.count()} band flags, " +
+    val backCount = t("sink guard count")(back.count())
+    require(backCount == nDocs * bands,
+      s"stream neardup: sink has $backCount band flags, " +
         s"expected $nDocs docs x $bands bands (source $src)")
     (back, stateRows)
   }
@@ -513,11 +558,11 @@ object StreamCuration {
     val src = new java.io.File(s"$tmp/in"); src.mkdirs()
     val ss = streamSession(s, 8)
     val docs = loadDocs(ss, dir)
-    val nDocs = docs.count() // one count serves staging AND the sink guard
-    writeBatches(batchedFrame(docs, nBatches, staging, nDocs), src,
-      0 until nBatches)
-    val (flags, _) = runNeardupStream(ss, src, tmp, bands, nDocs,
-      ttlBatches = None, initState = None)
+    val nDocs = t("docs.count")(docs.count()) // one count serves staging AND the sink guard
+    t("writeBatches")(writeBatches(batchedFrame(docs, nBatches, staging, nDocs), src,
+      0 until nBatches))
+    val (flags, _) = t("runNeardupStream total")(runNeardupStream(ss, src, tmp, bands, nDocs,
+      ttlBatches = None, initState = None))
     verdictFrame(flags)
   }
 

@@ -1110,6 +1110,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pair expansion: chunked arm equals the direct upper triangle") {
+    // r17 (VERDICT r16 #3): posting lists past PairChunkLen expand as
+    // repartitioned chunk pairs so no single task owns a d²/2 generator
+    // call. The driver SFs never exceed the chunk length (max in-block df
+    // at sf0.1 = 63), so pin the equivalence on synthetic sorted lists
+    // that straddle the boundary: same pair set, exactly n(n−1)/2 rows.
+    import spark.implicits._
+    val big = (0L until 2500L).map(i => (i, i + 10000L))
+    val lists = Seq(
+      (1L, big),             // 3 chunks: diagonal + cross expansions
+      (2L, big.take(5)),     // direct arm inside the chunked plan
+      (3L, big.take(1030))   // 2 chunks, one short tail chunk
+    ).toDF("df", "raw")
+      .select(col("df"), expr(
+        "transform(raw, e -> struct(e._1 AS doc_id, e._2 AS n_bg))")
+        .as("entries"))
+    val direct = Dedup.expandSortedPairs(lists, maxLen = 100, "df")
+    val chunked = Dedup.expandSortedPairs(lists, maxLen = 5000, "df")
+    val expected = 2500L * 2499 / 2 + 5L * 4 / 2 + 1030L * 1029 / 2
+    assert(direct.count() == expected)
+    assert(chunked.count() == expected)
+    assert(chunked.exceptAll(direct).isEmpty,
+      "chunked expansion emitted pairs the direct triangle does not")
+    assert(direct.exceptAll(chunked).isEmpty,
+      "chunked expansion missed pairs of the direct triangle")
+  }
+
   test("language guess is deterministic and total over the corpus") {
     // NB: the synthetic corpus uses one shared English vocabulary for every
     // lang label, so no text-based classifier can recover the label; the
